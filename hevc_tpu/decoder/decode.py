@@ -1,0 +1,332 @@
+"""In-framework HEVC intra decoder (conformance half of the validator).
+
+General intra-profile decoder: arbitrary CTB size (16/32/64), full coding
+quadtree, PART_2Nx2N / PART_NxN intra PUs, residual quadtree, 4x4 DST, all 35
+prediction modes.  No inter, no SAO/deblocking application (streams this
+framework emits disable them; asserts otherwise), no tiles/WPP yet.
+
+Dual role:
+  * validator: every bitstream we emit is decoded back and compared bit-exactly
+    with the encoder's reconstruction (AppleHEVCValidator parity, SURVEY C12).
+  * entropy test vectors: decodes constrained libx265 streams, pinning this
+    implementation to the real spec (tests/test_conformance.py).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from hevc_tpu.decoder.syntax import SliceSyntaxDecoder
+from hevc_tpu.decoder.headers import Sps, Pps, SliceHeader, parse_sps, \
+    parse_pps, parse_slice_header
+from hevc_tpu.entropy.syntax import mpm_candidates, INTRA_DC
+from hevc_tpu.entropy import tables as T
+from hevc_tpu.ops import reference as R
+from hevc_tpu.utils.bitio import ebsp_to_rbsp, split_annexb
+
+
+class IntraDecoder:
+    def __init__(self, sps: Sps, pps: Pps):
+        self.sps = sps
+        self.pps = pps
+        assert not pps.cu_qp_delta_enabled, "cu_qp_delta unsupported (v0)"
+        assert not pps.sign_data_hiding, "sign data hiding unsupported (v0)"
+        assert not pps.transform_skip, "transform skip unsupported (v0)"
+        assert not pps.constrained_intra, "constrained intra unsupported"
+        self.W = sps.pic_width
+        self.H = sps.pic_height
+        self.ctb = 1 << sps.log2_ctb
+
+    # ---- z-scan availability ------------------------------------------------
+    def _zidx(self, x: int, y: int) -> int:
+        l2 = self.sps.log2_ctb
+        ctbs_w = (self.W + self.ctb - 1) >> l2
+        cidx = (y >> l2) * ctbs_w + (x >> l2)
+        ux = (x & (self.ctb - 1)) >> 2
+        uy = (y & (self.ctb - 1)) >> 2
+        m = 0
+        for b in range(4):
+            m |= ((ux >> b) & 1) << (2 * b)
+            m |= ((uy >> b) & 1) << (2 * b + 1)
+        return (cidx << (2 * (l2 - 2))) | m
+
+    def _avail(self, xc: int, yc: int, xn: int, yn: int) -> bool:
+        if xn < 0 or yn < 0 or xn >= self.W or yn >= self.H:
+            return False
+        return self._zidx(xn, yn) < self._zidx(xc, yc)
+
+    # ---- reference sample construction (8.4.4.2.2) ---------------------------
+    def _build_ref(self, plane: np.ndarray, x0: int, y0: int, n: int,
+                   c_idx: int) -> np.ndarray:
+        """Reference array layout as ops.reference.build_reference."""
+        sub = 2 if c_idx else 1     # chroma coords are in chroma units
+        xl = x0 * sub
+        yl = y0 * sub
+        h, w = plane.shape
+        n2 = 2 * n
+        ref = np.full(4 * n + 1, -1, dtype=np.int64)
+        # left column downwards: ref[n2-1-k] = p[-1][k]
+        for k in range(n2):
+            yk = y0 + k
+            if yk < h and self._avail(xl, yl, xl - sub, yk * sub):
+                ref[n2 - 1 - k] = plane[yk, x0 - 1]
+        if self._avail(xl, yl, xl - sub, yl - sub):
+            ref[n2] = plane[y0 - 1, x0 - 1]
+        for k in range(n2):
+            xk = x0 + k
+            if xk < w and self._avail(xl, yl, xk * sub, yl - sub):
+                ref[n2 + 1 + k] = plane[y0 - 1, xk]
+        if np.all(ref < 0):
+            ref[:] = 1 << (self.sps.bit_depth - 1)
+        else:
+            if ref[0] < 0:
+                nz = np.nonzero(ref >= 0)[0][0]
+                ref[0] = ref[nz]
+            for k in range(1, 4 * n + 1):
+                if ref[k] < 0:
+                    ref[k] = ref[k - 1]
+        return ref.astype(np.int32)
+
+    def _predict(self, plane: np.ndarray, x0: int, y0: int, n: int,
+                 mode: int, c_idx: int) -> np.ndarray:
+        ref = self._build_ref(plane, x0, y0, n, c_idx)
+        if c_idx == 0 and R.use_filtered_ref(mode, n, 0):
+            if n == 32 and self.sps.strong_intra_smoothing:
+                ref = self._strong_smooth(ref, n)
+            else:
+                ref = R.filter_reference(ref, n)
+        return R.predict_intra(ref, mode, n, c_idx, self.sps.bit_depth)
+
+    def _strong_smooth(self, ref: np.ndarray, n: int) -> np.ndarray:
+        """Strong intra smoothing for 32x32 (spec 8.4.4.2.3)."""
+        bd = self.sps.bit_depth
+        n2 = 2 * n
+        corner, top0, topn2 = int(ref[n2]), int(ref[n2 + 1]), int(ref[4 * n])
+        left0, leftn2 = int(ref[n2 - 1]), int(ref[0])
+        thr = 1 << (bd - 5)
+        flat_top = abs(corner + topn2 - 2 * int(ref[n2 + n])) < thr
+        flat_left = abs(corner + leftn2 - 2 * int(ref[n])) < thr
+        if not (flat_top and flat_left):
+            return R.filter_reference(ref, n)
+        out = ref.copy()
+        # pF[x][-1] = ((63-x)*p[-1][-1] + (x+1)*p[63][-1] + 32) >> 6
+        for x in range(n2 - 1):
+            out[n2 + 1 + x] = ((63 - x) * corner + (x + 1) * topn2 + 32) >> 6
+        for y in range(n2 - 1):
+            out[n2 - 1 - y] = ((63 - y) * corner + (y + 1) * leftn2 + 32) >> 6
+        return out
+
+    # ---- slice decode ---------------------------------------------------------
+    def decode_slice(self, payload: bytes, hdr: SliceHeader) -> dict:
+        self.qp = hdr.qp
+        self.qpc_cb = R.chroma_qp(min(max(hdr.qp + self.pps.cb_qp_offset, 0), 57))
+        self.qpc_cr = R.chroma_qp(min(max(hdr.qp + self.pps.cr_qp_offset, 0), 57))
+        self.y = np.zeros((self.H, self.W), dtype=np.int32)
+        self.cb = np.zeros((self.H // 2, self.W // 2), dtype=np.int32)
+        self.cr = np.zeros((self.H // 2, self.W // 2), dtype=np.int32)
+        self.modes = np.full((self.H // 4, self.W // 4), INTRA_DC, np.int32)
+        self.depth_map = np.zeros((self.H // 4, self.W // 4), np.int32)
+        self.syn = SliceSyntaxDecoder(payload, hdr.qp)
+        ctbs_w = (self.W + self.ctb - 1) // self.ctb
+        ctbs_h = (self.H + self.ctb - 1) // self.ctb
+        for cy in range(ctbs_h):
+            for cx in range(ctbs_w):
+                self._coding_quadtree(cx * self.ctb, cy * self.ctb,
+                                      self.sps.log2_ctb)
+                last = (cy == ctbs_h - 1) and (cx == ctbs_w - 1)
+                got = self.syn.decode_end_of_slice()
+                assert got == (1 if last else 0), \
+                    f"end_of_slice mismatch at CTB ({cx},{cy})"
+        return {"y": self.y, "cb": self.cb, "cr": self.cr, "qp": hdr.qp}
+
+    def _coding_quadtree(self, x0: int, y0: int, log2size: int) -> None:
+        size = 1 << log2size
+        inside = (x0 + size <= self.W) and (y0 + size <= self.H)
+        if inside and log2size > self.sps.log2_min_cb:
+            split = self.syn.cabac.decode_bin(
+                T.CTX_OFF["split_cu"] + self._split_ctx(x0, y0, log2size))
+        else:
+            # implicit split at picture boundary (pic dims multiple of minCB)
+            split = 1 if not inside else 0
+        if split:
+            half = size >> 1
+            for dy in (0, half):
+                for dx in (0, half):
+                    if x0 + dx < self.W and y0 + dy < self.H:
+                        self._coding_quadtree(x0 + dx, y0 + dy, log2size - 1)
+            return
+        self._coding_unit(x0, y0, log2size)
+
+    def _split_ctx(self, x0: int, y0: int, log2size: int) -> int:
+        ctx = 0
+        depth = self.sps.log2_ctb - log2size
+        if self._avail(x0, y0, x0 - 1, y0):
+            if self._cu_depth(x0 - 1, y0) > depth:
+                ctx += 1
+        if self._avail(x0, y0, x0, y0 - 1):
+            if self._cu_depth(x0, y0 - 1) > depth:
+                ctx += 1
+        return ctx
+
+    def _cu_depth(self, x: int, y: int) -> int:
+        return int(self.depth_map[y >> 2, x >> 2])
+
+    def _coding_unit(self, x0: int, y0: int, log2size: int) -> None:
+        syn = self.syn
+        size = 1 << log2size
+        part_nxn = False
+        if log2size == self.sps.log2_min_cb:
+            part_nxn = syn.decode_part_mode_intra()
+        self.depth_map[y0 >> 2:(y0 + size) >> 2, x0 >> 2:(x0 + size) >> 2] = \
+            self.sps.log2_ctb - log2size
+
+        npb = size >> 1 if part_nxn else size
+        pu_xy = [(x0, y0)]
+        if part_nxn:
+            pu_xy = [(x0, y0), (x0 + npb, y0), (x0, y0 + npb), (x0 + npb, y0 + npb)]
+        prev_flags = [syn.cabac.decode_bin(T.CTX_OFF["prev_intra_luma_pred"])
+                      for _ in pu_xy]
+        modes = []
+        for (px, py), pf in zip(pu_xy, prev_flags):
+            cands = self._mpm(px, py)
+            if pf:
+                idx = 0
+                if syn.cabac.decode_bypass():
+                    idx = 1 + syn.cabac.decode_bypass()
+                mode = cands[idx]
+            else:
+                rem = syn.cabac.decode_bypass_bits(5)
+                mode = rem
+                for cand in sorted(cands):
+                    if mode >= cand:
+                        mode += 1
+            modes.append(mode)
+            self.modes[py >> 2:(py + npb) >> 2, px >> 2:(px + npb) >> 2] = mode
+        chroma_mode = self._decode_chroma_mode(modes[0])
+        self.cu = {"x0": x0, "y0": y0, "log2": log2size,
+                   "part_nxn": part_nxn, "modes": modes,
+                   "chroma_mode": chroma_mode}
+        max_depth = self.sps.max_trafo_depth_intra + (1 if part_nxn else 0)
+        self._transform_tree(x0, y0, x0, y0, log2size, 0, 0,
+                             max_depth, 1, 1)
+
+    def _decode_chroma_mode(self, luma_mode: int) -> int:
+        syn = self.syn
+        if syn.cabac.decode_bin(T.CTX_OFF["intra_chroma_pred_mode"]) == 0:
+            return luma_mode                      # DM
+        idx = syn.cabac.decode_bypass_bits(2)
+        cand = [0, 26, 10, 1]
+        mode = cand[idx]
+        if mode == luma_mode:
+            mode = 34
+        return mode
+
+    def _mpm(self, xp: int, yp: int) -> list[int]:
+        ca = INTRA_DC
+        if self._avail(xp, yp, xp - 1, yp):
+            ca = int(self.modes[yp >> 2, (xp - 1) >> 2])
+        cb = INTRA_DC
+        if self._avail(xp, yp, xp, yp - 1) and \
+                (yp - 1) >= ((yp >> self.sps.log2_ctb) << self.sps.log2_ctb):
+            cb = int(self.modes[(yp - 1) >> 2, xp >> 2])
+        return mpm_candidates(ca, cb)
+
+    def _transform_tree(self, x0, y0, x_base, y_base, log2size, depth,
+                        blk_idx, max_depth, parent_cbf_cb, parent_cbf_cr):
+        syn = self.syn
+        sps = self.sps
+        intra_split = self.cu["part_nxn"]
+        if (log2size <= sps.log2_max_tb and log2size > sps.log2_min_tb
+                and depth < max_depth and not (intra_split and depth == 0)):
+            split = syn.cabac.decode_bin(
+                T.CTX_OFF["split_transform"] + (5 - log2size))
+        else:
+            split = int(log2size > sps.log2_max_tb or
+                        (intra_split and depth == 0))
+        cbf_cb = parent_cbf_cb
+        cbf_cr = parent_cbf_cr
+        if log2size > 2:
+            if depth == 0 or parent_cbf_cb:
+                cbf_cb = syn.decode_cbf_chroma(depth)
+            if depth == 0 or parent_cbf_cr:
+                cbf_cr = syn.decode_cbf_chroma(depth)
+        if split:
+            half = 1 << (log2size - 1)
+            self._transform_tree(x0, y0, x0, y0, log2size - 1, depth + 1, 0,
+                                 max_depth, cbf_cb, cbf_cr)
+            self._transform_tree(x0 + half, y0, x0, y0, log2size - 1,
+                                 depth + 1, 1, max_depth, cbf_cb, cbf_cr)
+            self._transform_tree(x0, y0 + half, x0, y0, log2size - 1,
+                                 depth + 1, 2, max_depth, cbf_cb, cbf_cr)
+            self._transform_tree(x0 + half, y0 + half, x0, y0, log2size - 1,
+                                 depth + 1, 3, max_depth, cbf_cb, cbf_cr)
+            return
+        # leaf: cbf_luma (always signaled for intra)
+        cbf_luma = syn.decode_cbf_luma(depth)
+        self._transform_unit(x0, y0, x_base, y_base, log2size, depth, blk_idx,
+                             cbf_luma, cbf_cb, cbf_cr)
+
+    def _luma_mode_at(self, x: int, y: int) -> int:
+        return int(self.modes[y >> 2, x >> 2])
+
+    def _transform_unit(self, x0, y0, x_base, y_base, log2size, depth,
+                        blk_idx, cbf_luma, cbf_cb, cbf_cr):
+        n = 1 << log2size
+        mode = self._luma_mode_at(x0, y0)
+        # luma: predict + reconstruct
+        pred = self._predict(self.y, x0, y0, n, mode, 0)
+        if cbf_luma:
+            scan = T.intra_scan_idx(log2size, mode, 0)
+            lvl = self.syn.decode_residual(log2size, scan, 0)
+            dst = (log2size == 2)
+            resi = R.inverse_transform(
+                R.dequantize(lvl, self.qp, self.sps.bit_depth), dst=dst,
+                bit_depth=self.sps.bit_depth)
+            rec = R.reconstruct(pred, resi, self.sps.bit_depth)
+        else:
+            rec = pred
+        self.y[y0:y0 + n, x0:x0 + n] = rec
+
+        # chroma: at this node if log2size > 2, else at blk_idx 3 on parent
+        cmode = self.cu["chroma_mode"]
+        if log2size > 2:
+            self._chroma_tb(x0 >> 1, y0 >> 1, log2size - 1, cmode,
+                            cbf_cb, cbf_cr, mode)
+        elif blk_idx == 3:
+            self._chroma_tb(x_base >> 1, y_base >> 1, 2, cmode,
+                            cbf_cb, cbf_cr, mode)
+
+    def _chroma_tb(self, xc, yc, log2c, cmode, cbf_cb, cbf_cr, luma_mode):
+        n = 1 << log2c
+        for plane, cbf, c_idx, qpc in ((self.cb, cbf_cb, 1, self.qpc_cb),
+                                       (self.cr, cbf_cr, 2, self.qpc_cr)):
+            pred = self._predict(plane, xc, yc, n, cmode, c_idx)
+            if cbf:
+                scan = T.intra_scan_idx(log2c, cmode, c_idx)
+                lvl = self.syn.decode_residual(log2c, scan, c_idx)
+                resi = R.inverse_transform(
+                    R.dequantize(lvl, qpc, self.sps.bit_depth),
+                    bit_depth=self.sps.bit_depth)
+                rec = R.reconstruct(pred, resi, self.sps.bit_depth)
+            else:
+                rec = pred
+            plane[yc:yc + n, xc:xc + n] = rec
+
+
+def decode_annexb(data: bytes, cfg=None) -> list[dict]:
+    """Decode all intra frames in an Annex-B stream (headers parsed)."""
+    sps = pps = None
+    frames = []
+    dec = None
+    for nal in split_annexb(data):
+        nal_type = (nal[0] >> 1) & 0x3F
+        if nal_type == 33:
+            sps = parse_sps(nal)
+        elif nal_type == 34:
+            pps = parse_pps(nal)
+        elif nal_type in (19, 20, 21):
+            assert sps is not None and pps is not None
+            rbsp = ebsp_to_rbsp(nal[2:])
+            hdr = parse_slice_header(rbsp, nal_type, sps, pps)
+            dec = IntraDecoder(sps, pps)
+            frames.append(dec.decode_slice(rbsp[hdr.payload_offset:], hdr))
+    return frames

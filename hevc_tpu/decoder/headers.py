@@ -1,0 +1,237 @@
+"""HEVC parameter-set and slice-header parsing (spec 7.3.2/7.3.6).
+
+Parses the subset of SPS/PPS features the conformance decoder supports and
+asserts on anything outside it.  Used both to decode this framework's own
+output and to decode third-party streams (x265) as entropy-layer test vectors.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from hevc_tpu.utils.bitio import BitReader, ebsp_to_rbsp
+
+
+def _parse_ptl(r: BitReader, max_sub_layers: int = 1) -> dict:
+    out = {
+        "profile_space": r.u(2), "tier": r.u(1), "profile_idc": r.u(5),
+        "compat": r.u(32),
+    }
+    r.u(4)      # progressive/interlaced/non_packed/frame_only
+    r.u(32)
+    r.u(12)     # reserved 44 bits
+    out["level_idc"] = r.u(8)
+    subs = []
+    for _ in range(max_sub_layers - 1):
+        subs.append((r.u(1), r.u(1)))  # profile/level present flags
+    if max_sub_layers > 1:
+        for _ in range(8 - (max_sub_layers - 1)):
+            r.u(2)
+    for pp, lp in subs:
+        if pp:
+            r.u(88)
+        if lp:
+            r.u(8)
+    return out
+
+
+@dataclass
+class Sps:
+    width: int = 0
+    height: int = 0
+    pic_width: int = 0          # before conformance cropping
+    pic_height: int = 0
+    bit_depth: int = 8
+    chroma_format_idc: int = 1
+    log2_ctb: int = 4
+    log2_min_cb: int = 4
+    log2_min_tb: int = 2
+    log2_max_tb: int = 4
+    max_trafo_depth_intra: int = 0
+    max_trafo_depth_inter: int = 0
+    scaling_list_enabled: bool = False
+    amp_enabled: bool = False
+    sao_enabled: bool = False
+    pcm_enabled: bool = False
+    strong_intra_smoothing: bool = False
+    log2_max_poc_lsb: int = 8
+    crop: tuple = (0, 0, 0, 0)
+    raw: dict = field(default_factory=dict)
+
+
+def parse_sps(nal: bytes) -> Sps:
+    r = BitReader(ebsp_to_rbsp(nal[2:]))
+    s = Sps()
+    r.u(4)                              # sps_video_parameter_set_id
+    max_sub = r.u(3) + 1
+    r.u(1)                              # temporal_id_nesting
+    ptl = _parse_ptl(r, max_sub)
+    s.raw["ptl"] = ptl
+    r.ue()                              # sps id
+    s.chroma_format_idc = r.ue()
+    if s.chroma_format_idc == 3:
+        r.u(1)
+    s.pic_width = r.ue()
+    s.pic_height = r.ue()
+    crop = (0, 0, 0, 0)
+    if r.u(1):                          # conformance_window_flag
+        crop = (r.ue(), r.ue(), r.ue(), r.ue())  # l, r, t, b (chroma units)
+    s.crop = crop
+    sub_w = 2 if s.chroma_format_idc in (1, 2) else 1
+    sub_h = 2 if s.chroma_format_idc == 1 else 1
+    s.width = s.pic_width - sub_w * (crop[0] + crop[1])
+    s.height = s.pic_height - sub_h * (crop[2] + crop[3])
+    s.bit_depth = r.ue() + 8
+    bd_c = r.ue() + 8
+    assert bd_c == s.bit_depth
+    s.log2_max_poc_lsb = r.ue() + 4
+    sub_ordering = r.u(1)
+    for _ in range(max_sub if sub_ordering else 1):
+        r.ue(), r.ue(), r.ue()
+    s.log2_min_cb = r.ue() + 3
+    s.log2_ctb = s.log2_min_cb + r.ue()
+    s.log2_min_tb = r.ue() + 2
+    s.log2_max_tb = s.log2_min_tb + r.ue()
+    s.max_trafo_depth_inter = r.ue()
+    s.max_trafo_depth_intra = r.ue()
+    s.scaling_list_enabled = bool(r.u(1))
+    assert not s.scaling_list_enabled, "scaling lists unsupported"
+    s.amp_enabled = bool(r.u(1))
+    s.sao_enabled = bool(r.u(1))
+    s.pcm_enabled = bool(r.u(1))
+    assert not s.pcm_enabled, "PCM unsupported"
+    num_st_rps = r.ue()
+    assert num_st_rps == 0, "short-term RPS in SPS unsupported (intra only)"
+    if r.u(1):                          # long_term_ref_pics_present
+        raise NotImplementedError("long-term refs")
+    r.u(1)                              # temporal_mvp
+    s.strong_intra_smoothing = bool(r.u(1))
+    # VUI and extensions ignored
+    return s
+
+
+@dataclass
+class Pps:
+    sign_data_hiding: bool = False
+    cabac_init_present: bool = False
+    init_qp: int = 26
+    constrained_intra: bool = False
+    transform_skip: bool = False
+    cu_qp_delta_enabled: bool = False
+    diff_cu_qp_delta_depth: int = 0
+    cb_qp_offset: int = 0
+    cr_qp_offset: int = 0
+    slice_chroma_qp_offsets_present: bool = False
+    transquant_bypass: bool = False
+    tiles_enabled: bool = False
+    entropy_sync: bool = False
+    deblocking_disabled: bool = True
+    deblocking_override_enabled: bool = False
+    deblocking_control_present: bool = False
+    loop_filter_across_slices: bool = True
+    num_extra_slice_header_bits: int = 0
+    output_flag_present: bool = False
+    dependent_slices: bool = False
+    beta_offset_div2: int = 0
+    tc_offset_div2: int = 0
+
+
+def parse_pps(nal: bytes) -> Pps:
+    r = BitReader(ebsp_to_rbsp(nal[2:]))
+    p = Pps()
+    r.ue(), r.ue()                      # pps id, sps id
+    p.dependent_slices = bool(r.u(1))
+    p.output_flag_present = bool(r.u(1))
+    p.num_extra_slice_header_bits = r.u(3)
+    p.sign_data_hiding = bool(r.u(1))
+    p.cabac_init_present = bool(r.u(1))
+    r.ue(), r.ue()                      # num_ref_idx defaults
+    p.init_qp = 26 + r.se()
+    p.constrained_intra = bool(r.u(1))
+    p.transform_skip = bool(r.u(1))
+    p.cu_qp_delta_enabled = bool(r.u(1))
+    if p.cu_qp_delta_enabled:
+        p.diff_cu_qp_delta_depth = r.ue()
+    p.cb_qp_offset = r.se()
+    p.cr_qp_offset = r.se()
+    p.slice_chroma_qp_offsets_present = bool(r.u(1))
+    r.u(1), r.u(1)                      # weighted pred/bipred
+    p.transquant_bypass = bool(r.u(1))
+    assert not p.transquant_bypass, "transquant bypass unsupported"
+    p.tiles_enabled = bool(r.u(1))
+    p.entropy_sync = bool(r.u(1))
+    assert not p.tiles_enabled, "tiles unsupported (v0)"
+    p.loop_filter_across_slices = bool(r.u(1))
+    p.deblocking_control_present = bool(r.u(1))
+    if p.deblocking_control_present:
+        p.deblocking_override_enabled = bool(r.u(1))
+        p.deblocking_disabled = bool(r.u(1))
+        if not p.deblocking_disabled:
+            p.beta_offset_div2 = r.se()
+            p.tc_offset_div2 = r.se()
+    else:
+        p.deblocking_disabled = False
+    if r.u(1):                          # pps_scaling_list_data_present
+        raise NotImplementedError("pps scaling lists")
+    r.u(1)                              # lists_modification_present
+    r.ue()                              # log2_parallel_merge_level_minus2
+    r.u(1)                              # slice_segment_header_extension
+    return p
+
+
+@dataclass
+class SliceHeader:
+    slice_type: int = 2
+    qp: int = 26
+    sao_luma: bool = False
+    sao_chroma: bool = False
+    deblocking_disabled: bool = True
+    beta_offset_div2: int = 0
+    tc_offset_div2: int = 0
+    payload_offset: int = 0             # byte offset of CABAC data in RBSP
+    first_in_pic: bool = True
+
+
+def parse_slice_header(rbsp: bytes, nal_type: int, sps: Sps, pps: Pps) -> SliceHeader:
+    r = BitReader(rbsp)
+    h = SliceHeader()
+    h.first_in_pic = bool(r.u(1))
+    assert h.first_in_pic, "multi-slice frames unsupported (v0)"
+    if 16 <= nal_type <= 23:            # IRAP
+        r.u(1)                          # no_output_of_prior_pics
+    r.ue()                              # pps id
+    for _ in range(pps.num_extra_slice_header_bits):
+        r.u(1)
+    h.slice_type = r.ue()
+    assert h.slice_type == 2, "inter slices unsupported (v0)"
+    if pps.output_flag_present:
+        r.u(1)
+    if nal_type not in (19, 20):        # not IDR: POC + RPS
+        r.u(sps.log2_max_poc_lsb)
+        if not r.u(1):                  # short_term_ref_pic_set_sps_flag
+            raise NotImplementedError("inline RPS")
+        raise NotImplementedError("non-IDR slices")
+    if sps.sao_enabled:
+        h.sao_luma = bool(r.u(1))
+        h.sao_chroma = bool(r.u(1))
+        assert not (h.sao_luma or h.sao_chroma), "SAO decode unsupported (v0)"
+    h.qp = pps.init_qp + r.se()
+    if pps.slice_chroma_qp_offsets_present:
+        r.se(), r.se()
+    h.deblocking_disabled = pps.deblocking_disabled
+    if pps.deblocking_control_present and pps.deblocking_override_enabled:
+        if r.u(1):                      # deblocking_filter_override_flag
+            h.deblocking_disabled = bool(r.u(1))
+            if not h.deblocking_disabled:
+                h.beta_offset_div2 = r.se()
+                h.tc_offset_div2 = r.se()
+    else:
+        h.beta_offset_div2 = pps.beta_offset_div2
+        h.tc_offset_div2 = pps.tc_offset_div2
+    if pps.loop_filter_across_slices and \
+            (h.sao_luma or h.sao_chroma or not h.deblocking_disabled):
+        r.u(1)                          # slice_loop_filter_across_slices
+    assert not pps.entropy_sync and not pps.tiles_enabled
+    assert r.bit() == 1                 # byte alignment
+    r.byte_align()
+    h.payload_offset = r.bitpos // 8
+    return h

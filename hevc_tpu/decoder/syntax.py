@@ -1,0 +1,193 @@
+"""HEVC slice-data syntax decoding — mirror of hevc_tpu.entropy.syntax.
+
+Used by the in-framework conformance decoder (the AppleHEVCValidator
+equivalent, see SURVEY.md C12): every bitstream this framework emits is decoded
+back and the reconstruction compared bit-exactly against the encoder's.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from hevc_tpu.entropy import tables as T
+from hevc_tpu.entropy.cabac import CabacDecoder
+
+
+class SliceSyntaxDecoder:
+    """Decodes intra-slice CTU syntax from CABAC bins."""
+
+    def __init__(self, data: bytes, qp: int):
+        self.cabac = CabacDecoder(data, qp)
+
+    # ---- intra mode signaling ----------------------------------------------
+    def decode_luma_mode(self, cands: list[int]) -> int:
+        c = self.cabac
+        if c.decode_bin(T.CTX_OFF["prev_intra_luma_pred"]):
+            idx = 0
+            if c.decode_bypass():
+                idx = 1 + c.decode_bypass()
+            return cands[idx]
+        rem = c.decode_bypass_bits(5)
+        mode = rem
+        for cand in sorted(cands):
+            if mode >= cand:
+                mode += 1
+        return mode
+
+    def decode_chroma_mode_is_dm(self) -> bool:
+        """Returns True if intra_chroma_pred_mode == 4 (derived mode)."""
+        if self.cabac.decode_bin(T.CTX_OFF["intra_chroma_pred_mode"]) == 0:
+            return True
+        self.cabac.decode_bypass_bits(2)
+        return False
+
+    def decode_cbf_luma(self, trafo_depth: int) -> int:
+        ctx = T.CTX_OFF["cbf_luma"] + (1 if trafo_depth == 0 else 0)
+        return self.cabac.decode_bin(ctx)
+
+    def decode_cbf_chroma(self, trafo_depth: int) -> int:
+        return self.cabac.decode_bin(T.CTX_OFF["cbf_chroma"] + trafo_depth)
+
+    def decode_part_mode_intra(self) -> bool:
+        """Returns True for PART_NxN."""
+        return self.cabac.decode_bin(T.CTX_OFF["part_mode"]) == 0
+
+    def decode_end_of_slice(self) -> int:
+        return self.cabac.decode_terminate()
+
+    # ---- residual coding ------------------------------------------------------
+    def decode_residual(self, log2_size: int, scan_idx: int,
+                        c_idx: int) -> np.ndarray:
+        c = self.cabac
+        n = 1 << log2_size
+        scan = T.scan_order(scan_idx, n)
+        sb_scan = T.scan_order(scan_idx, n >> 2) if n > 4 else np.zeros((1, 2), np.int32)
+        num_sb = (n * n) >> 4
+
+        px = self._decode_last_prefix(log2_size, c_idx, "last_x")
+        py = self._decode_last_prefix(log2_size, c_idx, "last_y")
+        last_x = self._resolve_suffix(px)
+        last_y = self._resolve_suffix(py)
+        if scan_idx == T.SCAN_VERT:
+            last_x, last_y = last_y, last_x
+
+        # find last scan pos from (last_x, last_y)
+        pos_of = {(int(scan[i, 0]), int(scan[i, 1])): i for i in range(n * n)}
+        last_pos = pos_of[(last_x, last_y)]
+        last_sb = last_pos >> 4
+
+        vals = np.zeros(n * n, dtype=np.int32)
+        sb_pos = np.zeros((max(n >> 2, 1), max(n >> 2, 1)), dtype=np.int32)
+        c1 = 1
+        for i in range(last_sb, -1, -1):
+            if n > 4:
+                xs, ys = int(sb_scan[i, 0]), int(sb_scan[i, 1])
+                csbf_right = int(sb_pos[ys, xs + 1]) if xs + 1 < (n >> 2) else 0
+                csbf_below = int(sb_pos[ys + 1, xs]) if ys + 1 < (n >> 2) else 0
+            else:
+                xs = ys = csbf_right = csbf_below = 0
+
+            infer_dc_sig = False
+            if 0 < i < last_sb:
+                ctx = T.CTX_OFF["csbf"] + (2 if c_idx else 0) + \
+                    min(csbf_right + csbf_below, 1)
+                coded = c.decode_bin(ctx)
+                infer_dc_sig = True
+            else:
+                coded = 1
+            if n > 4:
+                sb_pos[ys, xs] = coded
+            if not coded:
+                continue
+
+            sig_positions = []
+            if i == last_sb:
+                sig_positions.append(last_pos & 15)
+            start = (last_pos & 15) - 1 if i == last_sb else 15
+            for ns in range(start, -1, -1):
+                if ns > 0 or not infer_dc_sig:
+                    gpos = i * 16 + ns
+                    xc, yc = int(scan[gpos, 0]), int(scan[gpos, 1])
+                    ctx_inc = T.sig_ctx_inc(log2_size, scan_idx, xc, yc,
+                                            c_idx, csbf_right, csbf_below)
+                    sig = c.decode_bin(T.CTX_OFF["sig"] + ctx_inc)
+                    if sig:
+                        infer_dc_sig = False
+                        sig_positions.append(ns)
+                else:
+                    sig_positions.append(ns)  # inferred DC significance
+
+            num_nz = len(sig_positions)
+            if num_nz == 0:
+                continue
+
+            ctx_set = (2 if (i > 0 and c_idx == 0) else 0) + (1 if c1 == 0 else 0)
+            c1 = 1
+            g1_base = T.CTX_OFF["gt1"] + (16 if c_idx else 0) + 4 * ctx_set
+            levels = [1] * num_nz
+            first_g1_idx = -1
+            for k in range(min(8, num_nz)):
+                g1 = c.decode_bin(g1_base + c1)
+                if g1:
+                    levels[k] = 2
+                    c1 = 0
+                    if first_g1_idx < 0:
+                        first_g1_idx = k
+                elif 0 < c1 < 3:
+                    c1 += 1
+
+            if first_g1_idx >= 0:
+                ctx = T.CTX_OFF["gt2"] + (4 if c_idx else 0) + ctx_set
+                levels[first_g1_idx] += c.decode_bin(ctx)
+
+            signs = [c.decode_bypass() for _ in range(num_nz)]
+
+            rice = 0
+            first_coeff2 = 1
+            for k in range(num_nz):
+                base = (2 + first_coeff2) if k < 8 else 1
+                if levels[k] == base:
+                    rem = self._decode_remaining(rice)
+                    levels[k] = base + rem
+                    if levels[k] > (3 << rice):
+                        rice = min(rice + 1, 4)
+                if levels[k] >= 2:
+                    first_coeff2 = 0
+
+            for k, ns in enumerate(sig_positions):
+                gpos = i * 16 + ns
+                vals[gpos] = -levels[k] if signs[k] else levels[k]
+
+        out = np.zeros((n, n), dtype=np.int32)
+        out[scan[:, 1], scan[:, 0]] = vals
+        return out
+
+    def _decode_last_prefix(self, log2_size: int, c_idx: int, tbl: str) -> int:
+        c = self.cabac
+        gmax = (log2_size << 1) - 1
+        prefix = 0
+        while prefix < gmax:
+            ctx = T.CTX_OFF[tbl] + T.last_prefix_ctx(log2_size, c_idx, prefix)
+            if not c.decode_bin(ctx):
+                break
+            prefix += 1
+        return prefix
+
+    def _resolve_suffix(self, prefix: int) -> int:
+        if prefix <= 3:
+            return prefix
+        nbits = (prefix >> 1) - 1
+        suffix = self.cabac.decode_bypass_bits(nbits)
+        return ((2 + (prefix & 1)) << nbits) + suffix
+
+    def _decode_remaining(self, rice: int) -> int:
+        c = self.cabac
+        prefix = 0
+        while c.decode_bypass():
+            prefix += 1
+            if prefix > 40:
+                raise ValueError("corrupt coeff_abs_level_remaining")
+        if prefix < 3:
+            return (prefix << rice) + (c.decode_bypass_bits(rice) if rice else 0)
+        length = rice + prefix - 3
+        rem = c.decode_bypass_bits(length) if length else 0
+        return (3 << rice) + (1 << length) - (1 << rice) + rem

@@ -1,0 +1,167 @@
+"""Scalar (numpy) reference intra-frame HEVC encoder.
+
+The behavioral ground truth for the JAX/TPU encode graph
+(hevc_tpu.encoder.frame): same decisions, same normative reconstruction, same
+syntax stream.  Slow by design; used in tests and as the fallback path.
+
+v0 encode profile: CTB = CU = 16, PART_2Nx2N, TU16 luma + TU8 chroma,
+35-mode intra search (SATD + mode bits), deblock/SAO off.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from hevc_tpu.entropy.headers import StreamConfig, write_vps, write_sps, \
+    write_pps, write_slice_header_idr
+from hevc_tpu.entropy.syntax import SliceSyntaxEncoder, mpm_candidates, INTRA_DC
+from hevc_tpu.entropy import tables as T
+from hevc_tpu.ops import reference as R
+from hevc_tpu.utils.bitio import make_nal, NAL_IDR_W_RADL
+
+
+def hadamard_satd(diff: np.ndarray) -> int:
+    """Sum of 8x8 Hadamard-transformed absolute differences."""
+    h, w = diff.shape
+    bs = 8 if (h % 8 == 0 and w % 8 == 0) else 4
+    hm = np.array([[1]], dtype=np.int64)
+    while hm.shape[0] < bs:
+        hm = np.block([[hm, hm], [hm, -hm]])
+    total = 0
+    for y in range(0, h, bs):
+        for x in range(0, w, bs):
+            b = diff[y:y + bs, x:x + bs].astype(np.int64)
+            total += int(np.abs(hm @ b @ hm).sum())
+    # normalize like HM: /2 per dimension log — use >> for 8x8: sum/4? keep raw
+    return total >> (2 if bs == 8 else 1)
+
+
+def pad_to_ctb(plane: np.ndarray, ctb: int) -> np.ndarray:
+    h, w = plane.shape
+    ph = (h + ctb - 1) // ctb * ctb
+    pw = (w + ctb - 1) // ctb * ctb
+    if ph == h and pw == w:
+        return plane.astype(np.int32)
+    return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge").astype(np.int32)
+
+
+def mode_bits_estimate(mode: int, cands: list[int]) -> int:
+    if mode in cands:
+        return 2 if cands.index(mode) == 0 else 3
+    return 6
+
+
+class RefIntraEncoder:
+    def __init__(self, cfg: StreamConfig):
+        assert cfg.log2_ctb == 4 and cfg.log2_min_cb == 4, "v0 profile: CTB16"
+        self.cfg = cfg
+
+    def parameter_sets(self) -> list[bytes]:
+        return [write_vps(self.cfg), write_sps(self.cfg), write_pps(self.cfg)]
+
+    def encode_frame(self, y: np.ndarray, cb: np.ndarray, cr: np.ndarray):
+        """Encode one frame. Returns (slice_nal, recon_planes dict)."""
+        cfg = self.cfg
+        ctb = cfg.ctb
+        qp = cfg.qp
+        qpc = R.chroma_qp(qp)
+        ys = pad_to_ctb(y, ctb)
+        cbs = pad_to_ctb(cb, ctb // 2)
+        crs = pad_to_ctb(cr, ctb // 2)
+        H, W = ys.shape
+        rec_y = np.zeros_like(ys)
+        rec_cb = np.zeros_like(cbs)
+        rec_cr = np.zeros_like(crs)
+        nw, nh = W // ctb, H // ctb
+
+        lam = 0.85 * 2.0 ** ((qp - 12) / 3.0)
+        sqrt_lam = np.sqrt(lam)
+
+        syn = SliceSyntaxEncoder(qp)
+        mode_row = np.full(nw, INTRA_DC, dtype=np.int32)  # left-neighbor modes
+
+        for cy in range(nh):
+            left_mode = INTRA_DC
+            for cx in range(nw):
+                x0, y0 = cx * ctb, cy * ctb
+                # ---- luma: search 35 modes on reconstructed refs ----
+                src = ys[y0:y0 + ctb, x0:x0 + ctb]
+                ref = R.build_reference(rec_y, x0, y0, ctb,
+                                        avail_left=cx > 0, avail_above=cy > 0,
+                                        bit_depth=cfg.bit_depth)
+                reff = R.filter_reference(ref, ctb)
+                cand_a = int(mode_row[cx - 1]) if cx > 0 else INTRA_DC
+                cands = mpm_candidates(cand_a if cx > 0 else INTRA_DC, INTRA_DC)
+                best = (None, None, None)
+                best_cost = 1 << 60
+                for mode in range(35):
+                    r = reff if R.use_filtered_ref(mode, ctb, 0) else ref
+                    pred = R.predict_intra(r, mode, ctb, 0, cfg.bit_depth)
+                    cost = hadamard_satd(src - pred) + \
+                        int(sqrt_lam * mode_bits_estimate(mode, cands))
+                    if cost < best_cost:
+                        best_cost, best = cost, (mode, pred, None)
+                mode, pred, _ = best
+                coef = R.forward_transform(src - pred, dst=False,
+                                           bit_depth=cfg.bit_depth)
+                lvl = R.quantize(coef, qp, cfg.bit_depth)
+                cbf_y = int(np.any(lvl))
+                if cbf_y:
+                    resi = R.inverse_transform(
+                        R.dequantize(lvl, qp, cfg.bit_depth),
+                        dst=False, bit_depth=cfg.bit_depth)
+                    rec = R.reconstruct(pred, resi, cfg.bit_depth)
+                else:
+                    rec = pred.copy()
+                rec_y[y0:y0 + ctb, x0:x0 + ctb] = rec
+                mode_row[cx] = mode
+                left_mode = mode
+
+                # ---- chroma (DM mode), 8x8 TBs ----
+                n_c = ctb // 2
+                xc, yc = x0 // 2, y0 // 2
+                ch = []
+                for plane, recp, qpcc in ((cbs, rec_cb, qpc), (crs, rec_cr, qpc)):
+                    srcc = plane[yc:yc + n_c, xc:xc + n_c]
+                    refc = R.build_reference(recp, xc, yc, n_c,
+                                             avail_left=cx > 0,
+                                             avail_above=cy > 0,
+                                             bit_depth=cfg.bit_depth)
+                    predc = R.predict_intra(refc, mode, n_c, 1, cfg.bit_depth)
+                    coefc = R.forward_transform(srcc - predc,
+                                                bit_depth=cfg.bit_depth)
+                    lvlc = R.quantize(coefc, qpcc, cfg.bit_depth)
+                    cbf_c = int(np.any(lvlc))
+                    if cbf_c:
+                        resic = R.inverse_transform(
+                            R.dequantize(lvlc, qpcc, cfg.bit_depth),
+                            bit_depth=cfg.bit_depth)
+                        recc = R.reconstruct(predc, resic, cfg.bit_depth)
+                    else:
+                        recc = predc.copy()
+                    recp[yc:yc + n_c, xc:xc + n_c] = recc
+                    ch.append((cbf_c, lvlc))
+
+                # ---- syntax for this CTU ----
+                syn.encode_part_mode_intra(part_nxn=False)
+                syn.encode_luma_mode(mode, cands)
+                syn.encode_chroma_mode_dm()
+                (cbf_cb, lvl_cb), (cbf_cr, lvl_cr) = ch
+                syn.encode_cbf_chroma(cbf_cb, 0)
+                syn.encode_cbf_chroma(cbf_cr, 0)
+                syn.encode_cbf_luma(cbf_y, 0)
+                if cbf_y:
+                    scan = T.intra_scan_idx(4, mode, 0)
+                    syn.encode_residual(lvl, 4, scan, 0)
+                if cbf_cb:
+                    syn.encode_residual(lvl_cb, 3,
+                                        T.intra_scan_idx(3, mode, 1), 1)
+                if cbf_cr:
+                    syn.encode_residual(lvl_cr, 3,
+                                        T.intra_scan_idx(3, mode, 1), 2)
+                last = (cy == nh - 1) and (cx == nw - 1)
+                syn.encode_end_of_slice(last)
+
+        hdr = write_slice_header_idr(cfg)
+        rbsp = hdr.bytes() + syn.cabac.bytes_aligned()
+        nal = make_nal(NAL_IDR_W_RADL, rbsp)
+        return nal, {"y": rec_y, "cb": rec_cb, "cr": rec_cr}

@@ -1,0 +1,231 @@
+"""HEVC parameter set and slice header writers (spec 7.3.2, 7.3.6).
+
+Emits VPS/SPS/PPS/slice-segment headers for the encode profiles this framework
+produces.  The VUI carries the color signaling the reference wrote through
+ffmpeg flags (`-color_primaries/-color_trc/-colorspace`, reference
+core/utils.py:43-55) and `-chromaloc 0` (reference apple_hevc_batch.py:717).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from fractions import Fraction
+
+from hevc_tpu.utils.bitio import BitWriter, make_nal, NAL_VPS, NAL_SPS, NAL_PPS
+
+# color description name -> code (spec Table E.3/E.4/E.5 subsets)
+PRIMARIES = {"bt709": 1, "unknown": 2, "bt470bg": 5, "smpte170m": 6,
+             "bt2020": 9, "smpte432": 12}
+TRANSFERS = {"bt709": 1, "unknown": 2, "smpte170m": 6, "linear": 8,
+             "smpte2084": 16, "arib-std-b67": 18}
+MATRICES = {"gbr": 0, "bt709": 1, "unknown": 2, "smpte170m": 6,
+            "bt2020nc": 9, "bt2020c": 10}
+
+
+@dataclass
+class StreamConfig:
+    """Static per-stream coding configuration (one compiled bucket)."""
+    width: int                     # display (cropped) size
+    height: int
+    bit_depth: int = 8
+    fps: Fraction = Fraction(30, 1)
+    log2_ctb: int = 4              # CTB size (v0 profile: 16)
+    log2_min_cb: int = 4
+    log2_min_tb: int = 2
+    log2_max_tb: int = 4
+    max_transform_hierarchy_depth_intra: int = 0
+    qp: int = 30
+    level_idc: int = 120           # level 4.0 * 30
+    tier_high: bool = False
+    profile_idc: int = 1           # Main
+    color_primaries: str = "bt709"
+    color_transfer: str = "bt709"
+    color_space: str = "bt709"
+    full_range: bool = False
+    chromaloc: int = 0
+    hdr: bool = False
+    extra: dict = field(default_factory=dict)
+
+    @property
+    def ctb(self) -> int:
+        return 1 << self.log2_ctb
+
+    @property
+    def pic_width(self) -> int:       # coded (padded) size
+        c = self.ctb
+        return (self.width + c - 1) // c * c
+
+    @property
+    def pic_height(self) -> int:
+        c = self.ctb
+        return (self.height + c - 1) // c * c
+
+    @property
+    def ctbs_w(self) -> int:
+        return self.pic_width // self.ctb
+
+    @property
+    def ctbs_h(self) -> int:
+        return self.pic_height // self.ctb
+
+
+def _profile_tier_level(w: BitWriter, cfg: StreamConfig) -> None:
+    w.u(0, 2)                       # general_profile_space
+    w.u(1 if cfg.tier_high else 0, 1)
+    w.u(cfg.profile_idc, 5)
+    for i in range(32):             # compatibility flags
+        w.u(1 if i in (1, 2) else 0, 1)   # Main + Main10 compatible
+    w.u(1, 1)                       # progressive_source
+    w.u(0, 1)                       # interlaced_source
+    w.u(1, 1)                       # non_packed_constraint
+    w.u(1, 1)                       # frame_only_constraint
+    w.u(0, 32)                      # general_reserved_zero_44bits
+    w.u(0, 12)
+    w.u(cfg.level_idc, 8)
+
+
+def write_vps(cfg: StreamConfig) -> bytes:
+    w = BitWriter()
+    w.u(0, 4)                       # vps_video_parameter_set_id
+    w.u(3, 2)                       # base_layer_internal + available (reserved=1,1)
+    w.u(0, 6)                       # vps_max_layers_minus1
+    w.u(0, 3)                       # vps_max_sub_layers_minus1
+    w.u(1, 1)                       # vps_temporal_id_nesting_flag
+    w.u(0xFFFF, 16)                 # vps_reserved_0xffff_16bits
+    _profile_tier_level(w, cfg)
+    w.u(0, 1)                       # vps_sub_layer_ordering_info_present_flag
+    w.ue(1)                         # vps_max_dec_pic_buffering_minus1[0]
+    w.ue(0)                         # vps_max_num_reorder_pics[0]
+    w.ue(0)                         # vps_max_latency_increase_plus1[0]
+    w.u(0, 6)                       # vps_max_layer_id
+    w.ue(0)                         # vps_num_layer_sets_minus1
+    w.u(0, 1)                       # vps_timing_info_present_flag
+    w.u(0, 1)                       # vps_extension_flag
+    w.rbsp_trailing_bits()
+    return make_nal(NAL_VPS, w.bytes())
+
+
+def write_sps(cfg: StreamConfig) -> bytes:
+    w = BitWriter()
+    w.u(0, 4)                       # sps_video_parameter_set_id
+    w.u(0, 3)                       # sps_max_sub_layers_minus1
+    w.u(1, 1)                       # sps_temporal_id_nesting_flag
+    _profile_tier_level(w, cfg)
+    w.ue(0)                         # sps_seq_parameter_set_id
+    w.ue(1)                         # chroma_format_idc (4:2:0)
+    w.ue(cfg.pic_width)
+    w.ue(cfg.pic_height)
+    crop_r = cfg.pic_width - cfg.width
+    crop_b = cfg.pic_height - cfg.height
+    if crop_r or crop_b:
+        w.u(1, 1)                   # conformance_window_flag
+        w.ue(0)                     # left (in chroma units: /2 for 4:2:0)
+        w.ue(crop_r // 2)
+        w.ue(0)
+        w.ue(crop_b // 2)
+    else:
+        w.u(0, 1)
+    w.ue(cfg.bit_depth - 8)         # bit_depth_luma_minus8
+    w.ue(cfg.bit_depth - 8)         # bit_depth_chroma_minus8
+    w.ue(4)                         # log2_max_pic_order_cnt_lsb_minus4 (=> 8 bits)
+    w.u(0, 1)                       # sps_sub_layer_ordering_info_present_flag
+    w.ue(1)                         # sps_max_dec_pic_buffering_minus1
+    w.ue(0)                         # sps_max_num_reorder_pics
+    w.ue(0)                         # sps_max_latency_increase_plus1
+    w.ue(cfg.log2_min_cb - 3)       # log2_min_luma_coding_block_size_minus3
+    w.ue(cfg.log2_ctb - cfg.log2_min_cb)
+    w.ue(cfg.log2_min_tb - 2)       # log2_min_luma_transform_block_size_minus2
+    w.ue(cfg.log2_max_tb - cfg.log2_min_tb)
+    w.ue(0)                         # max_transform_hierarchy_depth_inter
+    w.ue(cfg.max_transform_hierarchy_depth_intra)
+    w.u(0, 1)                       # scaling_list_enabled_flag
+    w.u(0, 1)                       # amp_enabled_flag
+    w.u(0, 1)                       # sample_adaptive_offset_enabled_flag
+    w.u(0, 1)                       # pcm_enabled_flag
+    w.ue(0)                         # num_short_term_ref_pic_sets
+    w.u(0, 1)                       # long_term_ref_pics_present_flag
+    w.u(0, 1)                       # sps_temporal_mvp_enabled_flag
+    w.u(0, 1)                       # strong_intra_smoothing_enabled_flag
+    w.u(1, 1)                       # vui_parameters_present_flag
+    _write_vui(w, cfg)
+    w.u(0, 1)                       # sps_extension_present_flag
+    w.rbsp_trailing_bits()
+    return make_nal(NAL_SPS, w.bytes())
+
+
+def _write_vui(w: BitWriter, cfg: StreamConfig) -> None:
+    w.u(0, 1)                       # aspect_ratio_info_present_flag
+    w.u(0, 1)                       # overscan_info_present_flag
+    w.u(1, 1)                       # video_signal_type_present_flag
+    w.u(5, 3)                       # video_format = unspecified
+    w.u(1 if cfg.full_range else 0, 1)
+    w.u(1, 1)                       # colour_description_present_flag
+    w.u(PRIMARIES.get(cfg.color_primaries, 2), 8)
+    w.u(TRANSFERS.get(cfg.color_transfer, 2), 8)
+    w.u(MATRICES.get(cfg.color_space, 2), 8)
+    w.u(1, 1)                       # chroma_loc_info_present_flag
+    w.ue(cfg.chromaloc)             # chroma_sample_loc_type_top_field
+    w.ue(cfg.chromaloc)             # chroma_sample_loc_type_bottom_field
+    w.u(0, 1)                       # neutral_chroma_indication_flag
+    w.u(0, 1)                       # field_seq_flag
+    w.u(0, 1)                       # frame_field_info_present_flag
+    w.u(0, 1)                       # default_display_window_flag
+    w.u(1, 1)                       # vui_timing_info_present_flag
+    fps = cfg.fps
+    w.u(fps.denominator, 32)        # vui_num_units_in_tick
+    w.u(fps.numerator, 32)          # vui_time_scale
+    w.u(0, 1)                       # vui_poc_proportional_to_timing_flag
+    w.u(0, 1)                       # vui_hrd_parameters_present_flag
+    w.u(0, 1)                       # bitstream_restriction_flag
+
+
+def write_pps(cfg: StreamConfig) -> bytes:
+    w = BitWriter()
+    w.ue(0)                         # pps_pic_parameter_set_id
+    w.ue(0)                         # pps_seq_parameter_set_id
+    w.u(0, 1)                       # dependent_slice_segments_enabled_flag
+    w.u(0, 1)                       # output_flag_present_flag
+    w.u(0, 3)                       # num_extra_slice_header_bits
+    w.u(0, 1)                       # sign_data_hiding_enabled_flag
+    w.u(0, 1)                       # cabac_init_present_flag
+    w.ue(0)                         # num_ref_idx_l0_default_active_minus1
+    w.ue(0)                         # num_ref_idx_l1_default_active_minus1
+    w.se(0)                         # init_qp_minus26
+    w.u(0, 1)                       # constrained_intra_pred_flag
+    w.u(0, 1)                       # transform_skip_enabled_flag
+    w.u(0, 1)                       # cu_qp_delta_enabled_flag
+    w.se(0)                         # pps_cb_qp_offset
+    w.se(0)                         # pps_cr_qp_offset
+    w.u(0, 1)                       # pps_slice_chroma_qp_offsets_present_flag
+    w.u(0, 1)                       # weighted_pred_flag
+    w.u(0, 1)                       # weighted_bipred_flag
+    w.u(0, 1)                       # transquant_bypass_enabled_flag
+    w.u(0, 1)                       # tiles_enabled_flag
+    w.u(0, 1)                       # entropy_coding_sync_enabled_flag
+    w.u(1, 1)                       # pps_loop_filter_across_slices_enabled_flag
+    w.u(1, 1)                       # deblocking_filter_control_present_flag
+    w.u(0, 1)                       # deblocking_filter_override_enabled_flag
+    w.u(1, 1)                       # pps_deblocking_filter_disabled_flag
+    w.u(0, 1)                       # pps_scaling_list_data_present_flag
+    w.u(0, 1)                       # lists_modification_present_flag
+    w.ue(0)                         # log2_parallel_merge_level_minus2
+    w.u(0, 1)                       # slice_segment_header_extension_present_flag
+    w.u(0, 1)                       # pps_extension_present_flag
+    w.rbsp_trailing_bits()
+    return make_nal(NAL_PPS, w.bytes())
+
+
+def write_slice_header_idr(cfg: StreamConfig) -> BitWriter:
+    """IDR (I-slice) slice segment header up to and incl. byte alignment.
+
+    Returns the BitWriter so the caller can append the CABAC payload bytes.
+    """
+    w = BitWriter()
+    w.u(1, 1)                       # first_slice_segment_in_pic_flag
+    w.u(0, 1)                       # no_output_of_prior_pics_flag (IRAP)
+    w.ue(0)                         # slice_pic_parameter_set_id
+    w.ue(2)                         # slice_type = I
+    w.se(cfg.qp - 26)               # slice_qp_delta
+    # deblocking disabled in PPS with no override; SAO off: nothing more.
+    w.bit(1)                        # byte_alignment: alignment_bit_equal_to_one
+    w.byte_align(0)
+    return w

@@ -1,0 +1,243 @@
+"""HEVC slice-data syntax encoding: CU / transform-tree / residual coding.
+
+Walks per-CTU decisions produced by the TPU encode graph (intra modes +
+quantized coefficients) and drives the CABAC engine.  Implements spec 7.3.8
+(slice data syntax) and 9.3.4 (ctx derivation) for intra slices.
+
+Supported configuration (v0 encode profile):
+  * CTB = CU, part 2NxN/NxN intra, TUs = CU (2Nx2N) or quad split (NxN)
+  * SAO / deblocking signaling disabled (SPS/PPS flags off)
+  * no transform skip, no sign data hiding, no cu_qp_delta
+
+This module is also the behavioral spec for the C++ fast path
+(hevc_tpu/cpp/entropy.cpp); keep them in sync.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from hevc_tpu.entropy import tables as T
+from hevc_tpu.entropy.cabac import CabacEncoder
+
+INTRA_PLANAR = 0
+INTRA_DC = 1
+INTRA_ANGULAR26 = 26
+
+
+def mpm_candidates(cand_a: int, cand_b: int) -> list[int]:
+    """Spec 8.4.2: 3-entry most-probable-mode list from neighbor modes."""
+    if cand_a == cand_b:
+        if cand_a < 2:
+            return [INTRA_PLANAR, INTRA_DC, INTRA_ANGULAR26]
+        return [cand_a, 2 + ((cand_a + 29) % 32), 2 + ((cand_a - 2 + 1) % 32)]
+    out = [cand_a, cand_b]
+    for m in (INTRA_PLANAR, INTRA_DC, INTRA_ANGULAR26):
+        if m not in out:
+            out.append(m)
+            break
+    return out
+
+
+class SliceSyntaxEncoder:
+    """Encodes one intra slice's CTU decisions into CABAC bins."""
+
+    def __init__(self, qp: int):
+        self.cabac = CabacEncoder(qp)
+
+    # ---- intra mode signaling ----------------------------------------------
+    def encode_luma_mode(self, mode: int, cands: list[int]) -> None:
+        c = self.cabac
+        if mode in cands:
+            c.encode_bin(T.CTX_OFF["prev_intra_luma_pred"], 1)
+            idx = cands.index(mode)
+            c.encode_bypass(0 if idx == 0 else 1)
+            if idx > 0:
+                c.encode_bypass(idx - 1)
+        else:
+            c.encode_bin(T.CTX_OFF["prev_intra_luma_pred"], 0)
+            rem = mode - sum(1 for x in cands if x < mode)
+            c.encode_bypass_bits(rem, 5)
+
+    def encode_chroma_mode_dm(self) -> None:
+        """intra_chroma_pred_mode = 4 (derived from luma): single '0' bin."""
+        self.cabac.encode_bin(T.CTX_OFF["intra_chroma_pred_mode"], 0)
+
+    # ---- cbf flags -----------------------------------------------------------
+    def encode_cbf_luma(self, cbf: int, trafo_depth: int) -> None:
+        ctx = T.CTX_OFF["cbf_luma"] + (1 if trafo_depth == 0 else 0)
+        self.cabac.encode_bin(ctx, cbf)
+
+    def encode_cbf_chroma(self, cbf: int, trafo_depth: int) -> None:
+        self.cabac.encode_bin(T.CTX_OFF["cbf_chroma"] + trafo_depth, cbf)
+
+    def encode_part_mode_intra(self, part_nxn: bool) -> None:
+        self.cabac.encode_bin(T.CTX_OFF["part_mode"], 0 if part_nxn else 1)
+
+    def encode_end_of_slice(self, last: bool) -> None:
+        self.cabac.encode_terminate(1 if last else 0)
+
+    # ---- residual coding (spec 7.3.8.11) -------------------------------------
+    def encode_residual(self, coeffs: np.ndarray, log2_size: int,
+                        scan_idx: int, c_idx: int) -> None:
+        """Encode one TB's quantized coefficients. cbf must be 1 (some nonzero)."""
+        c = self.cabac
+        n = 1 << log2_size
+        scan = T.scan_order(scan_idx, n)            # (n*n, 2) (x, y)
+        sb_scan = T.scan_order(scan_idx, n >> 2) if n > 4 else np.zeros((1, 2), np.int32)
+        num_sb = (n * n) >> 4
+
+        vals = coeffs[scan[:, 1], scan[:, 0]]        # coeff values in scan order
+        nz = np.nonzero(vals)[0]
+        assert nz.size > 0, "encode_residual called with all-zero TB"
+        last_pos = int(nz[-1])
+
+        # --- last significant coefficient position ---
+        last_x, last_y = int(scan[last_pos, 0]), int(scan[last_pos, 1])
+        if scan_idx == T.SCAN_VERT:
+            last_x, last_y = last_y, last_x
+        self._encode_last(last_x, last_y, log2_size, c_idx)
+
+        # --- sub-block significance map ---
+        # sb index (in sub-block scan order) for each scan position
+        last_sb = last_pos >> 4
+        sb_coded = np.zeros(num_sb, dtype=np.int32)
+        for i in range(last_sb + 1):
+            if np.any(vals[i * 16:(i + 1) * 16]):
+                sb_coded[i] = 1
+        sb_coded[0] = 1
+        sb_coded[last_sb] = 1
+
+        # csbf position lookup: sub-block (xS, yS) -> coded flag, for ctx derivation
+        sb_pos = np.zeros((max(n >> 2, 1), max(n >> 2, 1)), dtype=np.int32)
+        if n > 4:
+            for i in range(num_sb):
+                xs, ys = int(sb_scan[i, 0]), int(sb_scan[i, 1])
+                sb_pos[ys, xs] = sb_coded[i]
+
+        c1 = 1
+        for i in range(last_sb, -1, -1):
+            sub = vals[i * 16:(i + 1) * 16]
+            if n > 4:
+                xs, ys = int(sb_scan[i, 0]), int(sb_scan[i, 1])
+                csbf_right = int(sb_pos[ys, xs + 1]) if xs + 1 < (n >> 2) else 0
+                csbf_below = int(sb_pos[ys + 1, xs]) if ys + 1 < (n >> 2) else 0
+            else:
+                xs = ys = csbf_right = csbf_below = 0
+
+            infer_dc_sig = False
+            if 0 < i < last_sb:
+                ctx = T.CTX_OFF["csbf"] + (2 if c_idx else 0) + \
+                    min(csbf_right + csbf_below, 1)
+                c.encode_bin(ctx, int(sb_coded[i]))
+                infer_dc_sig = True
+            if not sb_coded[i]:
+                continue
+
+            # significance flags
+            start = (last_pos & 15) - 1 if i == last_sb else 15
+            sig_positions = []          # scan positions within sb, descending
+            if i == last_sb:
+                sig_positions.append(last_pos & 15)
+            for ns in range(start, -1, -1):
+                coded_here = ns > 0 or not infer_dc_sig
+                sig = int(sub[ns] != 0)
+                if coded_here:
+                    gpos = i * 16 + ns
+                    xc, yc = int(scan[gpos, 0]), int(scan[gpos, 1])
+                    ctx_inc = T.sig_ctx_inc(log2_size, scan_idx, xc, yc,
+                                            c_idx, csbf_right, csbf_below)
+                    c.encode_bin(T.CTX_OFF["sig"] + ctx_inc, sig)
+                    if sig:
+                        infer_dc_sig = False
+                else:
+                    sig = 1  # inferred DC significance
+                if sig:
+                    sig_positions.append(ns)
+
+            abs_vals = [int(abs(sub[p])) for p in sig_positions]
+            signs = [1 if sub[p] < 0 else 0 for p in sig_positions]
+            num_nz = len(abs_vals)
+            if num_nz == 0:
+                continue  # inferred-coded DC sub-block with no coeffs: c1 carries
+
+            # greater1 flags (first 8)
+            ctx_set = (2 if (i > 0 and c_idx == 0) else 0) + (1 if c1 == 0 else 0)
+            c1 = 1
+            g1_base = T.CTX_OFF["gt1"] + (16 if c_idx else 0) + 4 * ctx_set
+            first_g1_idx = -1
+            for k in range(min(8, num_nz)):
+                g1 = int(abs_vals[k] > 1)
+                c.encode_bin(g1_base + c1, g1)
+                if g1:
+                    c1 = 0
+                    if first_g1_idx < 0:
+                        first_g1_idx = k
+                elif 0 < c1 < 3:
+                    c1 += 1
+
+            # greater2 flag (first coeff with g1 == 1)
+            if first_g1_idx >= 0:
+                ctx = T.CTX_OFF["gt2"] + (4 if c_idx else 0) + ctx_set
+                c.encode_bin(ctx, int(abs_vals[first_g1_idx] > 2))
+
+            # signs
+            for s in signs:
+                c.encode_bypass(s)
+
+            # remaining levels
+            rice = 0
+            first_coeff2 = 1
+            for k in range(num_nz):
+                base = (2 + first_coeff2) if k < 8 else 1
+                if abs_vals[k] >= base:
+                    self._encode_remaining(abs_vals[k] - base, rice)
+                    if abs_vals[k] > (3 << rice):
+                        rice = min(rice + 1, 4)
+                if abs_vals[k] >= 2:
+                    first_coeff2 = 0
+
+    def _encode_last(self, x: int, y: int, log2_size: int, c_idx: int) -> None:
+        c = self.cabac
+        gmax = (log2_size << 1) - 1
+        for coord, tbl in ((x, "last_x"), (y, "last_y")):
+            prefix = self._last_prefix(coord)
+            for b in range(min(prefix + 1, gmax)):
+                ctx = T.CTX_OFF[tbl] + T.last_prefix_ctx(log2_size, c_idx, b)
+                c.encode_bin(ctx, 1 if b < prefix else 0)
+        for coord in (x, y):
+            prefix = self._last_prefix(coord)
+            if prefix > 3:
+                nbits = (prefix >> 1) - 1
+                suffix = coord - ((2 + (prefix & 1)) << nbits)
+                c.encode_bypass_bits(suffix, nbits)
+
+    @staticmethod
+    def _last_prefix(coord: int) -> int:
+        """Map last position coordinate -> TR prefix value (spec Table 9-48).
+
+        prefix 0..3 <-> coord 0..3; prefix >= 4: coord in
+        [(2+(prefix&1)) << ((prefix>>1)-1), ...), suffix (prefix>>1)-1 bits.
+        """
+        if coord <= 3:
+            return coord
+        bl = coord.bit_length()           # coord in [2^(bl-1), 2^bl)
+        return 2 * (bl - 1) + (1 if coord >= (3 << (bl - 2)) else 0)
+
+    def _encode_remaining(self, value: int, rice: int) -> None:
+        """coeff_abs_level_remaining: Golomb-Rice + exp-Golomb escape (9.3.3.13)."""
+        c = self.cabac
+        if (value >> rice) < 3:
+            length = value >> rice
+            c.encode_bypass_bits((1 << (length + 1)) - 2, length + 1)
+            if rice:
+                c.encode_bypass_bits(value & ((1 << rice) - 1), rice)
+        else:
+            length = rice
+            value -= 3 << rice
+            while value >= (1 << length):
+                value -= 1 << length
+                length += 1
+            c.encode_bypass_bits((1 << (3 + length + 1 - rice)) - 2,
+                                 3 + length + 1 - rice)
+            if length:
+                c.encode_bypass_bits(value, length)
