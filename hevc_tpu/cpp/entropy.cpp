@@ -1,0 +1,414 @@
+// hevc_tpu host entropy stage: CABAC + intra slice syntax (C++ fast path).
+//
+// Mirrors hevc_tpu/entropy/{cabac,syntax,tables}.py exactly -- the Python
+// implementation is the behavioral spec and tests assert byte-identical
+// output.  This is the sequential finalize stage that runs on host CPU while
+// the TPU encodes the next frame (SURVEY.md section 7, 'CABAC throughput').
+//
+// v0 profile: CTB = CU = 16 (2Nx2N, TU16 luma + TU8 chroma), I slices.
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+// ---- spec tables (verified against libx265/libavcodec binaries) ----------
+const uint8_t kRangeTabLps[64][4] = {
+    {128,176,208,240},{128,167,197,227},{128,158,187,216},{123,150,178,205},
+    {116,142,169,195},{111,135,160,185},{105,128,152,175},{100,122,144,166},
+    {95,116,137,158},{90,110,130,150},{85,104,123,142},{81,99,117,135},
+    {77,94,111,128},{73,89,105,122},{69,85,100,116},{66,80,95,110},
+    {62,76,90,104},{59,72,86,99},{56,69,81,94},{53,65,77,89},
+    {51,62,73,85},{48,59,69,80},{46,56,66,76},{43,53,63,72},
+    {41,50,59,69},{39,48,56,65},{37,45,54,62},{35,43,51,59},
+    {33,41,48,56},{32,39,46,53},{30,37,43,50},{29,35,41,48},
+    {27,33,39,45},{26,31,37,43},{24,30,35,41},{23,28,33,39},
+    {22,27,32,37},{21,26,30,35},{20,24,29,33},{19,23,27,31},
+    {18,22,26,30},{17,21,25,28},{16,20,23,27},{15,19,22,25},
+    {14,18,21,24},{14,17,20,23},{13,16,19,22},{12,15,18,21},
+    {12,14,17,20},{11,14,16,19},{11,13,15,18},{10,12,15,17},
+    {10,12,14,16},{9,11,13,15},{9,11,12,14},{8,10,12,14},
+    {8,9,11,13},{7,9,11,12},{7,9,10,12},{7,8,10,11},
+    {6,8,9,11},{6,7,9,10},{6,7,8,9},{2,2,2,2}};
+
+const uint8_t kTransLps[64] = {
+    0,0,1,2,2,4,4,5,6,7,8,9,9,11,11,12,13,13,15,15,16,16,18,18,19,19,21,21,
+    22,22,23,24,24,25,26,26,27,27,28,29,29,30,30,30,31,32,32,33,33,33,34,34,
+    35,35,35,36,36,36,37,37,37,38,38,63};
+
+// context layout mirrors tables.py _reg() order
+enum {
+  CTX_SAO_MERGE = 0, CTX_SAO_TYPE = 1, CTX_SPLIT_CU = 2,
+  CTX_TQ_BYPASS = 5, CTX_CU_SKIP = 6, CTX_PRED_MODE = 9, CTX_PART_MODE = 10,
+  CTX_PREV_INTRA = 14, CTX_CHROMA_MODE = 15, CTX_RQT_ROOT = 16,
+  CTX_MERGE_FLAG = 17, CTX_MERGE_IDX = 18, CTX_INTER_PRED = 19,
+  CTX_REF_IDX = 24, CTX_MVD = 26, CTX_MVP = 28, CTX_SPLIT_TR = 29,
+  CTX_CBF_LUMA = 32, CTX_CBF_CHROMA = 34, CTX_TSKIP = 39, CTX_QP_DELTA = 41,
+  CTX_LAST_X = 43, CTX_LAST_Y = 61, CTX_CSBF = 79, CTX_SIG = 83,
+  CTX_GT1 = 125, CTX_GT2 = 149, NUM_CTX = 155
+};
+
+const uint8_t kInitI[NUM_CTX] = {
+    153, 200, 139, 141, 157, 154, 154, 154, 154, 154,      // sao..pred_mode
+    184, 154, 154, 154,                                    // part_mode
+    184, 63, 154, 154, 154,                                // prev,chroma,rqt,merge*
+    154, 154, 154, 154, 154,                               // inter_pred
+    154, 154, 154, 154, 154,                               // ref_idx, mvd, mvp
+    153, 138, 138,                                         // split_transform
+    111, 141,                                              // cbf_luma
+    94, 138, 182, 154, 154,                                // cbf_chroma
+    139, 139,                                              // transform_skip
+    154, 154,                                              // cu_qp_delta
+    110, 110, 124, 125, 140, 153, 125, 127, 140, 109, 111, 143, 127, 111,
+    79, 108, 123, 63,                                      // last_x
+    110, 110, 124, 125, 140, 153, 125, 127, 140, 109, 111, 143, 127, 111,
+    79, 108, 123, 63,                                      // last_y
+    91, 171, 134, 141,                                     // csbf
+    111, 111, 125, 110, 110, 94, 124, 108, 124,
+    107, 125, 141, 179, 153, 125,
+    107, 125, 141, 179, 153, 125,
+    107, 125, 141, 179, 153, 125,
+    140, 139, 182, 182, 152, 136, 152, 136, 153,
+    136, 139, 111, 136, 139, 111,                          // sig (42)
+    140, 92, 137, 138, 140, 152, 138, 139,
+    153, 74, 149, 92, 139, 107, 122, 152,
+    140, 179, 166, 182, 140, 227, 122, 197,                // gt1 (24)
+    138, 153, 136, 167, 152, 152};                         // gt2 (6)
+
+const uint8_t kSigCtx4x4[16] = {0,1,4,5, 2,3,4,5, 6,6,8,8, 7,7,8,8};
+
+struct Cabac {
+  std::vector<uint8_t> bits;   // one bit per entry (kept simple; packed at end)
+  int state[NUM_CTX];
+  int mps[NUM_CTX];
+  uint32_t low = 0, range = 510;
+  int outstanding = 0;
+  bool first = true;
+
+  explicit Cabac(int qp) {
+    bits.reserve(1 << 16);
+    for (int i = 0; i < NUM_CTX; i++) {
+      int iv = kInitI[i];
+      int slope = (iv >> 4) * 5 - 45;
+      int off = ((iv & 15) << 3) - 16;
+      int q = qp < 0 ? 0 : (qp > 51 ? 51 : qp);
+      int pre = ((slope * q) >> 4) + off;
+      pre = pre < 1 ? 1 : (pre > 126 ? 126 : pre);
+      if (pre <= 63) { state[i] = 63 - pre; mps[i] = 0; }
+      else { state[i] = pre - 64; mps[i] = 1; }
+    }
+  }
+  inline void put(int b) {
+    if (first) first = false; else bits.push_back((uint8_t)b);
+    while (outstanding > 0) { bits.push_back((uint8_t)(1 - b)); outstanding--; }
+  }
+  inline void renorm() {
+    while (range < 256) {
+      if (low >= 512) { low -= 512; put(1); }
+      else if (low < 256) put(0);
+      else { low -= 256; outstanding++; }
+      range <<= 1; low <<= 1;
+    }
+  }
+  inline void bin(int ctx, int b) {
+    int s = state[ctx];
+    uint32_t lps = kRangeTabLps[s][(range >> 6) & 3];
+    range -= lps;
+    if (b != mps[ctx]) {
+      low += range; range = lps;
+      if (s == 0) mps[ctx] = 1 - mps[ctx];
+      state[ctx] = kTransLps[s];
+    } else {
+      state[ctx] = s < 62 ? s + 1 : s;
+    }
+    renorm();
+  }
+  inline void bypass(int b) {
+    low <<= 1;
+    if (b) low += range;
+    if (low >= 1024) { low -= 1024; put(1); }
+    else if (low < 512) put(0);
+    else { low -= 512; outstanding++; }
+  }
+  inline void bypass_bits(uint32_t v, int n) {
+    for (int i = n - 1; i >= 0; i--) bypass((v >> i) & 1);
+  }
+  inline void terminate(int b) {
+    range -= 2;
+    if (b) {
+      low += range; range = 2;
+      renorm();
+      put((low >> 9) & 1);
+      bits.push_back((uint8_t)((low >> 8) & 1));
+      bits.push_back(1);
+    } else {
+      renorm();
+    }
+  }
+  long flush_to(uint8_t *out, long cap) {
+    size_t nbytes = (bits.size() + 7) / 8;
+    if ((long)nbytes > cap) return -1;
+    memset(out, 0, nbytes);
+    for (size_t i = 0; i < bits.size(); i++)
+      out[i >> 3] |= bits[i] << (7 - (i & 7));
+    return (long)nbytes;
+  }
+};
+
+// ---- scan orders -----------------------------------------------------------
+struct Scans {
+  // pos[scanIdx][log2-2][i] = {x, y}; hierarchical for n > 4
+  std::vector<uint16_t> diag16, diag64, diag256;  // packed x | y<<8
+  std::vector<uint16_t> flat[3][2];               // [scan][log2-2 (4,8 only)]
+
+  static void flat_scan(int scan, int n, std::vector<uint16_t> &out) {
+    out.clear();
+    if (scan == 1) {               // horizontal
+      for (int y = 0; y < n; y++)
+        for (int x = 0; x < n; x++) out.push_back(x | (y << 8));
+    } else if (scan == 2) {        // vertical
+      for (int x = 0; x < n; x++)
+        for (int y = 0; y < n; y++) out.push_back(x | (y << 8));
+    } else {                       // up-right diagonal
+      int x = 0, y = 0;
+      while ((int)out.size() < n * n) {
+        while (y >= 0) {
+          if (x < n && y < n) out.push_back(x | (y << 8));
+          y--; x++;
+        }
+        y = x; x = 0;
+      }
+    }
+  }
+  // hierarchical scan for TB size n (> 4): sub-blocks + inner 4x4
+  static std::vector<uint16_t> hier(int scan, int n) {
+    std::vector<uint16_t> sb, inner, out;
+    flat_scan(scan, n >> 2, sb);
+    flat_scan(scan, 4, inner);
+    for (auto s : sb) {
+      int xs = (s & 255) * 4, ys = (s >> 8) * 4;
+      for (auto p : inner)
+        out.push_back((xs + (p & 255)) | ((ys + (p >> 8)) << 8));
+    }
+    return out;
+  }
+};
+
+int sig_ctx_inc(int log2, int scan, int xc, int yc, int cidx,
+                int csbf_right, int csbf_below) {
+  int sig;
+  if (log2 == 2) sig = kSigCtx4x4[(yc << 2) | xc];
+  else if (xc + yc == 0) sig = 0;
+  else {
+    int xp = xc & 3, yp = yc & 3;
+    int prev = csbf_right + 2 * csbf_below;
+    if (prev == 0) sig = (xp + yp == 0) ? 2 : (xp + yp < 3 ? 1 : 0);
+    else if (prev == 1) sig = (yp == 0) ? 2 : (yp == 1 ? 1 : 0);
+    else if (prev == 2) sig = (xp == 0) ? 2 : (xp == 1 ? 1 : 0);
+    else sig = 2;
+    if (cidx == 0) {
+      if ((xc >> 2) + (yc >> 2) > 0) sig += 3;
+      sig += (log2 == 3) ? (scan == 0 ? 9 : 15) : 21;
+    } else {
+      sig += (log2 == 3) ? 9 : 12;
+    }
+  }
+  return cidx == 0 ? sig : 27 + sig;
+}
+
+int last_prefix_ctx(int log2, int cidx, int binIdx) {
+  int off, shift;
+  if (cidx == 0) { off = 3 * (log2 - 2) + ((log2 - 1) >> 2); shift = (log2 + 1) >> 2; }
+  else { off = 15; shift = log2 - 2; }
+  return (binIdx >> shift) + off;
+}
+
+int last_prefix(int coord) {
+  if (coord <= 3) return coord;
+  int bl = 32 - __builtin_clz((unsigned)coord);
+  return 2 * (bl - 1) + (coord >= (3 << (bl - 2)) ? 1 : 0);
+}
+
+void encode_remaining(Cabac &c, int value, int rice) {
+  if ((value >> rice) < 3) {
+    int len = value >> rice;
+    c.bypass_bits((1u << (len + 1)) - 2, len + 1);
+    if (rice) c.bypass_bits(value & ((1 << rice) - 1), rice);
+  } else {
+    int len = rice;
+    value -= 3 << rice;
+    while (value >= (1 << len)) { value -= 1 << len; len++; }
+    c.bypass_bits((1u << (3 + len + 1 - rice)) - 2, 3 + len + 1 - rice);
+    if (len) c.bypass_bits((uint32_t)value, len);
+  }
+}
+
+void encode_residual(Cabac &c, const int16_t *coeffs, int log2, int scan_idx,
+                     int cidx, const std::vector<uint16_t> &scan,
+                     const std::vector<uint16_t> &sb_scan) {
+  int n = 1 << log2;
+  int nn = n * n;
+  int sbw = n > 4 ? (n >> 2) : 1;
+
+  // values in scan order
+  std::vector<int> vals(nn);
+  int last_pos = -1;
+  for (int i = 0; i < nn; i++) {
+    int x = scan[i] & 255, y = scan[i] >> 8;
+    vals[i] = coeffs[y * n + x];
+    if (vals[i]) last_pos = i;
+  }
+  int last_x = scan[last_pos] & 255, last_y = scan[last_pos] >> 8;
+  if (scan_idx == 2) { int t = last_x; last_x = last_y; last_y = t; }
+
+  int gmax = (log2 << 1) - 1;
+  int px = last_prefix(last_x), py = last_prefix(last_y);
+  for (int b = 0; b < (px + 1 < gmax + 1 ? px + 1 : gmax); b++)
+    c.bin(CTX_LAST_X + last_prefix_ctx(log2, cidx, b), b < px ? 1 : 0);
+  for (int b = 0; b < (py + 1 < gmax + 1 ? py + 1 : gmax); b++)
+    c.bin(CTX_LAST_Y + last_prefix_ctx(log2, cidx, b), b < py ? 1 : 0);
+  if (px > 3) c.bypass_bits(last_x - ((2 + (px & 1)) << ((px >> 1) - 1)), (px >> 1) - 1);
+  if (py > 3) c.bypass_bits(last_y - ((2 + (py & 1)) << ((py >> 1) - 1)), (py >> 1) - 1);
+
+  int last_sb = last_pos >> 4;
+  std::vector<uint8_t> sb_coded((nn >> 4) > 0 ? (nn >> 4) : 1, 0);
+  for (int i = 0; i <= last_sb; i++)
+    for (int k = 0; k < 16; k++)
+      if (vals[i * 16 + k]) { sb_coded[i] = 1; break; }
+  sb_coded[0] = 1; sb_coded[last_sb] = 1;
+
+  std::vector<uint8_t> sb_pos(sbw * sbw, 0);
+  if (n > 4)
+    for (int i = 0; i < (nn >> 4); i++) {
+      int xs = sb_scan[i] & 255, ys = sb_scan[i] >> 8;
+      sb_pos[ys * sbw + xs] = sb_coded[i];
+    }
+
+  int c1 = 1;
+  for (int i = last_sb; i >= 0; i--) {
+    int xs = 0, ys = 0, cr_ = 0, cb_ = 0;
+    if (n > 4) {
+      xs = sb_scan[i] & 255; ys = sb_scan[i] >> 8;
+      cr_ = (xs + 1 < sbw) ? sb_pos[ys * sbw + xs + 1] : 0;
+      cb_ = (ys + 1 < sbw) ? sb_pos[(ys + 1) * sbw + xs] : 0;
+    }
+    bool infer_dc = false;
+    if (i > 0 && i < last_sb) {
+      int ctx = CTX_CSBF + (cidx ? 2 : 0) + ((cr_ + cb_) ? 1 : 0);
+      c.bin(ctx, sb_coded[i]);
+      infer_dc = true;
+    }
+    if (!sb_coded[i]) continue;
+
+    int sig_pos[16]; int nsig = 0;
+    int start = (i == last_sb) ? (last_pos & 15) - 1 : 15;
+    if (i == last_sb) sig_pos[nsig++] = last_pos & 15;
+    for (int ns = start; ns >= 0; ns--) {
+      int v = vals[i * 16 + ns];
+      if (ns > 0 || !infer_dc) {
+        int gp = i * 16 + ns;
+        int xc = scan[gp] & 255, yc = scan[gp] >> 8;
+        int ctx = sig_ctx_inc(log2, scan_idx, xc, yc, cidx, cr_, cb_);
+        c.bin(CTX_SIG + ctx, v != 0);
+        if (v) infer_dc = false;
+      }
+      if (v || (ns == 0 && infer_dc)) sig_pos[nsig++] = ns;
+    }
+    if (!nsig) continue;
+
+    int abs_v[16], sign_v[16];
+    for (int k = 0; k < nsig; k++) {
+      int v = vals[i * 16 + sig_pos[k]];
+      abs_v[k] = v < 0 ? -v : v;
+      sign_v[k] = v < 0;
+    }
+    int ctx_set = ((i > 0 && cidx == 0) ? 2 : 0) + (c1 == 0 ? 1 : 0);
+    c1 = 1;
+    int g1_base = CTX_GT1 + (cidx ? 16 : 0) + 4 * ctx_set;
+    int first_g1 = -1;
+    int ng1 = nsig < 8 ? nsig : 8;
+    for (int k = 0; k < ng1; k++) {
+      int g1 = abs_v[k] > 1;
+      c.bin(g1_base + c1, g1);
+      if (g1) { c1 = 0; if (first_g1 < 0) first_g1 = k; }
+      else if (c1 > 0 && c1 < 3) c1++;
+    }
+    if (first_g1 >= 0)
+      c.bin(CTX_GT2 + (cidx ? 4 : 0) + ctx_set, abs_v[first_g1] > 2);
+    for (int k = 0; k < nsig; k++) c.bypass(sign_v[k]);
+
+    int rice = 0, first2 = 1;
+    for (int k = 0; k < nsig; k++) {
+      int base = (k < 8) ? (2 + first2) : 1;
+      if (abs_v[k] >= base) {
+        encode_remaining(c, abs_v[k] - base, rice);
+        if (abs_v[k] > (3 << rice) && rice < 4) rice++;
+      }
+      if (abs_v[k] >= 2) first2 = 0;
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" long hevc_entropy_encode_slice_v0(
+    int qp, int nh, int nw, const int32_t *modes,
+    const uint8_t *cbf_y, const uint8_t *cbf_cb, const uint8_t *cbf_cr,
+    const int16_t *lvl_y, const int16_t *lvl_cb, const int16_t *lvl_cr,
+    uint8_t *out, long cap) {
+  Cabac c(qp);
+  std::vector<uint16_t> scan_y[3], scan_c[3], sb_y, sb_c1;
+  for (int s = 0; s < 3; s++) {
+    scan_y[s] = Scans::hier(s, 16);
+    scan_c[s] = Scans::hier(s, 8);
+  }
+  std::vector<uint16_t> sby[3], sbc[3];
+  for (int s = 0; s < 3; s++) {
+    Scans::flat_scan(s, 4, sby[s]);
+    Scans::flat_scan(s, 2, sbc[s]);
+  }
+
+  for (int cy = 0; cy < nh; cy++) {
+    for (int cx = 0; cx < nw; cx++) {
+      int idx = cy * nw + cx;
+      int mode = modes[idx];
+      int cand_a = cx > 0 ? modes[idx - 1] : 1;
+      int c0 = cand_a, cc1, cc2;
+      // mpm list (mirror of entropy.syntax.mpm_candidates with cand_b = DC)
+      int list[3];
+      if (cand_a == 1) { list[0] = 0; list[1] = 1; list[2] = 26; }
+      else if (cand_a == 0) { list[0] = 0; list[1] = 1; list[2] = 26; }
+      else { list[0] = cand_a; list[1] = 1; list[2] = 0; }
+      (void)c0; (void)cc1; (void)cc2;
+
+      c.bin(CTX_PART_MODE, 1);            // PART_2Nx2N
+      int in_list = -1;
+      for (int k = 0; k < 3; k++) if (list[k] == mode) { in_list = k; break; }
+      if (in_list >= 0) {
+        c.bin(CTX_PREV_INTRA, 1);
+        c.bypass(in_list == 0 ? 0 : 1);
+        if (in_list > 0) c.bypass(in_list - 1);
+      } else {
+        c.bin(CTX_PREV_INTRA, 0);
+        int rem = mode;
+        for (int k = 0; k < 3; k++) if (list[k] < mode) rem--;
+        c.bypass_bits((uint32_t)rem, 5);
+      }
+      c.bin(CTX_CHROMA_MODE, 0);          // DM
+
+      int fy = cbf_y[idx], fcb = cbf_cb[idx], fcr = cbf_cr[idx];
+      c.bin(CTX_CBF_CHROMA + 0, fcb);
+      c.bin(CTX_CBF_CHROMA + 0, fcr);
+      c.bin(CTX_CBF_LUMA + 1, fy);
+      // v0: TB16 luma / TB8 chroma always use diagonal scan
+      if (fy)
+        encode_residual(c, lvl_y + (long)idx * 256, 4, 0, 0, scan_y[0], sby[0]);
+      if (fcb)
+        encode_residual(c, lvl_cb + (long)idx * 64, 3, 0, 1, scan_c[0], sbc[0]);
+      if (fcr)
+        encode_residual(c, lvl_cr + (long)idx * 64, 3, 0, 2, scan_c[0], sbc[0]);
+      c.terminate(cy == nh - 1 && cx == nw - 1 ? 1 : 0);
+    }
+  }
+  return c.flush_to(out, cap);
+}

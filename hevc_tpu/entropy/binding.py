@@ -1,0 +1,72 @@
+"""ctypes binding to the C++ entropy fast path (hevc_tpu/cpp/entropy.cpp).
+
+Falls back to the pure-Python encoder (hevc_tpu.entropy.syntax) when the
+shared library cannot be built.  Output bytes are asserted identical between
+the two in tests/test_entropy_cpp.py.
+"""
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_LIB_DIR = Path(__file__).resolve().parent.parent / "cpp"
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    so = _LIB_DIR / "libhevc_entropy.so"
+    if not so.exists():
+        try:
+            subprocess.run(["make", "-C", str(_LIB_DIR), str(so)],
+                           check=True, capture_output=True, timeout=120)
+        except Exception:
+            _lib = False
+            return False
+    try:
+        lib = ctypes.CDLL(str(so))
+    except OSError:
+        _lib = False
+        return False
+    lib.hevc_entropy_encode_slice_v0.restype = ctypes.c_long
+    lib.hevc_entropy_encode_slice_v0.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_long]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return bool(_load())
+
+
+def encode_slice_payload_v0(qp: int, dec: dict) -> bytes | None:
+    """CABAC payload for one v0-profile intra frame's decisions, or None."""
+    lib = _load()
+    if not lib:
+        return None
+    nh, nw = dec["modes"].shape
+    modes = np.ascontiguousarray(dec["modes"], dtype=np.int32)
+    cbf_y = np.ascontiguousarray(dec["cbf_y"], dtype=np.uint8)
+    cbf_cb = np.ascontiguousarray(dec["cbf_cb"], dtype=np.uint8)
+    cbf_cr = np.ascontiguousarray(dec["cbf_cr"], dtype=np.uint8)
+    lvl_y = np.ascontiguousarray(dec["lvl_y"], dtype=np.int16)
+    lvl_cb = np.ascontiguousarray(dec["lvl_cb"], dtype=np.int16)
+    lvl_cr = np.ascontiguousarray(dec["lvl_cr"], dtype=np.int16)
+    cap = max(1 << 16, lvl_y.nbytes * 2)
+    out = (ctypes.c_ubyte * cap)()
+    n = lib.hevc_entropy_encode_slice_v0(
+        qp, nh, nw,
+        modes.ctypes.data, cbf_y.ctypes.data, cbf_cb.ctypes.data,
+        cbf_cr.ctypes.data, lvl_y.ctypes.data, lvl_cb.ctypes.data,
+        lvl_cr.ctypes.data, out, cap)
+    if n < 0:
+        raise RuntimeError(f"entropy fast path error {n}")
+    return bytes(bytearray(out[:n]))

@@ -229,7 +229,9 @@ def predict_intra(ref: np.ndarray, mode: int, n: int, c_idx: int,
             inv = INV_ANGLE[mode]
             last = (n * angle) >> 5
             for k in range(-1, last - 1, -1):
-                r[n + k] = left[((k * inv + 128) >> 8) - 1]
+                # clamp: the k=-1 projection can exceed 2n-1 for small blocks
+                # with |angle|=2; that sample is never read by the prediction.
+                r[n + k] = left[min(((k * inv + 128) >> 8) - 1, n2 - 1)]
         y = np.arange(1, n + 1)[:, None]
         x = np.arange(n)
         idx = (y * angle) >> 5
@@ -251,7 +253,7 @@ def predict_intra(ref: np.ndarray, mode: int, n: int, c_idx: int,
         inv = INV_ANGLE[mode]
         last = (n * angle) >> 5
         for k in range(-1, last - 1, -1):
-            r[n + k] = top[((k * inv + 128) >> 8) - 1]
+            r[n + k] = top[min(((k * inv + 128) >> 8) - 1, n2 - 1)]
     xx = np.arange(1, n + 1)[:, None]   # plays the role of "y" transposed
     yy = np.arange(n)
     idx = (xx * angle) >> 5
