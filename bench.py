@@ -1,0 +1,95 @@
+"""Benchmark: 1080p intra encode throughput per chip vs libx265-medium.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+value  = frames/second of the in-framework TPU encode path (device encode +
+         host CABAC overlap-free, i.e. conservative serial accounting)
+vs_baseline = value / libx265-medium fps on the same frames (host CPU,
+         all threads) — the reference's CPU path (BASELINE.md).
+Detail lines go to stderr.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/.cache/jax_comp")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
+    log("devices:", jax.devices())
+
+    sys.path.insert(0, "tests")
+    from generate_test_videos import synth_frame
+    from hevc_tpu.encoder.frame_jax import JaxIntraEncoder
+    from hevc_tpu.entropy.headers import StreamConfig
+    from hevc_tpu.encoder.toplevel import entropy_encode_frame
+
+    W, H, F, QP = 1920, 1080, 8, 27
+    frames = [tuple(np.asarray(p, np.int32) for p in synth_frame(W, H, t))
+              for t in range(F)]
+
+    enc = JaxIntraEncoder(QP)
+    t0 = time.time()
+    results = enc.encode_frames(frames)
+    log(f"compile+first batch: {time.time()-t0:.1f}s")
+
+    iters = 3
+    t0 = time.time()
+    for _ in range(iters):
+        results = enc.encode_frames(frames)
+    device_s = (time.time() - t0) / iters
+    log(f"device+host-unpack: {device_s/F*1000:.1f} ms/frame")
+
+    cfg = StreamConfig(width=W, height=H, qp=QP)
+    t0 = time.time()
+    payload_bytes = 0
+    for r in results:
+        payload_bytes += len(entropy_encode_frame(cfg, r))
+    entropy_s = time.time() - t0
+    log(f"host entropy: {entropy_s/F*1000:.1f} ms/frame, "
+        f"{payload_bytes*8*30/F/1e6:.1f} Mbps @30fps")
+
+    total_s = device_s + entropy_s
+    ours_fps = F / total_s
+    psnr = np.mean([10 * np.log10(255**2 / max(np.mean(
+        (r["recon"]["y"][:H, :W].astype(float) - f[0])**2), 1e-9))
+        for r, f in zip(results, frames)])
+    log(f"ours: {ours_fps:.2f} fps 1080p (PSNR-Y {psnr:.2f} dB)")
+
+    # baseline: libx265 medium on the same frames (host CPU, all threads)
+    base_fps = 0.0
+    try:
+        from hevc_tpu.validate import avref
+        if avref.available():
+            u8 = [tuple(np.asarray(p, np.uint8) for p in f) for f in frames]
+            t0 = time.time()
+            bs = avref.encode(u8, "libx265", crf=23, preset="medium")
+            base_s = time.time() - t0
+            base_fps = F / base_s
+            log(f"libx265-medium baseline: {base_fps:.2f} fps "
+                f"({len(bs)} bytes)")
+    except Exception as e:
+        log("baseline failed:", e)
+
+    print(json.dumps({
+        "metric": "1080p_intra_encode_fps_per_chip",
+        "value": round(ours_fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(ours_fps / base_fps, 3) if base_fps else 0.0,
+    }))
+
+
+if __name__ == "__main__":
+    main()

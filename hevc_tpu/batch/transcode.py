@@ -1,0 +1,254 @@
+"""convert_video — THE public per-file API (reference core/transcoder.py:537).
+
+Signature, result schema, and control flow preserved:
+  probe -> decide encoder path -> encode with retry/degradation ladder ->
+  fallback to robust path -> validate -> CSV-ready result dict
+  {"file", "status", "quality", "retries", "method", "hdr"}
+
+Reinterpretation of the reference's GPU/CPU split for TPU (SURVEY C6/C11):
+  * fast path  = jit-compiled TPU encode graph ("nvenc" analogue)
+  * robust path = scalar numpy reference encoder ("cpu/libx265" analogue)
+  * the 4-step NVENC degradation ladder becomes search/feature degradation
+    presets (v0: batch-size reduction; richer knobs as the encoder grows)
+  * validator failure deletes the output and re-encodes on the robust path
+    (the monolith's semantics, reference apple_hevc_batch.py:782-791)
+"""
+from __future__ import annotations
+
+import logging
+import threading
+import time
+from fractions import Fraction
+from pathlib import Path
+
+import numpy as np
+
+from hevc_tpu import config
+from hevc_tpu.io.probe import probe_media
+from hevc_tpu.io.videoinfo import VideoInfo
+from hevc_tpu.planner.levels import select_level
+from hevc_tpu.planner.rate import calculate_dynamic_values
+from hevc_tpu.planner.hdr import build_hdr_metadata
+
+log = logging.getLogger(__name__)
+
+# degradation ladder (NVENC_RETRIES analogue): per attempt, knobs loosened
+RETRY_LADDER = [
+    {},                              # attempt 1: full settings
+    {"batch_frames": 4},             # attempt 2: smaller device batches
+    {"batch_frames": 2},
+    {"batch_frames": 1},
+]
+
+
+def decide_encoder(force_cpu: bool, force_gpu: bool) -> bool:
+    """True -> TPU fast path (reference decide_encoder, transcoder.py:70-75)."""
+    if force_cpu:
+        return False
+    if force_gpu:
+        return True
+    try:
+        import jax
+        return len(jax.devices()) > 0
+    except Exception:
+        return False
+
+
+def _read_frames(path: Path, info: VideoInfo):
+    """Frame iterator for supported inputs."""
+    if path.suffix.lower() == ".y4m":
+        from hevc_tpu.io.y4m import Y4MReader
+        return Y4MReader(path).read_all()
+    # decode through the linked libavformat/avcodec ingest (not a subprocess)
+    from hevc_tpu.validate import avref
+    if avref.available():
+        frames = avref.decode_file(str(path))
+        if frames:
+            return frames
+    raise RuntimeError(f"no decodable ingest path for {path}")
+
+
+def convert_video(file_path, out_dir, progress_callback=None, debug=False,
+                  skip_validator=False, force_cpu=False, force_gpu=False,
+                  stop_event: threading.Event | None = None,
+                  nvenc_hdr_mode: str = "auto", qp_override: int | None = None
+                  ) -> dict:
+    """Transcode one file to Apple-compatible HEVC .mp4.
+
+    Returns {"file", "status", "quality", "retries", "method", "hdr"}.
+    status in {"SUCCESS", "FAILED", "CANCELLED"}.
+    """
+    file_path = Path(file_path)
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    out_path = out_dir / (file_path.stem + ".mp4")
+    if out_path.resolve() == file_path.resolve():
+        out_path = out_dir / (file_path.stem + "_hevc.mp4")
+
+    result = {"file": file_path.name, "status": "FAILED", "quality": "",
+              "retries": 0, "method": "", "hdr": False}
+
+    info = probe_media(file_path)
+    result["hdr"] = info.is_hdr
+    plan = calculate_dynamic_values(info)
+    level = select_level(info)
+    qp = qp_override if qp_override is not None else plan.qp
+    result["quality"] = f"crf{plan.crf}" if qp_override is None else f"qp{qp}"
+    if debug:
+        log.info("plan for %s: %s level=%s tier=%s", file_path.name,
+                 plan.as_dict(), level.level, level.tier_high)
+
+    use_fast = decide_encoder(force_cpu, force_gpu)
+    deadline = time.time() + config.ENCODE_TIMEOUT
+
+    def cancelled() -> bool:
+        return stop_event is not None and stop_event.is_set()
+
+    try:
+        frames = _read_frames(file_path, info)
+    except Exception as e:
+        log.error("ingest failed for %s: %s", file_path, e)
+        return result
+    total = len(frames)
+    if total == 0:
+        return result
+
+    attempts = 0
+    status = None
+    method = None
+    for ladder_step, knobs in enumerate(RETRY_LADDER if use_fast else [{}]):
+        if cancelled():
+            status = "CANCELLED"
+            break
+        attempts = ladder_step + 1
+        backend = "jax" if use_fast else "reference"
+        try:
+            ok = _encode_to_mp4(frames, info, level, qp, out_path,
+                                backend=backend,
+                                batch_frames=knobs.get("batch_frames", 8),
+                                progress_callback=progress_callback,
+                                file_name=file_path.name,
+                                stop_event=stop_event, deadline=deadline)
+            if ok == "CANCELLED":
+                status = "CANCELLED"
+                break
+            method = "tpu" if use_fast else "cpu-ref"
+            status = "SUCCESS"
+            break
+        except Exception as e:
+            log.warning("encode attempt %d failed (%s): %s", attempts,
+                        backend, e)
+            if debug:
+                log.exception("encode failure detail")
+            continue
+    else:
+        # fast-path ladder exhausted -> robust path (NVENC->CPU analogue)
+        if use_fast and status is None and not cancelled():
+            try:
+                attempts += 1
+                ok = _encode_to_mp4(frames, info, level, qp, out_path,
+                                    backend="reference", batch_frames=1,
+                                    progress_callback=progress_callback,
+                                    file_name=file_path.name,
+                                    stop_event=stop_event, deadline=deadline)
+                status = "CANCELLED" if ok == "CANCELLED" else "SUCCESS"
+                method = "cpu-ref"
+            except Exception as e:
+                log.error("robust path failed for %s: %s", file_path, e)
+                status = "FAILED"
+
+    if status == "SUCCESS" and not skip_validator and not cancelled():
+        from hevc_tpu.validate.validator import validate_mp4
+        ok, msgs = validate_mp4(out_path, expect_hdr=info.is_hdr)
+        if not ok:
+            log.warning("validator rejected %s: %s; re-encoding on robust "
+                        "path", out_path.name, msgs)
+            out_path.unlink(missing_ok=True)
+            if method != "cpu-ref":
+                try:
+                    attempts += 1
+                    _encode_to_mp4(frames, info, level, qp, out_path,
+                                   backend="reference", batch_frames=1,
+                                   progress_callback=progress_callback,
+                                   file_name=file_path.name,
+                                   stop_event=stop_event, deadline=deadline)
+                    ok2, msgs2 = validate_mp4(out_path, expect_hdr=info.is_hdr)
+                    if ok2:
+                        method = "cpu-ref"
+                    else:
+                        out_path.unlink(missing_ok=True)
+                        status = "FAILED"
+                except Exception:
+                    status = "FAILED"
+            else:
+                status = "FAILED"
+
+    if cancelled():
+        status = "CANCELLED"
+
+    result["status"] = status or "FAILED"
+    result["retries"] = max(0, attempts - 1)
+    result["method"] = method or ""
+    if progress_callback:    # force 100% (reference transcoder.py:632-636)
+        try:
+            progress_callback(file_path.name, total, total)
+        except Exception:
+            pass
+    return result
+
+
+def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
+                   backend: str, batch_frames: int, progress_callback,
+                   file_name: str, stop_event, deadline: float):
+    from hevc_tpu.entropy.headers import StreamConfig
+    from hevc_tpu.encoder.toplevel import VideoEncoder, entropy_encode_frame
+    from hevc_tpu.io.mp4 import mux_mp4
+    from hevc_tpu.utils.bitio import length_prefixed
+    from hevc_tpu.entropy.headers import write_vps, write_sps, write_pps
+
+    h, w = frames[0][0].shape
+    fps = Fraction(info.fps).limit_denominator(1001) if info.fps else Fraction(30)
+    cfg = StreamConfig(
+        width=w, height=h, qp=qp, fps=fps,
+        level_idc=level.level_idc, tier_high=level.tier_high,
+        profile_idc=2 if level.profile == "main10" else 1,
+        color_primaries=info.color_primaries,
+        color_transfer=info.color_transfer,
+        color_space=info.color_space,
+        full_range=info.color_range == "pc",
+        chromaloc=info.chromaloc, hdr=info.is_hdr,
+    )
+    enc = VideoEncoder(cfg, backend=backend)
+    samples = []
+    total = len(frames)
+    i = 0
+    while i < total:
+        if stop_event is not None and stop_event.is_set():
+            return "CANCELLED"
+        if time.time() > deadline:
+            raise TimeoutError("per-file encode timeout")
+        chunk = frames[i:i + batch_frames]
+        if backend == "jax" and len(chunk) > 1:
+            results = enc._enc.encode_frames(
+                [(np.asarray(f[0], np.int32), np.asarray(f[1], np.int32),
+                  np.asarray(f[2], np.int32)) for f in chunk])
+            for r in results:
+                samples.append(length_prefixed([entropy_encode_frame(cfg, r)]))
+        else:
+            for f in chunk:
+                nal, _ = enc.encode_frame(np.asarray(f[0], np.int32),
+                                          np.asarray(f[1], np.int32),
+                                          np.asarray(f[2], np.int32))
+                samples.append(length_prefixed([nal]))
+        i += len(chunk)
+        if progress_callback:
+            try:
+                progress_callback(file_name, i, total)
+            except Exception:
+                pass
+
+    hdr_md = build_hdr_metadata(info)
+    mux_mp4(out_path, samples, cfg, fps=fps,
+            vps=write_vps(cfg), sps=write_sps(cfg), pps=write_pps(cfg),
+            hdr_metadata=hdr_md)
+    return "SUCCESS"

@@ -1,0 +1,45 @@
+"""Stream-level data parallelism: one video stream (or frame group) per chip.
+
+The TPU-native replacement for the reference's thread-pool-over-subprocesses
+concurrency (reference gui/worker.py + apple_hevc_batch.py:861-882):
+frames/streams are sharded over a jax.sharding.Mesh and every chip runs the
+same jit-compiled wavefront encode graph on its shard.  All-intra frames are
+independent, so stream-DP needs no collectives; intra-frame tile sharding
+(ICI halo exchange) lands in hevc_tpu.parallel.tiles in a later milestone.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from hevc_tpu.encoder.frame_jax import encode_frame_jit
+
+
+def make_stream_mesh(devices=None, axis: str = "stream") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (axis,))
+
+
+def encode_frames_sharded(mesh: Mesh, src_y, src_cb, src_cr, qp, lam_bits,
+                          nh: int, nw: int):
+    """Encode F frames sharded over the mesh's stream axis.
+
+    src_y: (F, nh, nw, 16, 16) int32 with F a multiple of mesh size.
+    Returns the stacked wavefront outputs, frame axis sharded.
+    """
+    shard = NamedSharding(mesh, P("stream"))
+    rep = NamedSharding(mesh, P())
+
+    @partial(jax.jit, static_argnames=("nh", "nw"),
+             in_shardings=(shard, shard, shard, rep, rep),
+             out_shardings=shard)
+    def run(y, cb, cr, qp, lam_bits, nh, nw):
+        f = jax.vmap(lambda a, b, c: encode_frame_jit.__wrapped__(
+            a, b, c, qp, lam_bits, nh, nw))
+        return f(y, cb, cr)
+
+    return run(src_y, src_cb, src_cr, qp, lam_bits, nh, nw)

@@ -1,0 +1,96 @@
+"""HEVC level/tier/profile autoselection.
+
+Behavior parity with the reference's planner (reference core/transcoder.py:
+157-209): the 13-entry level-limit table and the Apple-compat selection rules
+are part of the public behavior this framework preserves; the conformance
+validator (hevc_tpu.validate) checks emitted streams against the same table.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from hevc_tpu.io.videoinfo import VideoInfo
+
+# level -> (max luma samples/frame, max luma samples/sec, max bitrate bps
+#           (main tier), max CPB bits (main tier), main-tier kbps,
+#           high-tier kbps) -- reference core/transcoder.py:158-172
+HEVC_LEVEL_LIMITS: dict[float, tuple] = {
+    1.0: (36864, 552960, 128_000, 350_000, 128, 128),
+    2.0: (122880, 3_686_400, 1_500_000, 1_500_000, 1500, 1500),
+    2.1: (245760, 7_372_800, 3_000_000, 3_000_000, 3000, 3000),
+    3.0: (552960, 16_588_800, 6_000_000, 6_000_000, 6000, 6000),
+    3.1: (983040, 33_177_600, 10_000_000, 10_000_000, 10000, 10000),
+    4.0: (2_228_224, 66_846_720, 12_000_000, 30_000_000, 12000, 30000),
+    4.1: (2_228_224, 133_693_440, 20_000_000, 50_000_000, 20000, 50000),
+    5.0: (8_912_896, 267_386_880, 25_000_000, 100_000_000, 25000, 100000),
+    5.1: (8_912_896, 534_773_760, 40_000_000, 160_000_000, 40000, 160000),
+    5.2: (8_912_896, 1_069_547_520, 60_000_000, 240_000_000, 60000, 240000),
+    6.0: (35_651_584, 1_069_547_520, 60_000_000, 240_000_000, 60000, 240000),
+    6.1: (35_651_584, 2_139_095_040, 120_000_000, 480_000_000, 120000, 480000),
+    6.2: (35_651_584, 4_278_190_080, 240_000_000, 800_000_000, 240000, 800000),
+}
+
+
+@dataclass
+class LevelChoice:
+    level: float
+    tier_high: bool
+    profile: str            # "main" | "main10"
+    pix_fmt: str            # "yuv420p" | "p010le"
+
+    @property
+    def level_idc(self) -> int:
+        return int(round(self.level * 30))
+
+
+def calculate_apple_hevc_level(width: int, height: int, fps: float,
+                               is_hdr: bool) -> tuple[float, bool]:
+    """First level whose sample limits fit; high tier iff (HDR or >=4K or
+    fps > 60) and within high-tier rate (reference core/transcoder.py:174-187).
+    """
+    samples = width * height
+    sps = samples * max(fps, 1.0)
+    for level, (max_s, max_sps, _, _, main_kbps, high_kbps) in \
+            sorted(HEVC_LEVEL_LIMITS.items()):
+        if samples <= max_s and sps <= max_sps:
+            wants_high = is_hdr or samples >= 3840 * 2160 or fps > 60
+            tier_high = wants_high and high_kbps > main_kbps
+            return level, tier_high
+    return 6.2, True
+
+
+def calculate_fast_hevc_level(width: int, height: int,
+                              is_hdr: bool) -> LevelChoice:
+    """Resolution-bucketed quick path (reference calculate_nvenc_hevc_level,
+    core/transcoder.py:189-209): the 'fast preset' analogue of the NVENC
+    level buckets; profile main10 + 10-bit iff HDR."""
+    if width <= 1920:
+        level = 4.0
+    elif width <= 2560:
+        level = 4.1
+    elif width <= 3840:
+        level = 5.1
+    else:
+        level = 5.2
+    profile = "main10" if is_hdr else "main"
+    pix_fmt = "p010le" if is_hdr else "yuv420p"
+    return LevelChoice(level, False, profile, pix_fmt)
+
+
+def select_level(info: VideoInfo, fast: bool = False) -> LevelChoice:
+    if fast:
+        return calculate_fast_hevc_level(info.width, info.height, info.is_hdr)
+    level, tier = calculate_apple_hevc_level(info.width, info.height,
+                                             info.fps, info.is_hdr)
+    profile = "main10" if info.is_hdr else "main"
+    pix_fmt = "p010le" if info.is_hdr else "yuv420p"
+    return LevelChoice(level, tier, profile, pix_fmt)
+
+
+def max_bitrate_bps(level: float, tier_high: bool) -> int:
+    lim = HEVC_LEVEL_LIMITS[level]
+    return (lim[5] if tier_high else lim[4]) * 1000
+
+
+def max_cpb_bits(level: float) -> int:
+    return HEVC_LEVEL_LIMITS[level][3]

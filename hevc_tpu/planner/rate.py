@@ -1,0 +1,123 @@
+"""Rate/quality planning: CRF/CQ, VBV envelope, GOP alignment.
+
+Behavior parity with the reference's `calculate_dynamic_values` and
+`compute_aligned_gop` (reference core/transcoder.py:211-354): height-bucketed
+CRF base with HDR and motion-density adjustments, resolution/HDR bitrate
+targets, VBV clamped to level limits, integer-second NTSC-aware GOP.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from fractions import Fraction
+
+from hevc_tpu.io.videoinfo import VideoInfo
+from hevc_tpu.planner.levels import HEVC_LEVEL_LIMITS, \
+    calculate_apple_hevc_level, max_bitrate_bps, max_cpb_bits
+
+
+@dataclass
+class RatePlan:
+    crf: int
+    cq: int
+    vbv_maxrate_kbps: int
+    vbv_bufsize_kbits: int
+    gop: int
+    qp: int                 # starting slice QP for the in-framework encoder
+
+    def as_dict(self):
+        return self.__dict__.copy()
+
+
+# CRF base by height bucket (reference core/transcoder.py:274-281)
+_CRF_BASE = [(480, 17), (720, 18), (1080, 19), (1440, 20), (2160, 21),
+             (4320, 22)]
+
+
+def _crf_for(info: VideoInfo) -> int:
+    h = info.height
+    base = 22
+    for lim, c in _CRF_BASE:
+        if h <= lim:
+            base = c
+            break
+    if info.is_hdr:
+        base -= 1
+    md = motion_density(info)
+    if md > 2.5e-4:
+        base += 1
+    elif md < 6e-5:
+        base -= 1
+    return min(max(base, 16), 24)
+
+
+def motion_density(info: VideoInfo) -> float:
+    """est_frames / (w*h + 1) — the reference's coarse motion proxy
+    (core/transcoder.py:284-290)."""
+    return info.est_frames / (info.width * info.height + 1)
+
+
+def target_bitrate_kbps(info: VideoInfo) -> int:
+    """Resolution/HDR bitrate envelope (reference core/transcoder.py:305-317)."""
+    w, h = info.width, info.height
+    if w >= 7680 or h >= 4320:
+        kbps = 140_000
+    elif w >= 3840 or h >= 2160:
+        kbps = 65_000 if info.is_hdr else 50_000
+    elif w >= 2560 or h >= 1440:
+        kbps = 30_000 if info.is_hdr else 26_000
+    elif w >= 1920 or h >= 1080:
+        kbps = 19_000 if info.is_hdr else 16_000
+    else:
+        kbps = 10_000 if info.is_hdr else 8_000
+    md = motion_density(info)
+    if md > 2.5e-4:
+        kbps = int(kbps * 1.15)
+    elif md < 6e-5:
+        kbps = int(kbps * 0.92)
+    return kbps
+
+
+def compute_aligned_gop(fps: float, is_hdr: bool, height: int) -> int:
+    """GOP 2.0-3.0 s by HDR/resolution, x1.05 if fps > 60, aligned to
+    integer-second boundaries incl. NTSC fractional rates, clamp [2, 240]
+    (reference core/transcoder.py:211-260, 338-353)."""
+    if height >= 2160:
+        seconds = 3.0 if not is_hdr else 2.5
+    elif height >= 1440:
+        seconds = 2.5
+    else:
+        seconds = 2.0
+    if fps > 60:
+        seconds *= 1.05
+    frac = Fraction(fps).limit_denominator(1001)
+    target = seconds * fps
+    # align to an integer number of seconds' worth of frames
+    per_sec = frac
+    n_sec = max(1, round(target / float(per_sec)))
+    gop = int(round(n_sec * float(per_sec)))
+    return min(max(gop, 2), 240)
+
+
+def calculate_dynamic_values(info: VideoInfo) -> RatePlan:
+    crf = _crf_for(info)
+    cq = crf + 1
+    target = target_bitrate_kbps(info)
+    level, tier = calculate_apple_hevc_level(info.width, info.height,
+                                             info.fps, info.is_hdr)
+    max_rate = max_bitrate_bps(level, tier) // 1000
+    vbv_max = min(target, int(max_rate * 0.98))
+    vbv_buf = min(int(vbv_max * 1.5), int(max_cpb_bits(level) * 0.9) // 1000)
+    gop = compute_aligned_gop(info.fps, info.is_hdr, info.height)
+    qp = crf_to_qp(crf, info)
+    return RatePlan(crf=crf, cq=cq, vbv_maxrate_kbps=vbv_max,
+                    vbv_bufsize_kbits=vbv_buf, gop=gop, qp=qp)
+
+
+def crf_to_qp(crf: int, info: VideoInfo) -> int:
+    """Map the reference's CRF scale onto the in-framework encoder's QP.
+
+    x265's CRF at medium preset lands near QP ~= CRF + 4..6 for typical
+    content; the in-framework all-intra encoder spends its bits differently,
+    so this starting point is refined per-GOP by the rate controller.
+    """
+    return min(max(crf + 5, 0), 51)

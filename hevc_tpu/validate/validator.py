@@ -1,0 +1,118 @@
+"""Output conformance validation — the AppleHEVCValidator equivalent.
+
+The reference shelled out to a closed Apple binary (reference
+core/transcoder.py:35-68) and *passed through with a warning* when it was
+missing.  Here validation is first-party and always available:
+
+  1. container checks: hvc1 sample entry, colr atom, brand mp42, faststart,
+     mdcv/clli presence for HDR10 (the exact atom set from SURVEY C9)
+  2. level/tier constraint checks against the HEVC level table (SURVEY C4)
+  3. full normative decode of every sample with the in-framework decoder,
+     optionally cross-checked with the independent libavcodec decoder
+
+Returns (ok, messages).
+"""
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+
+import numpy as np
+
+from hevc_tpu.planner.levels import HEVC_LEVEL_LIMITS
+
+log = logging.getLogger(__name__)
+
+
+def validate_mp4(path, expect_hdr: bool = False, deep: bool = True,
+                 cross_check: bool = True) -> tuple[bool, list[str]]:
+    msgs: list[str] = []
+    path = Path(path)
+    try:
+        from hevc_tpu.io.mp4parse import probe_mp4, extract_samples
+        info = probe_mp4(path)
+    except Exception as e:
+        return False, [f"container parse failed: {e}"]
+
+    if info.get("sample_entry") != "hvc1":
+        msgs.append(f"sample entry is {info.get('sample_entry')} not hvc1")
+    if info.get("brand") != "mp42":
+        msgs.append(f"major brand {info.get('brand')} != mp42")
+    if not info.get("faststart", False):
+        msgs.append("moov after mdat (no faststart)")
+    if "colr" not in info:
+        msgs.append("missing colr atom")
+    if expect_hdr and not info.get("mdcv"):
+        msgs.append("HDR10 output missing mdcv atom")
+    if expect_hdr and not info.get("clli"):
+        msgs.append("HDR10 output missing clli atom")
+
+    hvcc = info.get("hvcc")
+    if not hvcc:
+        msgs.append("missing hvcC configuration")
+        return False, msgs
+
+    # level constraints (SURVEY C4 table)
+    level = hvcc["level_idc"] / 30.0
+    lim = HEVC_LEVEL_LIMITS.get(round(level, 1))
+    w, h = info.get("width", 0), info.get("height", 0)
+    fps = float(info.get("fps", 30))
+    if lim is None:
+        msgs.append(f"unknown level_idc {hvcc['level_idc']}")
+    else:
+        if w * h > lim[0]:
+            msgs.append(f"frame samples {w*h} exceed level {level} limit {lim[0]}")
+        if w * h * fps > lim[1]:
+            msgs.append(f"sample rate exceeds level {level} limit")
+
+    if deep and not msgs:
+        try:
+            ok_deep, deep_msgs = _deep_decode(path, cross_check)
+            msgs += deep_msgs
+            if not ok_deep:
+                return False, msgs
+        except Exception as e:
+            msgs.append(f"deep decode failed: {e}")
+            return False, msgs
+    return len(msgs) == 0, msgs
+
+
+def _deep_decode(path, cross_check: bool) -> tuple[bool, list[str]]:
+    """Decode every sample with the in-framework decoder; optionally compare
+    bit-exactly against libavcodec."""
+    from hevc_tpu.io.mp4parse import extract_samples
+    from hevc_tpu.decoder.decode import decode_annexb
+    from hevc_tpu.utils.bitio import annexb
+
+    info, samples = extract_samples(path)
+    hvcc = info["hvcc"]
+    ps = [hvcc["nals"][t][0] for t in (32, 33, 34) if t in hvcc["nals"]]
+    ln = hvcc.get("length_size", 4)
+    nals = list(ps)
+    for s in samples:
+        off = 0
+        while off + ln <= len(s):
+            sz = int.from_bytes(s[off:off + ln], "big")
+            nals.append(s[off + ln:off + ln + sz])
+            off += ln + sz
+    stream = annexb(nals)
+    frames = decode_annexb(stream)
+    msgs = []
+    if len(frames) != len(samples):
+        return False, [f"decoded {len(frames)} frames, expected {len(samples)}"]
+    if cross_check:
+        from hevc_tpu.validate import avref
+        if avref.available():
+            ref = avref.decode_file(str(path), max_frames=len(samples))
+            if ref is None or len(ref) != len(frames):
+                msgs.append("libavcodec frame count mismatch")
+                return False, msgs
+            for i, ((ry, rcb, rcr), mine) in enumerate(zip(ref, frames)):
+                for a, k in ((ry, "y"), (rcb, "cb"), (rcr, "cr")):
+                    m = mine[k][:a.shape[0], :a.shape[1]]
+                    if not np.array_equal(a.astype(np.int32), m):
+                        msgs.append(f"frame {i} plane {k}: decoder mismatch")
+                        return False, msgs
+        else:
+            msgs.append("libavcodec unavailable; self-decode only")
+    return True, msgs

@@ -1,0 +1,135 @@
+"""Y4M / probe / MP4 mux + parse / convert_video / batch end-to-end."""
+import sys
+import threading
+from fractions import Fraction
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent))
+from generate_test_videos import generate_clip, synth_frame  # noqa: E402
+
+from hevc_tpu.io.probe import probe_media  # noqa: E402
+from hevc_tpu.io.y4m import Y4MReader, write_y4m  # noqa: E402
+
+
+def test_y4m_roundtrip(tmp_path):
+    frames = [synth_frame(64, 48, t) for t in range(5)]
+    p = tmp_path / "clip.y4m"
+    write_y4m(p, frames, Fraction(30000, 1001))
+    r = Y4MReader(p)
+    assert (r.width, r.height) == (64, 48)
+    assert r.fps == Fraction(30000, 1001)
+    assert r.count_frames() == 5
+    got = r.read_all()
+    assert len(got) == 5
+    for (a, b) in zip(got, frames):
+        for x, y in zip(a, b):
+            assert np.array_equal(x, y)
+
+
+def test_probe_y4m(tmp_path):
+    p = generate_clip(tmp_path / "c.y4m", 176, 144, 8)
+    info = probe_media(p)
+    assert (info.width, info.height) == (176, 144)
+    assert info.nb_frames == 8
+    assert not info.is_hdr
+    assert info.container == "y4m"
+
+
+def test_probe_never_raises(tmp_path):
+    bad = tmp_path / "garbage.mp4"
+    bad.write_bytes(b"not a real file")
+    info = probe_media(bad)
+    assert (info.width, info.height) == (1920, 1080)   # safe defaults
+
+
+def _convert(tmp_path, **kw):
+    from hevc_tpu.batch.transcode import convert_video
+    src = generate_clip(tmp_path / "in" / "clip.y4m", 176, 144, 6)
+    out = tmp_path / "out"
+    return convert_video(src, out, **kw), out / "clip.mp4"
+
+
+def test_convert_video_end_to_end(tmp_path):
+    res, out = _convert(tmp_path)
+    assert res["status"] == "SUCCESS", res
+    assert res["file"] == "clip.y4m"
+    assert set(res) == {"file", "status", "quality", "retries", "method",
+                        "hdr"}
+    assert out.exists()
+    info = probe_media(out)
+    assert info.codec_name == "hevc"
+    assert (info.width, info.height) == (176, 144)
+    assert info.nb_frames == 6
+
+
+def test_output_mp4_structure(tmp_path):
+    _, out = _convert(tmp_path)
+    from hevc_tpu.io.mp4parse import probe_mp4
+    d = probe_mp4(out)
+    assert d["brand"] == "mp42"
+    assert d["sample_entry"] == "hvc1"
+    assert d["faststart"] is True
+    assert "colr" in d
+    assert d["hvcc"]["length_size"] == 4
+
+
+def test_validator_accepts_output(tmp_path):
+    _, out = _convert(tmp_path, skip_validator=True)
+    from hevc_tpu.validate.validator import validate_mp4
+    ok, msgs = validate_mp4(out)
+    assert ok, msgs
+
+
+def test_convert_cancellation(tmp_path):
+    ev = threading.Event()
+    calls = []
+
+    def cb(name, frame, total):
+        calls.append((frame, total))
+        if len(calls) == 1:
+            ev.set()
+
+    res, _ = _convert(tmp_path, stop_event=ev, progress_callback=cb,
+                      force_cpu=True)
+    assert res["status"] == "CANCELLED"
+    assert calls[-1][0] == calls[-1][1]    # progress forced to 100%
+
+
+def test_batch_convert(tmp_path):
+    from hevc_tpu.batch.scheduler import batch_convert
+    for k in range(2):
+        generate_clip(tmp_path / "in" / f"c{k}.y4m", 176, 144, 4, seed=k)
+    results = batch_convert(tmp_path / "in", tmp_path / "out", max_workers=2)
+    assert len(results) == 2
+    assert all(r["status"] == "SUCCESS" for r in results)
+    csv_path = tmp_path / "out" / "transcode_log.csv"
+    assert csv_path.exists()
+    header = csv_path.read_text().splitlines()[0]
+    assert header == "file,status,quality,retries,method,hdr"
+
+
+def test_never_overwrite_input(tmp_path):
+    """Output into the input's own directory must not clobber the source."""
+    from hevc_tpu.batch.transcode import convert_video
+    src = generate_clip(tmp_path / "clip.y4m", 176, 144, 3)
+    res = convert_video(src, tmp_path)
+    assert res["status"] == "SUCCESS"
+    assert src.exists() and (tmp_path / "clip.mp4").exists()
+
+
+def test_decode_back_psnr(tmp_path):
+    """Our .mp4 output decodes (independently) close to the source."""
+    from hevc_tpu.validate import avref
+    if not avref.available():
+        pytest.skip("avref unavailable")
+    _, out = _convert(tmp_path)
+    dec = avref.decode_file(str(out))
+    src = Y4MReader(generate_clip(tmp_path / "in" / "clip.y4m", 176, 144, 6)).read_all()
+    assert len(dec) == 6
+    psnr = np.mean([10 * np.log10(255**2 / max(np.mean(
+        (d[0].astype(float) - s[0].astype(float))**2), 1e-9))
+        for d, s in zip(dec, src)])
+    assert psnr > 33, psnr

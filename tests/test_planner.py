@@ -1,0 +1,102 @@
+"""Planner behavior parity (SURVEY C2, C4, C5)."""
+import numpy as np
+import pytest
+
+from hevc_tpu.io.videoinfo import VideoInfo
+from hevc_tpu.planner.levels import calculate_apple_hevc_level, \
+    calculate_fast_hevc_level, select_level
+from hevc_tpu.planner.rate import calculate_dynamic_values, \
+    compute_aligned_gop, target_bitrate_kbps
+from hevc_tpu.planner.hdr import detect_hdr, detect_hdr_core, \
+    build_hdr_metadata, DEFAULT_MASTER_DISPLAY, DEFAULT_MAX_CLL, \
+    parse_master_display
+
+
+def info(w=1920, h=1080, fps=30.0, hdr=False, **kw):
+    # mid-range motion density (no +-1 adjustment) unless caller overrides
+    kw.setdefault("nb_frames", int(w * h * 1.5e-4))
+    return VideoInfo(width=w, height=h, fps=fps, is_hdr=hdr, **kw)
+
+
+def test_level_selection():
+    assert calculate_apple_hevc_level(1920, 1080, 30, False)[0] <= 4.1
+    lvl, tier = calculate_apple_hevc_level(3840, 2160, 60, True)
+    assert lvl >= 5.1 and tier
+    lvl, tier = calculate_apple_hevc_level(1280, 720, 30, False)
+    assert lvl <= 4.0 and not tier
+    lvl, tier = calculate_apple_hevc_level(7680, 4320, 60, False)
+    assert lvl >= 6.0
+
+
+def test_fast_level_buckets():
+    assert calculate_fast_hevc_level(1920, 1080, False).level == 4.0
+    assert calculate_fast_hevc_level(2560, 1440, False).level == 4.1
+    assert calculate_fast_hevc_level(3840, 2160, False).level == 5.1
+    assert calculate_fast_hevc_level(7680, 4320, False).level == 5.2
+    c = calculate_fast_hevc_level(1920, 1080, True)
+    assert c.profile == "main10" and c.pix_fmt == "p010le"
+
+
+def test_crf_envelope():
+    # base CRF by height, HDR -1, clamp [16, 24]
+    assert calculate_dynamic_values(info(640, 480)).crf == 17
+    assert calculate_dynamic_values(info(1280, 720)).crf == 18
+    assert calculate_dynamic_values(info(1920, 1080)).crf == 19
+    assert calculate_dynamic_values(info(3840, 2160)).crf == 21
+    assert calculate_dynamic_values(info(1920, 1080, hdr=True)).crf == 18
+    p = calculate_dynamic_values(info())
+    assert p.cq == p.crf + 1
+    assert 16 <= p.crf <= 24
+
+
+def test_bitrate_envelope():
+    assert target_bitrate_kbps(info(1920, 1080)) == 16000
+    assert target_bitrate_kbps(info(1920, 1080, hdr=True)) == 19000
+    assert target_bitrate_kbps(info(2560, 1440)) == 26000
+    assert target_bitrate_kbps(info(3840, 2160)) == 50000
+    assert target_bitrate_kbps(info(3840, 2160, hdr=True)) == 65000
+    assert target_bitrate_kbps(info(7680, 4320)) == 140000
+    assert target_bitrate_kbps(info(1280, 720)) == 8000
+
+
+def test_vbv_respects_level_limits():
+    p = calculate_dynamic_values(info(3840, 2160, 60, hdr=True))
+    from hevc_tpu.planner.levels import max_bitrate_bps, \
+        calculate_apple_hevc_level
+    lvl, tier = calculate_apple_hevc_level(3840, 2160, 60, True)
+    assert p.vbv_maxrate_kbps * 1000 <= max_bitrate_bps(lvl, tier)
+
+
+def test_gop_alignment():
+    g = compute_aligned_gop(30.0, False, 1080)
+    assert g == 60                       # 2.0 s at 30 fps
+    g = compute_aligned_gop(29.97, False, 1080)
+    assert 2 <= g <= 240 and abs(g / 29.97 - round(g / 29.97)) < 0.02
+    assert compute_aligned_gop(30.0, False, 2160) == 90   # 3.0 s
+    assert compute_aligned_gop(120.0, False, 720) <= 240
+
+
+def test_hdr_detection_rules():
+    sdr = info()
+    assert not detect_hdr(sdr)
+    # any-of-5 monolith rule
+    assert detect_hdr(info(color_primaries="bt2020"))
+    assert detect_hdr(info(color_transfer="smpte2084"))
+    assert detect_hdr(info(color_transfer="arib-std-b67"))   # HLG
+    assert detect_hdr(info(color_space="bt2020nc"))
+    assert detect_hdr(info(pix_fmt="yuv420p10le"))
+    assert detect_hdr(info(master_display="G(1,2)B(3,4)R(5,6)WP(7,8)L(9,10)"))
+    # core >=2-of-4 rule stays stricter
+    assert not detect_hdr_core(info(color_primaries="bt2020"))
+    assert detect_hdr_core(info(color_primaries="bt2020",
+                                color_transfer="smpte2084"))
+
+
+def test_hdr_metadata_defaults():
+    i = info(hdr=True)
+    md = build_hdr_metadata(i)
+    assert md["master_display"] == DEFAULT_MASTER_DISPLAY
+    assert md["max_cll"] == DEFAULT_MAX_CLL
+    parsed = parse_master_display(md["master_display"])
+    assert parsed["g"] == (13250, 34500) and parsed["max_lum"] == 10000000
+    assert build_hdr_metadata(info()) == {}
