@@ -32,31 +32,33 @@ def main():
 
     sys.path.insert(0, "tests")
     from generate_test_videos import synth_frame
-    from hevc_tpu.encoder.frame_jax import JaxIntraEncoder
+    from hevc_tpu.encoder.frame_jax import JaxIntraEncoder, pick_tile_grid
     from hevc_tpu.entropy.headers import StreamConfig
-    from hevc_tpu.encoder.toplevel import entropy_encode_frame
+    from hevc_tpu.entropy.tiled import entropy_encode_frame_tiled
 
     W, H, F, QP = 1920, 1080, 8, 27
     frames = [tuple(np.asarray(p, np.int32) for p in synth_frame(W, H, t))
               for t in range(F)]
+    tc, tr = pick_tile_grid(H // 16, W // 16)
+    log(f"tile grid: {tc}x{tr}")
 
     enc = JaxIntraEncoder(QP)
     t0 = time.time()
-    results = enc.encode_frames(frames)
+    results = enc.encode_frames_tiled(frames, tc, tr)
     log(f"compile+first batch: {time.time()-t0:.1f}s")
 
     iters = 3
     t0 = time.time()
     for _ in range(iters):
-        results = enc.encode_frames(frames)
+        results = enc.encode_frames_tiled(frames, tc, tr)
     device_s = (time.time() - t0) / iters
     log(f"device+host-unpack: {device_s/F*1000:.1f} ms/frame")
 
-    cfg = StreamConfig(width=W, height=H, qp=QP)
+    cfg = StreamConfig(width=W, height=H, qp=QP, tile_cols=tc, tile_rows=tr)
     t0 = time.time()
     payload_bytes = 0
     for r in results:
-        payload_bytes += len(entropy_encode_frame(cfg, r))
+        payload_bytes += len(entropy_encode_frame_tiled(cfg, r))
     entropy_s = time.time() - t0
     log(f"host entropy: {entropy_s/F*1000:.1f} ms/frame, "
         f"{payload_bytes*8*30/F/1e6:.1f} Mbps @30fps")

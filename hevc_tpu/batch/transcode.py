@@ -208,6 +208,12 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
 
     h, w = frames[0][0].shape
     fps = Fraction(info.fps).limit_denominator(1001) if info.fps else Fraction(30)
+    tile_cols = tile_rows = 1
+    if backend == "jax":
+        from hevc_tpu.encoder.frame_jax import pick_tile_grid, CTB
+        nh = (h + CTB - 1) // CTB
+        nw = (w + CTB - 1) // CTB
+        tile_cols, tile_rows = pick_tile_grid(nh, nw)
     cfg = StreamConfig(
         width=w, height=h, qp=qp, fps=fps,
         level_idc=level.level_idc, tier_high=level.tier_high,
@@ -217,6 +223,7 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
         color_space=info.color_space,
         full_range=info.color_range == "pc",
         chromaloc=info.chromaloc, hdr=info.is_hdr,
+        tile_cols=tile_cols, tile_rows=tile_rows,
     )
     enc = VideoEncoder(cfg, backend=backend)
     samples = []
@@ -228,12 +235,18 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
         if time.time() > deadline:
             raise TimeoutError("per-file encode timeout")
         chunk = frames[i:i + batch_frames]
-        if backend == "jax" and len(chunk) > 1:
-            results = enc._enc.encode_frames(
-                [(np.asarray(f[0], np.int32), np.asarray(f[1], np.int32),
-                  np.asarray(f[2], np.int32)) for f in chunk])
+        if backend == "jax":
+            from hevc_tpu.entropy.tiled import entropy_encode_frame_tiled
+            nchunk = [(np.asarray(f[0], np.int32), np.asarray(f[1], np.int32),
+                       np.asarray(f[2], np.int32)) for f in chunk]
+            if cfg.tiles_enabled:
+                results = enc._enc.encode_frames_tiled(
+                    nchunk, cfg.tile_cols, cfg.tile_rows)
+            else:
+                results = enc._enc.encode_frames(nchunk)
             for r in results:
-                samples.append(length_prefixed([entropy_encode_frame(cfg, r)]))
+                samples.append(length_prefixed(
+                    [entropy_encode_frame_tiled(cfg, r)]))
         else:
             for f in chunk:
                 nal, _ = enc.encode_frame(np.asarray(f[0], np.int32),

@@ -145,7 +145,8 @@ struct Cabac {
       renorm();
     }
   }
-  long flush_to(uint8_t *out, long cap) {
+  long flush_to(uint8_t *out, long cap, bool alignment_one = false) {
+    if (alignment_one) bits.push_back(1);
     size_t nbytes = (bits.size() + 7) / 8;
     if ((long)nbytes > cap) return -1;
     memset(out, 0, nbytes);
@@ -351,8 +352,8 @@ void encode_residual(Cabac &c, const int16_t *coeffs, int log2, int scan_idx,
 
 }  // namespace
 
-extern "C" long hevc_entropy_encode_slice_v0(
-    int qp, int nh, int nw, const int32_t *modes,
+extern "C" long hevc_entropy_encode_tile_v0(
+    int qp, int nh, int nw, int last_tile, const int32_t *modes,
     const uint8_t *cbf_y, const uint8_t *cbf_cb, const uint8_t *cbf_cr,
     const int16_t *lvl_y, const int16_t *lvl_cb, const int16_t *lvl_cr,
     uint8_t *out, long cap) {
@@ -407,8 +408,23 @@ extern "C" long hevc_entropy_encode_slice_v0(
         encode_residual(c, lvl_cb + (long)idx * 64, 3, 0, 1, scan_c[0], sbc[0]);
       if (fcr)
         encode_residual(c, lvl_cr + (long)idx * 64, 3, 0, 2, scan_c[0], sbc[0]);
-      c.terminate(cy == nh - 1 && cx == nw - 1 ? 1 : 0);
+      bool last_ctu = (cy == nh - 1 && cx == nw - 1);
+      c.terminate((last_ctu && last_tile) ? 1 : 0);
     }
   }
+  if (!last_tile) {
+    // end_of_subset_one_bit: the flush's trailing '1' doubles as the
+    // byte_alignment bit; zero padding only.
+    c.terminate(1);
+  }
   return c.flush_to(out, cap);
+}
+
+extern "C" long hevc_entropy_encode_slice_v0(
+    int qp, int nh, int nw, const int32_t *modes,
+    const uint8_t *cbf_y, const uint8_t *cbf_cb, const uint8_t *cbf_cr,
+    const int16_t *lvl_y, const int16_t *lvl_cb, const int16_t *lvl_cr,
+    uint8_t *out, long cap) {
+  return hevc_entropy_encode_tile_v0(qp, nh, nw, 1, modes, cbf_y, cbf_cb,
+                                     cbf_cr, lvl_y, lvl_cb, lvl_cr, out, cap);
 }

@@ -116,7 +116,8 @@ class IntraDecoder:
         return out
 
     # ---- slice decode ---------------------------------------------------------
-    def decode_slice(self, payload: bytes, hdr: SliceHeader) -> dict:
+    def decode_slice(self, payload: bytes, hdr: SliceHeader,
+                     expect_end: bool = True) -> dict:
         self.qp = hdr.qp
         self.qpc_cb = R.chroma_qp(min(max(hdr.qp + self.pps.cb_qp_offset, 0), 57))
         self.qpc_cr = R.chroma_qp(min(max(hdr.qp + self.pps.cr_qp_offset, 0), 57))
@@ -134,8 +135,12 @@ class IntraDecoder:
                                       self.sps.log2_ctb)
                 last = (cy == ctbs_h - 1) and (cx == ctbs_w - 1)
                 got = self.syn.decode_end_of_slice()
-                assert got == (1 if last else 0), \
+                assert got == (1 if (last and expect_end) else 0), \
                     f"end_of_slice mismatch at CTB ({cx},{cy})"
+                if last and not expect_end:
+                    # end_of_subset_one_bit terminates this tile's substream
+                    assert self.syn.decode_end_of_slice() == 1, \
+                        "missing end_of_subset_one_bit"
         return {"y": self.y, "cb": self.cb, "cr": self.cr, "qp": hdr.qp}
 
     def _coding_quadtree(self, x0: int, y0: int, log2size: int) -> None:
@@ -312,6 +317,68 @@ class IntraDecoder:
             plane[yc:yc + n, xc:xc + n] = rec
 
 
+def split_substreams(payload: bytes, ebsp_sizes: list[int]) -> list[bytes]:
+    """Split slice payload (RBSP domain) at entry points given in EBSP bytes.
+
+    Valid because every substream ends with a nonzero byte (flush stop /
+    alignment-one), so emulation-prevention zero runs never span boundaries.
+    """
+    parts = []
+    pos = 0
+    for L in ebsp_sizes:
+        zeros = 0
+        ebsp = 0
+        start = pos
+        while ebsp < L and pos < len(payload):
+            b = payload[pos]
+            if zeros >= 2 and b <= 3:
+                ebsp += 1           # an emulation-prevention byte sits here
+                zeros = 0
+                if ebsp >= L:
+                    break
+            ebsp += 1
+            zeros = zeros + 1 if b == 0 else 0
+            pos += 1
+        parts.append(payload[start:pos])
+    parts.append(payload[pos:])
+    return parts
+
+
+def _decode_tiled_slice(payload: bytes, hdr, sps: Sps, pps: Pps) -> dict:
+    from dataclasses import replace
+    ctb = 1 << sps.log2_ctb
+    nw = (sps.pic_width + ctb - 1) // ctb
+    nh = (sps.pic_height + ctb - 1) // ctb
+    t, r = pps.tile_cols, pps.tile_rows
+    cols = [(i + 1) * nw // t - i * nw // t for i in range(t)]
+    rows = [(j + 1) * nh // r - j * nh // r for j in range(r)]
+    subs = split_substreams(payload, hdr.entry_point_offsets or [])
+    assert len(subs) == t * r, (len(subs), t * r)
+    out_y = np.zeros((sps.pic_height, sps.pic_width), np.int32)
+    out_cb = np.zeros((sps.pic_height // 2, sps.pic_width // 2), np.int32)
+    out_cr = np.zeros_like(out_cb)
+    k = 0
+    y0 = 0
+    for th in rows:
+        x0 = 0
+        for tw in cols:
+            sub_sps = replace(sps, pic_width=tw * ctb, pic_height=th * ctb,
+                              width=tw * ctb, height=th * ctb)
+            dec = IntraDecoder(sub_sps, pps)
+            f = dec.decode_slice(subs[k], hdr,
+                                 expect_end=(k == t * r - 1))
+            ys, xs = y0 * ctb, x0 * ctb
+            out_y[ys:ys + th * ctb, xs:xs + tw * ctb] = f["y"]
+            out_cb[ys // 2:(ys + th * ctb) // 2,
+                   xs // 2:(xs + tw * ctb) // 2] = f["cb"]
+            out_cr[ys // 2:(ys + th * ctb) // 2,
+                   xs // 2:(xs + tw * ctb) // 2] = f["cr"]
+            k += 1
+            x0 += tw
+        y0 += th
+    return {"y": out_y, "cb": out_cb, "cr": out_cr, "qp": hdr.qp}
+
+
 def decode_annexb(data: bytes, cfg=None) -> list[dict]:
     """Decode all intra frames in an Annex-B stream (headers parsed)."""
     sps = pps = None
@@ -327,6 +394,10 @@ def decode_annexb(data: bytes, cfg=None) -> list[dict]:
             assert sps is not None and pps is not None
             rbsp = ebsp_to_rbsp(nal[2:])
             hdr = parse_slice_header(rbsp, nal_type, sps, pps)
-            dec = IntraDecoder(sps, pps)
-            frames.append(dec.decode_slice(rbsp[hdr.payload_offset:], hdr))
+            payload = rbsp[hdr.payload_offset:]
+            if pps.tiles_enabled:
+                frames.append(_decode_tiled_slice(payload, hdr, sps, pps))
+            else:
+                dec = IntraDecoder(sps, pps)
+                frames.append(dec.decode_slice(payload, hdr))
     return frames

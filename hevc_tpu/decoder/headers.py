@@ -123,6 +123,9 @@ class Pps:
     slice_chroma_qp_offsets_present: bool = False
     transquant_bypass: bool = False
     tiles_enabled: bool = False
+    tile_cols: int = 1
+    tile_rows: int = 1
+    uniform_tiles: bool = True
     entropy_sync: bool = False
     deblocking_disabled: bool = True
     deblocking_override_enabled: bool = False
@@ -159,7 +162,12 @@ def parse_pps(nal: bytes) -> Pps:
     assert not p.transquant_bypass, "transquant bypass unsupported"
     p.tiles_enabled = bool(r.u(1))
     p.entropy_sync = bool(r.u(1))
-    assert not p.tiles_enabled, "tiles unsupported (v0)"
+    if p.tiles_enabled:
+        p.tile_cols = r.ue() + 1
+        p.tile_rows = r.ue() + 1
+        p.uniform_tiles = bool(r.u(1))
+        assert p.uniform_tiles, "non-uniform tiles unsupported"
+        r.u(1)                          # loop_filter_across_tiles
     p.loop_filter_across_slices = bool(r.u(1))
     p.deblocking_control_present = bool(r.u(1))
     if p.deblocking_control_present:
@@ -189,6 +197,7 @@ class SliceHeader:
     tc_offset_div2: int = 0
     payload_offset: int = 0             # byte offset of CABAC data in RBSP
     first_in_pic: bool = True
+    entry_point_offsets: list = None    # EBSP byte sizes of substreams[:-1]
 
 
 def parse_slice_header(rbsp: bytes, nal_type: int, sps: Sps, pps: Pps) -> SliceHeader:
@@ -230,7 +239,13 @@ def parse_slice_header(rbsp: bytes, nal_type: int, sps: Sps, pps: Pps) -> SliceH
     if pps.loop_filter_across_slices and \
             (h.sao_luma or h.sao_chroma or not h.deblocking_disabled):
         r.u(1)                          # slice_loop_filter_across_slices
-    assert not pps.entropy_sync and not pps.tiles_enabled
+    assert not pps.entropy_sync, "WPP unsupported"
+    h.entry_point_offsets = []
+    if pps.tiles_enabled:
+        n = r.ue()                      # num_entry_point_offsets
+        if n:
+            blen = r.ue() + 1
+            h.entry_point_offsets = [r.u(blen) + 1 for _ in range(n)]
     assert r.bit() == 1                 # byte alignment
     r.byte_align()
     h.payload_offset = r.bitpos // 8

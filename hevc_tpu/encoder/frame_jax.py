@@ -310,3 +310,76 @@ class JaxIntraEncoder:
             per = [o[i] for o in outs]
             results.append(self._unpack(per, nh, nw, H, W))
         return results
+
+    def encode_frames_tiled(self, frames: list[tuple], tile_cols: int,
+                            tile_rows: int) -> list[dict]:
+        """Tiled batched encode: every tile of every frame is an independent
+        mini-frame in one big vmap batch (tile grid must divide the CTU grid
+        evenly -- see pick_tile_grid)."""
+        F = len(frames)
+        blocks = [self._to_blocks(*f) for f in frames]
+        nh, nw, H, W = blocks[0][3:]
+        assert nh % tile_rows == 0 and nw % tile_cols == 0, \
+            (nh, nw, tile_rows, tile_cols)
+        tnh, tnw = nh // tile_rows, nw // tile_cols
+        T = tile_cols * tile_rows
+
+        def tile_split(b, bs):     # (nh, nw, bs, bs) -> (T, tnh, tnw, bs, bs)
+            return (b.reshape(tile_rows, tnh, tile_cols, tnw, bs, bs)
+                     .swapaxes(1, 2).reshape(T, tnh, tnw, bs, bs))
+
+        yb = jnp.asarray(np.concatenate([tile_split(b[0], CTB) for b in blocks]))
+        cbb = jnp.asarray(np.concatenate([tile_split(b[1], NC) for b in blocks]))
+        crb = jnp.asarray(np.concatenate([tile_split(b[2], NC) for b in blocks]))
+        outs = encode_frames_batch_jit(yb, cbb, crb, jnp.asarray(self.qp),
+                                       self.lam_bits, tnh, tnw)
+        results = []
+        for f in range(F):
+            tiles = []
+            for t in range(T):
+                per = [o[f * T + t] for o in outs]
+                tiles.append(self._unpack(per, tnh, tnw, tnh * CTB, tnw * CTB))
+            results.append(_merge_tiles(tiles, tile_cols, tile_rows,
+                                        nh, nw, H, W))
+        return results
+
+
+def _merge_tiles(tiles: list[dict], tile_cols: int, tile_rows: int,
+                 nh: int, nw: int, H: int, W: int) -> dict:
+    tnh, tnw = nh // tile_rows, nw // tile_cols
+    out = {}
+    for k in ("modes", "cbf_y", "cbf_cb", "cbf_cr", "lvl_y", "lvl_cb",
+              "lvl_cr"):
+        sample = tiles[0][k]
+        full = np.zeros((nh, nw) + sample.shape[2:], sample.dtype)
+        for j in range(tile_rows):
+            for i in range(tile_cols):
+                t = tiles[j * tile_cols + i]
+                full[j * tnh:(j + 1) * tnh, i * tnw:(i + 1) * tnw] = t[k]
+        out[k] = full
+    rec = {}
+    for k, bs in (("y", CTB), ("cb", NC), ("cr", NC)):
+        full = np.zeros((nh * bs, nw * bs), np.int32)
+        for j in range(tile_rows):
+            for i in range(tile_cols):
+                t = tiles[j * tile_cols + i]["recon"][k]
+                full[j * tnh * bs:(j + 1) * tnh * bs,
+                     i * tnw * bs:(i + 1) * tnw * bs] = t
+        rec[k] = full
+    out["recon"] = rec
+    return out
+
+
+def pick_tile_grid(nh: int, nw: int, ctb: int = CTB) -> tuple[int, int]:
+    """Largest even tile grid obeying Main-profile minima (tiles >= 256 luma
+    wide, >= 64 tall) with tile dims dividing the CTU grid."""
+    max_cols = max(1, (nw * ctb) // 256)
+    max_rows = max(1, (nh * ctb) // 64)
+
+    def best_divisor(n, cap):
+        for d in range(min(cap, n), 0, -1):
+            if n % d == 0:
+                return d
+        return 1
+
+    return best_divisor(nw, max_cols), best_divisor(nh, max_rows)

@@ -39,6 +39,12 @@ def _load():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_long]
+    lib.hevc_entropy_encode_tile_v0.restype = ctypes.c_long
+    lib.hevc_entropy_encode_tile_v0.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_long]
     _lib = lib
     return lib
 
@@ -47,8 +53,9 @@ def available() -> bool:
     return bool(_load())
 
 
-def encode_slice_payload_v0(qp: int, dec: dict) -> bytes | None:
-    """CABAC payload for one v0-profile intra frame's decisions, or None."""
+def encode_tile_payload_v0(qp: int, dec: dict, last_tile: bool = True
+                           ) -> bytes | None:
+    """CABAC substream for one tile's (or whole frame's) decisions."""
     lib = _load()
     if not lib:
         return None
@@ -62,11 +69,15 @@ def encode_slice_payload_v0(qp: int, dec: dict) -> bytes | None:
     lvl_cr = np.ascontiguousarray(dec["lvl_cr"], dtype=np.int16)
     cap = max(1 << 16, lvl_y.nbytes * 2)
     out = (ctypes.c_ubyte * cap)()
-    n = lib.hevc_entropy_encode_slice_v0(
-        qp, nh, nw,
+    n = lib.hevc_entropy_encode_tile_v0(
+        qp, nh, nw, 1 if last_tile else 0,
         modes.ctypes.data, cbf_y.ctypes.data, cbf_cb.ctypes.data,
         cbf_cr.ctypes.data, lvl_y.ctypes.data, lvl_cb.ctypes.data,
         lvl_cr.ctypes.data, out, cap)
     if n < 0:
         raise RuntimeError(f"entropy fast path error {n}")
     return bytes(bytearray(out[:n]))
+
+
+def encode_slice_payload_v0(qp: int, dec: dict) -> bytes | None:
+    return encode_tile_payload_v0(qp, dec, last_tile=True)

@@ -94,9 +94,17 @@ class CabacEncoder:
         else:
             self._renorm()
 
-    def bytes_aligned(self) -> bytes:
-        """Output bits padded with zeros to a byte boundary (RBSP tail)."""
+    def bytes_aligned(self, alignment_one: bool = False) -> bytes:
+        """Output bits padded to a byte boundary.
+
+        alignment_one=True appends the byte_alignment() syntax ('1' + zeros)
+        used after end_of_subset_one_bit at tile/substream boundaries
+        (spec 7.3.8.1); the default zero padding is the RBSP tail case where
+        the terminate flush already carried the stop bit.
+        """
         bits = list(self._bits)
+        if alignment_one:
+            bits.append(1)
         while len(bits) % 8:
             bits.append(0)
         out = bytearray()

@@ -43,7 +43,25 @@ class StreamConfig:
     full_range: bool = False
     chromaloc: int = 0
     hdr: bool = False
+    tile_cols: int = 1             # uniform tile grid (1x1 = tiles off)
+    tile_rows: int = 1
     extra: dict = field(default_factory=dict)
+
+    @property
+    def tiles_enabled(self) -> bool:
+        return self.tile_cols > 1 or self.tile_rows > 1
+
+    @property
+    def num_tiles(self) -> int:
+        return self.tile_cols * self.tile_rows
+
+    def tile_grid(self) -> tuple[list[int], list[int]]:
+        """(col_widths, row_heights) in CTUs, uniform spacing (spec 6.5.1)."""
+        nw, nh = self.ctbs_w, self.ctbs_h
+        t, r = self.tile_cols, self.tile_rows
+        cols = [(i + 1) * nw // t - i * nw // t for i in range(t)]
+        rows = [(j + 1) * nh // r - j * nh // r for j in range(r)]
+        return cols, rows
 
     @property
     def ctb(self) -> int:
@@ -199,8 +217,13 @@ def write_pps(cfg: StreamConfig) -> bytes:
     w.u(0, 1)                       # weighted_pred_flag
     w.u(0, 1)                       # weighted_bipred_flag
     w.u(0, 1)                       # transquant_bypass_enabled_flag
-    w.u(0, 1)                       # tiles_enabled_flag
+    w.u(1 if cfg.tiles_enabled else 0, 1)   # tiles_enabled_flag
     w.u(0, 1)                       # entropy_coding_sync_enabled_flag
+    if cfg.tiles_enabled:
+        w.ue(cfg.tile_cols - 1)
+        w.ue(cfg.tile_rows - 1)
+        w.u(1, 1)                   # uniform_spacing_flag
+        w.u(0, 1)                   # loop_filter_across_tiles_enabled_flag
     w.u(1, 1)                       # pps_loop_filter_across_slices_enabled_flag
     w.u(1, 1)                       # deblocking_filter_control_present_flag
     w.u(0, 1)                       # deblocking_filter_override_enabled_flag
@@ -214,9 +237,13 @@ def write_pps(cfg: StreamConfig) -> bytes:
     return make_nal(NAL_PPS, w.bytes())
 
 
-def write_slice_header_idr(cfg: StreamConfig) -> BitWriter:
+def write_slice_header_idr(cfg: StreamConfig,
+                           entry_point_offsets: list[int] | None = None
+                           ) -> BitWriter:
     """IDR (I-slice) slice segment header up to and incl. byte alignment.
 
+    entry_point_offsets: per-substream byte sizes (EBSP domain) for all but
+    the last tile, required when tiles are enabled.
     Returns the BitWriter so the caller can append the CABAC payload bytes.
     """
     w = BitWriter()
@@ -225,7 +252,15 @@ def write_slice_header_idr(cfg: StreamConfig) -> BitWriter:
     w.ue(0)                         # slice_pic_parameter_set_id
     w.ue(2)                         # slice_type = I
     w.se(cfg.qp - 26)               # slice_qp_delta
-    # deblocking disabled in PPS with no override; SAO off: nothing more.
+    # deblocking disabled in PPS with no override; SAO off.
+    if cfg.tiles_enabled:
+        offs = entry_point_offsets or []
+        w.ue(len(offs))             # num_entry_point_offsets
+        if offs:
+            blen = max(1, max(o - 1 for o in offs).bit_length())
+            w.ue(blen - 1)          # offset_len_minus1
+            for o in offs:
+                w.u(o - 1, blen)    # entry_point_offset_minus1
     w.bit(1)                        # byte_alignment: alignment_bit_equal_to_one
     w.byte_align(0)
     return w
