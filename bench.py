@@ -39,7 +39,7 @@ def main():
     W, H, F, QP = 1920, 1080, 8, 27
     frames = [tuple(np.asarray(p, np.int32) for p in synth_frame(W, H, t))
               for t in range(F)]
-    tc, tr = pick_tile_grid(H // 16, W // 16)
+    tc, tr = pick_tile_grid((H + 15) // 16, (W + 15) // 16)
     log(f"tile grid: {tc}x{tr}")
 
     enc = JaxIntraEncoder(QP)

@@ -396,8 +396,27 @@ def decode_annexb(data: bytes, cfg=None) -> list[dict]:
             hdr = parse_slice_header(rbsp, nal_type, sps, pps)
             payload = rbsp[hdr.payload_offset:]
             if pps.tiles_enabled:
-                frames.append(_decode_tiled_slice(payload, hdr, sps, pps))
+                frame = _decode_tiled_slice(payload, hdr, sps, pps)
             else:
                 dec = IntraDecoder(sps, pps)
-                frames.append(dec.decode_slice(payload, hdr))
+                frame = dec.decode_slice(payload, hdr)
+            if not hdr.deblocking_disabled:
+                _apply_deblock(frame, hdr, sps, pps)
+            frames.append(frame)
     return frames
+
+
+def _apply_deblock(frame: dict, hdr, sps: Sps, pps: Pps) -> None:
+    from hevc_tpu.ops.deblock import deblock_frame
+    ctb = 1 << sps.log2_ctb
+    tile_x = tile_y = None
+    if pps.tiles_enabled:
+        nw = (sps.pic_width + ctb - 1) // ctb
+        nh = (sps.pic_height + ctb - 1) // ctb
+        tile_x = [((i + 1) * nw // pps.tile_cols) * ctb
+                  for i in range(pps.tile_cols - 1)]
+        tile_y = [((j + 1) * nh // pps.tile_rows) * ctb
+                  for j in range(pps.tile_rows - 1)]
+    deblock_frame(frame["y"], frame["cb"], frame["cr"], hdr.qp,
+                  ctb=ctb, bit_depth=sps.bit_depth,
+                  tile_cols_px=tile_x, tile_rows_px=tile_y)

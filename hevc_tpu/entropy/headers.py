@@ -45,6 +45,7 @@ class StreamConfig:
     hdr: bool = False
     tile_cols: int = 1             # uniform tile grid (1x1 = tiles off)
     tile_rows: int = 1
+    deblock: bool = True           # in-loop deblocking filter
     extra: dict = field(default_factory=dict)
 
     @property
@@ -227,7 +228,10 @@ def write_pps(cfg: StreamConfig) -> bytes:
     w.u(1, 1)                       # pps_loop_filter_across_slices_enabled_flag
     w.u(1, 1)                       # deblocking_filter_control_present_flag
     w.u(0, 1)                       # deblocking_filter_override_enabled_flag
-    w.u(1, 1)                       # pps_deblocking_filter_disabled_flag
+    w.u(0 if cfg.deblock else 1, 1)  # pps_deblocking_filter_disabled_flag
+    if cfg.deblock:
+        w.se(0)                     # pps_beta_offset_div2
+        w.se(0)                     # pps_tc_offset_div2
     w.u(0, 1)                       # pps_scaling_list_data_present_flag
     w.u(0, 1)                       # lists_modification_present_flag
     w.ue(0)                         # log2_parallel_merge_level_minus2
@@ -252,7 +256,8 @@ def write_slice_header_idr(cfg: StreamConfig,
     w.ue(0)                         # slice_pic_parameter_set_id
     w.ue(2)                         # slice_type = I
     w.se(cfg.qp - 26)               # slice_qp_delta
-    # deblocking disabled in PPS with no override; SAO off.
+    if cfg.deblock:                 # deblocking on: across-slices flag present
+        w.u(1, 1)                   # slice_loop_filter_across_slices_enabled
     if cfg.tiles_enabled:
         offs = entry_point_offsets or []
         w.ue(len(offs))             # num_entry_point_offsets

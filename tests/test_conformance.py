@@ -27,7 +27,9 @@ def _content(seed=7, W=64, H=48):
 
 
 def _encode(y, cb, cr, qp):
-    cfg = StreamConfig(width=y.shape[1], height=y.shape[0], qp=qp)
+    # deblock off: these tests assert decoder == encoder reconstruction
+    cfg = StreamConfig(width=y.shape[1], height=y.shape[0], qp=qp,
+                       deblock=False)
     enc = RefIntraEncoder(cfg)
     nal, recon = enc.encode_frame(y, cb, cr)
     return annexb(enc.parameter_sets() + [nal]), recon

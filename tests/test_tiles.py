@@ -25,7 +25,7 @@ def _content(W, H, seed=5):
 def test_tiled_self_decode(tc, tr):
     W, H = 128, 96
     y, cb, cr = _content(W, H)
-    cfg = StreamConfig(width=W, height=H, qp=30, tile_cols=tc, tile_rows=tr)
+    cfg = StreamConfig(width=W, height=H, qp=30, tile_cols=tc, tile_rows=tr, deblock=False)
     enc = VideoEncoder(cfg, backend="jax")
     nal, recon = enc.encode_frame(y, cb, cr)
     stream = annexb([write_vps(cfg), write_sps(cfg), write_pps(cfg), nal])
@@ -39,7 +39,7 @@ def test_tiled_self_decode(tc, tr):
 def test_tiled_avcodec_bit_exact(tc, tr):
     W, H = 128, 96
     y, cb, cr = _content(W, H)
-    cfg = StreamConfig(width=W, height=H, qp=27, tile_cols=tc, tile_rows=tr)
+    cfg = StreamConfig(width=W, height=H, qp=27, tile_cols=tc, tile_rows=tr, deblock=False)
     enc = VideoEncoder(cfg, backend="jax")
     nal, recon = enc.encode_frame(y, cb, cr)
     stream = annexb([write_vps(cfg), write_sps(cfg), write_pps(cfg), nal])
