@@ -113,6 +113,8 @@ def convert_video(file_path, out_dir, progress_callback=None, debug=False,
     if total == 0:
         return result
 
+    audio = _prepare_audio(file_path)
+
     attempts = 0
     status = None
     method = None
@@ -128,7 +130,8 @@ def convert_video(file_path, out_dir, progress_callback=None, debug=False,
                                 batch_frames=knobs.get("batch_frames", 8),
                                 progress_callback=progress_callback,
                                 file_name=file_path.name,
-                                stop_event=stop_event, deadline=deadline)
+                                stop_event=stop_event, deadline=deadline,
+                                audio=audio)
             if ok == "CANCELLED":
                 status = "CANCELLED"
                 break
@@ -150,7 +153,8 @@ def convert_video(file_path, out_dir, progress_callback=None, debug=False,
                                     backend="reference", batch_frames=1,
                                     progress_callback=progress_callback,
                                     file_name=file_path.name,
-                                    stop_event=stop_event, deadline=deadline)
+                                    stop_event=stop_event, deadline=deadline,
+                                    audio=audio)
                 status = "CANCELLED" if ok == "CANCELLED" else "SUCCESS"
                 method = "cpu-ref"
             except Exception as e:
@@ -171,7 +175,8 @@ def convert_video(file_path, out_dir, progress_callback=None, debug=False,
                                    backend="reference", batch_frames=1,
                                    progress_callback=progress_callback,
                                    file_name=file_path.name,
-                                   stop_event=stop_event, deadline=deadline)
+                                   stop_event=stop_event, deadline=deadline,
+                                   audio=audio)
                     ok2, msgs2 = validate_mp4(out_path, expect_hdr=info.is_hdr)
                     if ok2:
                         method = "cpu-ref"
@@ -197,9 +202,33 @@ def convert_video(file_path, out_dir, progress_callback=None, debug=False,
     return result
 
 
+def _prepare_audio(file_path: Path):
+    """Decode source audio and re-encode per the AAC policy (SURVEY C8).
+
+    Returns the muxer's audio dict or None (no audio / harness absent).
+    """
+    try:
+        from hevc_tpu.validate import avref
+        from hevc_tpu.planner.audio import plan_audio
+        dec = avref.decode_audio(file_path)
+        if dec is None:
+            return None
+        pcm, rate = dec
+        plan = plan_audio(pcm.shape[1], rate)
+        packets = avref.encode_aac(pcm, rate, plan.bitrate)
+        if not packets:
+            return None
+        return {"packets": packets, "rate": rate, "channels": pcm.shape[1],
+                "bitrate": plan.bitrate}
+    except Exception as e:
+        log.warning("audio path failed for %s: %s (continuing video-only)",
+                    file_path, e)
+        return None
+
+
 def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
                    backend: str, batch_frames: int, progress_callback,
-                   file_name: str, stop_event, deadline: float):
+                   file_name: str, stop_event, deadline: float, audio=None):
     from hevc_tpu.entropy.headers import StreamConfig
     from hevc_tpu.encoder.toplevel import VideoEncoder, entropy_encode_frame
     from hevc_tpu.io.mp4 import mux_mp4
@@ -263,5 +292,5 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
     hdr_md = build_hdr_metadata(info)
     mux_mp4(out_path, samples, cfg, fps=fps,
             vps=write_vps(cfg), sps=write_sps(cfg), pps=write_pps(cfg),
-            hdr_metadata=hdr_md)
+            hdr_metadata=hdr_md, audio=audio)
     return "SUCCESS"

@@ -76,15 +76,73 @@ def _hdr_boxes(master_display: str | None, max_cll: str | None) -> bytes:
     return out
 
 
+_AAC_RATES = [96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+              16000, 12000, 11025, 8000, 7350]
+
+
+def _esds(rate: int, channels: int, bitrate: int) -> bytes:
+    sri = _AAC_RATES.index(rate) if rate in _AAC_RATES else 3
+    asc = struct.pack(">H", (2 << 11) | (sri << 7) | (channels << 3))
+
+    def desc(tag: int, payload: bytes) -> bytes:
+        return bytes([tag, len(payload)]) + payload
+
+    dsi = desc(0x05, asc)
+    dcd = desc(0x04, bytes([0x40, 0x15]) + b"\x00\x00\x00" +
+               struct.pack(">II", bitrate, bitrate) + dsi)
+    es = desc(0x03, struct.pack(">HB", 1, 0) + dcd + desc(0x06, b"\x02"))
+    return _full(b"esds", 0, 0, es)
+
+
+def _audio_trak(audio: dict, chunk_offset: int) -> bytes:
+    pkts = audio["packets"]
+    rate = audio["rate"]
+    ch = audio["channels"]
+    n = len(pkts)
+    duration = n * 1024
+    se = bytearray()
+    se += b"\x00" * 6 + struct.pack(">H", 1)
+    se += b"\x00" * 8                                    # version/rev/vendor
+    se += struct.pack(">HH", ch, 16)                     # channels, samplesize
+    se += struct.pack(">HH", 0, 0)
+    se += struct.pack(">I", rate << 16)
+    se += _esds(rate, ch, audio.get("bitrate", 128000))
+    mp4a = _box(b"mp4a", bytes(se))
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + mp4a)
+    stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, 1024))
+    stsc = _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+    stsz = _full(b"stsz", 0, 0, struct.pack(">II", 0, n) +
+                 b"".join(struct.pack(">I", len(p)) for p in pkts))
+    stco = _full(b"stco", 0, 0, struct.pack(">II", 1, chunk_offset))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    url = _full(b"url ", 0, 1, b"")
+    dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + url)
+    dinf = _box(b"dinf", dref)
+    smhd = _full(b"smhd", 0, 0, struct.pack(">HH", 0, 0))
+    minf = _box(b"minf", smhd + dinf + stbl)
+    hdlr = _full(b"hdlr", 0, 0, struct.pack(">I", 0) + b"soun" +
+                 b"\x00" * 12 + b"Core Media Audio\x00")
+    mdhd = _full(b"mdhd", 0, 0, struct.pack(
+        ">IIIIHH", 0, 0, rate, duration, 0x55C4, 0))
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full(b"tkhd", 0, 3, struct.pack(
+        ">IIIIIIIHHHHIIIIIIIIIII",
+        0, 0, 2, 0, duration, 0, 0, 0, 0, 0x0100, 0,
+        0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000, 0, 0))
+    return _box(b"trak", tkhd + mdia)
+
+
 def mux_mp4(path, samples: list[bytes], cfg, fps: Fraction | None = None,
             vps: bytes | None = None, sps: bytes | None = None,
             pps: bytes | None = None, sync_samples: list[int] | None = None,
-            hdr_metadata: dict | None = None) -> None:
-    """Write an .mp4 with one HEVC video track.
+            hdr_metadata: dict | None = None, audio: dict | None = None
+            ) -> None:
+    """Write an .mp4 with one HEVC video track (+ optional AAC audio track).
 
     samples: per-frame bitstream payloads, each a concatenation of
     length-prefixed NAL units (utils.bitio.length_prefixed).
     cfg: StreamConfig (dimensions, level, color description, bit depth).
+    audio: {"packets": [bytes], "rate": int, "channels": int, "bitrate": int}.
     """
     fps = fps or cfg.fps
     timescale = fps.numerator
@@ -92,7 +150,9 @@ def mux_mp4(path, samples: list[bytes], cfg, fps: Fraction | None = None,
     n = len(samples)
     duration = n * sample_delta
 
-    mdat_payload = b"".join(samples)
+    video_bytes = b"".join(samples)
+    audio_bytes = b"".join(audio["packets"]) if audio else b""
+    mdat_payload = video_bytes + audio_bytes
 
     # --- stbl ---
     hvc1_extra = _hvcc(vps, sps, pps, cfg)
@@ -149,8 +209,11 @@ def mux_mp4(path, samples: list[bytes], cfg, fps: Fraction | None = None,
             struct.pack(">IIIIIIIII", 0x00010000, 0, 0, 0, 0x00010000, 0,
                         0, 0, 0x40000000) +
             struct.pack(">IIIIII", 0, 0, 0, 0, 0, 0) +
-            struct.pack(">I", 2))                       # next_track_id
-        return _box(b"moov", mvhd + trak)
+            struct.pack(">I", 3 if audio else 2))       # next_track_id
+        atrak = b""
+        if audio:
+            atrak = _audio_trak(audio, chunk_offset + len(video_bytes))
+        return _box(b"moov", mvhd + trak + atrak)
 
     ftyp = _box(b"ftyp", b"mp42" + struct.pack(">I", 0) +
                 b"mp42" + b"isom" + b"hvc1")

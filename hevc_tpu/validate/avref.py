@@ -38,6 +38,14 @@ def _load():
     lib.avref_decode_file.argtypes = [
         ctypes.c_char_p, ctypes.c_void_p, ctypes.c_long,
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int), ctypes.c_int]
+    lib.avref_decode_audio.restype = ctypes.c_long
+    lib.avref_decode_audio.argtypes = [
+        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+    lib.avref_encode_aac.restype = ctypes.c_long
+    lib.avref_encode_aac.argtypes = [
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_long]
     lib.avref_encode.restype = ctypes.c_long
     lib.avref_encode.argtypes = [
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
@@ -87,6 +95,46 @@ def decode_file(path: str, max_frames: int = 512):
         cr = buf[base + W * H + W * H // 4:base + fsz].reshape(H // 2, W // 2).copy()
         frames.append((y, cb, cr))
     return frames
+
+
+def decode_audio(path, max_samples: int = 48000 * 3600):
+    """Decode the first audio stream -> (np.int16 (n, ch), rate) or None."""
+    lib = _load()
+    if not lib:
+        return None
+    cap = min(max_samples, 48000 * 3600)
+    buf = np.zeros(cap * 8, dtype=np.int16)
+    rate = ctypes.c_int(0)
+    ch = ctypes.c_int(0)
+    n = lib.avref_decode_audio(str(path).encode(),
+                               buf.ctypes.data, cap,
+                               ctypes.byref(rate), ctypes.byref(ch))
+    if n <= 0 or ch.value == 0:
+        return None
+    pcm = buf[:n * ch.value].reshape(n, ch.value).copy()
+    return pcm, rate.value
+
+
+def encode_aac(pcm: np.ndarray, rate: int, bitrate: int = 128_000):
+    """Encode interleaved s16 PCM (n, ch) -> list of AAC packets."""
+    lib = _load()
+    if not lib:
+        return None
+    pcm = np.ascontiguousarray(pcm, dtype=np.int16)
+    n, ch = pcm.shape
+    cap = max(1 << 20, n * ch * 2)
+    out = (ctypes.c_ubyte * cap)()
+    sz = lib.avref_encode_aac(pcm.ctypes.data, n, rate, ch, bitrate, out, cap)
+    if sz < 0:
+        raise RuntimeError(f"avref_encode_aac error {sz}")
+    data = bytes(bytearray(out[:sz]))
+    packets = []
+    off = 0
+    while off + 4 <= len(data):
+        ln = int.from_bytes(data[off:off + 4], "little")
+        packets.append(data[off + 4:off + 4 + ln])
+        off += 4 + ln
+    return packets
 
 
 def encode(frames, encoder: str = "libx265", fps=(30, 1), crf: int = 23,
