@@ -32,7 +32,8 @@ def main():
 
     sys.path.insert(0, "tests")
     from generate_test_videos import synth_frame
-    from hevc_tpu.encoder.frame_jax import JaxIntraEncoder, pick_tile_grid
+    from hevc_tpu.encoder.frame_jax import pick_tile_grid
+    from hevc_tpu.encoder.rowscan_jax import RowScanEncoder
     from hevc_tpu.entropy.headers import StreamConfig
     from hevc_tpu.entropy.tiled import entropy_encode_frame_tiled
 
@@ -42,7 +43,7 @@ def main():
     tc, tr = pick_tile_grid((H + 15) // 16, (W + 15) // 16)
     log(f"tile grid: {tc}x{tr}")
 
-    enc = JaxIntraEncoder(QP)
+    enc = RowScanEncoder(QP)
     t0 = time.time()
     results = enc.encode_frames_tiled(frames, tc, tr)
     log(f"compile+first batch: {time.time()-t0:.1f}s")

@@ -269,7 +269,9 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
             nchunk = [(np.asarray(f[0], np.int32), np.asarray(f[1], np.int32),
                        np.asarray(f[2], np.int32)) for f in chunk]
             if cfg.tiles_enabled:
-                results = enc._enc.encode_frames_tiled(
+                from hevc_tpu.encoder.rowscan_jax import RowScanEncoder
+                rs = RowScanEncoder(cfg.qp, cfg.bit_depth)
+                results = rs.encode_frames_tiled(
                     nchunk, cfg.tile_cols, cfg.tile_rows)
             else:
                 results = enc._enc.encode_frames(nchunk)

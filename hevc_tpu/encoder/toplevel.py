@@ -82,7 +82,9 @@ class VideoEncoder:
         """Returns (slice NAL, recon planes)."""
         if self.backend == "jax":
             if self.cfg.tiles_enabled:
-                res = self._enc.encode_frames_tiled(
+                from hevc_tpu.encoder.rowscan_jax import RowScanEncoder
+                rs = RowScanEncoder(self.cfg.qp, self.cfg.bit_depth)
+                res = rs.encode_frames_tiled(
                     [(y, cb, cr)], self.cfg.tile_cols, self.cfg.tile_rows)[0]
                 from hevc_tpu.entropy.tiled import entropy_encode_frame_tiled
                 return entropy_encode_frame_tiled(self.cfg, res), res["recon"]
