@@ -243,8 +243,14 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
         nh = (h + CTB - 1) // CTB
         nw = (w + CTB - 1) // CTB
         tile_cols, tile_rows = pick_tile_grid(nh, nw)
+    bit_depth = 10 if (level.profile == "main10" and backend == "jax") else 8
+    if bit_depth == 10 and int(np.asarray(frames[0][0]).max()) <= 255:
+        # 8-bit source flagged HDR: requantize code values to 10-bit
+        # (the reference's p010le conversion, core/transcoder.py:205-208)
+        frames = [tuple(np.asarray(p, np.int32) << 2 for p in f)
+                  for f in frames]
     cfg = StreamConfig(
-        width=w, height=h, qp=qp, fps=fps,
+        width=w, height=h, qp=qp, fps=fps, bit_depth=bit_depth,
         level_idc=level.level_idc, tier_high=level.tier_high,
         profile_idc=2 if level.profile == "main10" else 1,
         color_primaries=info.color_primaries,

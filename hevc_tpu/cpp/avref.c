@@ -15,20 +15,45 @@
 #include <string.h>
 #include <stdlib.h>
 
+static int frame_bps(const AVFrame *frame)
+{
+    switch (frame->format) {
+    case AV_PIX_FMT_YUV420P10LE:
+    case AV_PIX_FMT_YUV420P12LE:
+    case AV_PIX_FMT_P010LE:
+        return 2;
+    default:
+        return 1;
+    }
+}
+
+static int frame_bits(const AVFrame *frame)
+{
+    switch (frame->format) {
+    case AV_PIX_FMT_YUV420P10LE: case AV_PIX_FMT_P010LE: return 10;
+    case AV_PIX_FMT_YUV420P12LE: return 12;
+    default: return 8;
+    }
+}
+
 static long copy_frame(const AVFrame *frame, uint8_t *out, long off, long cap)
 {
     int w = frame->width, h = frame->height;
-    if (off + (long)w * h * 3 / 2 > cap) return -1;
-    for (int r = 0; r < h; r++, off += w)
-        memcpy(out + off, frame->data[0] + (long)r * frame->linesize[0], w);
+    int bps = frame_bps(frame);
+    if (off + (long)w * h * 3 / 2 * bps > cap) return -1;
+    for (int r = 0; r < h; r++, off += (long)w * bps)
+        memcpy(out + off, frame->data[0] + (long)r * frame->linesize[0],
+               (long)w * bps);
     for (int c = 1; c <= 2; c++)
-        for (int r = 0; r < h / 2; r++, off += w / 2)
-            memcpy(out + off, frame->data[c] + (long)r * frame->linesize[c], w / 2);
+        for (int r = 0; r < h / 2; r++, off += (long)(w / 2) * bps)
+            memcpy(out + off, frame->data[c] + (long)r * frame->linesize[c],
+                   (long)(w / 2) * bps);
     return off;
 }
 
 /* Decode the first video stream of any container/elementary file into planar
- * YUV420 frames, written sequentially into out. Returns frame count or <0. */
+ * YUV420 frames, written sequentially into out. *out_w gets the width,
+ * *out_h gets height | (bit_depth << 16). Returns frame count or <0. */
 int avref_decode_file(const char *path, uint8_t *out, long out_cap,
                       int *out_w, int *out_h, int max_frames)
 {
@@ -62,7 +87,8 @@ int avref_decode_file(const char *path, uint8_t *out, long out_cap,
         int got = 0;
         while (avcodec_receive_frame(ctx, frame) == 0 && nframes < max_frames) {
             got = 1;
-            *out_w = frame->width; *out_h = frame->height;
+            *out_w = frame->width;
+            *out_h = frame->height | (frame_bits(frame) << 16);
             off = copy_frame(frame, out, off, out_cap);
             if (off < 0) { err = -6; break; }
             nframes++;

@@ -118,9 +118,12 @@ class IntraDecoder:
     # ---- slice decode ---------------------------------------------------------
     def decode_slice(self, payload: bytes, hdr: SliceHeader,
                      expect_end: bool = True) -> dict:
-        self.qp = hdr.qp
-        self.qpc_cb = R.chroma_qp(min(max(hdr.qp + self.pps.cb_qp_offset, 0), 57))
-        self.qpc_cr = R.chroma_qp(min(max(hdr.qp + self.pps.cr_qp_offset, 0), 57))
+        qp_bd = 6 * (self.sps.bit_depth - 8)   # Qp' = Qp + QpBdOffset (8.6.3)
+        self.qp = hdr.qp + qp_bd
+        self.qpc_cb = R.chroma_qp(
+            min(max(hdr.qp + self.pps.cb_qp_offset, 0), 57)) + qp_bd
+        self.qpc_cr = R.chroma_qp(
+            min(max(hdr.qp + self.pps.cr_qp_offset, 0), 57)) + qp_bd
         self.y = np.zeros((self.H, self.W), dtype=np.int32)
         self.cb = np.zeros((self.H // 2, self.W // 2), dtype=np.int32)
         self.cr = np.zeros((self.H // 2, self.W // 2), dtype=np.int32)

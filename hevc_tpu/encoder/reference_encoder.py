@@ -62,8 +62,9 @@ class RefIntraEncoder:
         """Encode one frame. Returns (slice_nal, recon_planes dict)."""
         cfg = self.cfg
         ctb = cfg.ctb
-        qp = cfg.qp
-        qpc = R.chroma_qp(qp)
+        qp_bd = 6 * (cfg.bit_depth - 8)
+        qp = cfg.qp + qp_bd              # Qp' for quant (spec 8.6.3)
+        qpc = R.chroma_qp(cfg.qp) + qp_bd
         ys = pad_to_ctb(y, ctb)
         cbs = pad_to_ctb(cb, ctb // 2)
         crs = pad_to_ctb(cr, ctb // 2)
@@ -76,7 +77,7 @@ class RefIntraEncoder:
         lam = 0.85 * 2.0 ** ((qp - 12) / 3.0)
         sqrt_lam = np.sqrt(lam)
 
-        syn = SliceSyntaxEncoder(qp)
+        syn = SliceSyntaxEncoder(cfg.qp)     # CABAC init uses SliceQpY
         mode_row = np.full(nw, INTRA_DC, dtype=np.int32)  # left-neighbor modes
 
         for cy in range(nh):

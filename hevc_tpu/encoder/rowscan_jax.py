@@ -70,12 +70,13 @@ def _predict_luma_all(ref_raw, ref_filt):
     return jnp.right_shift(p + (1 << (sh - 1)), sh)
 
 
-def _luma_fixups(preds, ref, maxv=255):
+def _luma_fixups(preds, ref, maxv):
     from hevc_tpu.encoder.frame_jax import _luma_fixups as fx
     return fx(preds, ref, CTB, maxv)
 
 
-def _build_ref(left, top, topright, corner, al, aa, aar, ac, n):
+def _build_ref(left, top, topright, corner, al, aa, aar, ac, n,
+               bit_depth=8):
     """Scalar availability flags (shared across batch); returns (B, 4n+1)."""
     B = left.shape[0]
     n2 = 2 * n
@@ -91,17 +92,21 @@ def _build_ref(left, top, topright, corner, al, aa, aar, ac, n):
     avail = jnp.concatenate([
         jnp.zeros((B, n), bool),
         bb(al, n), bb(ac, 1), bb(aa, n), bb(aar, n)], axis=-1)
-    return J.substitute_refs(vals, avail)
+    return J.substitute_refs(vals, avail, bit_depth)
 
 
-@partial(jax.jit, static_argnames=("tnh", "tnw"))
-def encode_tiles_rowscan_jit(src_y, src_cb, src_cr, qp, lam_bits, tnh, tnw):
+@partial(jax.jit, static_argnames=("tnh", "tnw", "bit_depth"))
+def encode_tiles_rowscan_jit(src_y, src_cb, src_cr, qp, lam_bits, tnh, tnw,
+                             bit_depth=8):
     """src_y: (B, tnh, tnw, 16, 16) int32; returns step-major outputs.
 
     Output arrays have shape (steps=tnh*tnw, B, ...) in raster order.
     """
     B = src_y.shape[0]
-    qpc = jnp.asarray(_CQP)[jnp.clip(qp, 0, 57)]
+    maxv = (1 << bit_depth) - 1
+    qp_bd = 6 * (bit_depth - 8)          # QpBdOffset (spec 8.6.3: Qp' = Qp + off)
+    qp_eff = qp + qp_bd
+    qpc = jnp.asarray(_CQP)[jnp.clip(qp, 0, 57)] + qp_bd
     wc, sh8 = _chroma_weights()
     wc = jnp.asarray(wc)
     sh8 = jnp.asarray(sh8)
@@ -139,10 +144,10 @@ def encode_tiles_rowscan_jit(src_y, src_cb, src_cr, qp, lam_bits, tnh, tnw):
         cclamp = jnp.minimum(c + 1, tnw - 1)
         tr = jax.lax.dynamic_slice(state["top_y"], (0, cclamp * CTB), (B, CTB))
         ref_raw = _build_ref(state["left_y"], top, tr, state["corner_y"],
-                             al, aa, aar, ac, CTB)
+                             al, aa, aar, ac, CTB, bit_depth)
         ref_filt = J.filter_refs(ref_raw)
         preds = _predict_luma_all(ref_raw, ref_filt)
-        preds = _luma_fixups(preds, ref_raw)
+        preds = _luma_fixups(preds, ref_raw, maxv)
 
         diff = src.reshape(B, 1, CTB, CTB) - preds.reshape(B, 35, CTB, CTB)
         costs = J.satd(diff, CTB)
@@ -158,10 +163,12 @@ def encode_tiles_rowscan_jit(src_y, src_cb, src_cr, qp, lam_bits, tnh, tnw):
             preds, mode[:, None, None], axis=1).reshape(B, CTB, CTB)
 
         resi = src - pred
-        lvl = J.quantize(J.forward_transform(resi, CTB), qp, CTB)
+        lvl = J.quantize(J.forward_transform(resi, CTB, bit_depth=bit_depth),
+                         qp_eff, CTB, bit_depth)
         cbf_y = jnp.any(lvl != 0, axis=(-2, -1))
-        rin = J.inverse_transform(J.dequantize(lvl, qp, CTB), CTB)
-        rec = jnp.where(cbf_y[:, None, None], jnp.clip(pred + rin, 0, 255),
+        rin = J.inverse_transform(J.dequantize(lvl, qp_eff, CTB, bit_depth),
+                                  CTB, bit_depth=bit_depth)
+        rec = jnp.where(cbf_y[:, None, None], jnp.clip(pred + rin, 0, maxv),
                         pred)
 
         # chroma: all-mode matmul then select DM mode
@@ -175,18 +182,21 @@ def encode_tiles_rowscan_jit(src_y, src_cb, src_cr, qp, lam_bits, tnh, tnw):
             topc = jax.lax.dynamic_slice(state[tkey], (0, c * NC), (B, NC))
             trc = jax.lax.dynamic_slice(state[tkey], (0, cclamp * NC), (B, NC))
             refc = _build_ref(state[lkey], topc, trc, state[ckey],
-                              al, aa, aar, ac, NC)
+                              al, aa, aar, ac, NC, bit_depth)
             pall = J.exact_matmul_small(refc.astype(jnp.float32), wc)
             pall = pall.astype(I32).reshape(B, 35, NC * NC)
             shm = sh8[None, :, None]
             pall = jnp.right_shift(pall + (1 << (shm - 1)), shm)
             pc = jnp.take_along_axis(pall, mode[:, None, None],
                                      axis=1).reshape(B, NC, NC)
-            lvlc = J.quantize(J.forward_transform(sc - pc, NC), qpc, NC)
+            lvlc = J.quantize(J.forward_transform(sc - pc, NC,
+                                                  bit_depth=bit_depth),
+                              qpc, NC, bit_depth)
             cbfc = jnp.any(lvlc != 0, axis=(-2, -1))
-            rinc = J.inverse_transform(J.dequantize(lvlc, qpc, NC), NC)
+            rinc = J.inverse_transform(J.dequantize(lvlc, qpc, NC, bit_depth),
+                                       NC, bit_depth=bit_depth)
             recc = jnp.where(cbfc[:, None, None],
-                             jnp.clip(pc + rinc, 0, 255), pc)
+                             jnp.clip(pc + rinc, 0, maxv), pc)
             outs_c.append((lvlc, cbfc, recc))
         (lvl_cb, cbf_cb, rec_cb), (lvl_cr, cbf_cr, rec_cr) = outs_c
 
@@ -209,12 +219,12 @@ def encode_tiles_rowscan_jit(src_y, src_cb, src_cr, qp, lam_bits, tnh, tnw):
         nxt["left_cr"] = rec_cr[:, :, NC - 1]
         nxt["left_mode"] = mode
 
+        rdt = jnp.uint8 if bit_depth == 8 else jnp.uint16
         out = (mode.astype(jnp.int8),
                cbf_y, cbf_cb, cbf_cr,
                lvl.astype(jnp.int16), lvl_cb.astype(jnp.int16),
                lvl_cr.astype(jnp.int16),
-               rec.astype(jnp.uint8), rec_cb.astype(jnp.uint8),
-               rec_cr.astype(jnp.uint8))
+               rec.astype(rdt), rec_cb.astype(rdt), rec_cr.astype(rdt))
         return nxt, out
 
     _, outs = jax.lax.scan(step, state, jnp.arange(tnh * tnw, dtype=I32))
@@ -226,7 +236,9 @@ class RowScanEncoder:
 
     def __init__(self, qp: int, bit_depth: int = 8):
         self.qp = qp
-        lam = 0.85 * 2.0 ** ((qp - 12) / 3.0)
+        self.bit_depth = bit_depth
+        qp_eff = qp + 6 * (bit_depth - 8)    # lambda follows Qp'
+        lam = 0.85 * 2.0 ** ((qp_eff - 12) / 3.0)
         sl = float(np.sqrt(lam))
         self.lam_bits = jnp.asarray([int(sl * b) for b in (2, 3, 6)],
                                     dtype=np.int32)
@@ -250,7 +262,8 @@ class RowScanEncoder:
         cbb = jnp.asarray(np.concatenate([tile_split(b[1], NC) for b in blocks]))
         crb = jnp.asarray(np.concatenate([tile_split(b[2], NC) for b in blocks]))
         outs = encode_tiles_rowscan_jit(yb, cbb, crb, jnp.asarray(self.qp),
-                                        self.lam_bits, tnh, tnw)
+                                        self.lam_bits, tnh, tnw,
+                                        self.bit_depth)
         outs = [np.asarray(o) for o in outs]
 
         def unstep(a, to=None):

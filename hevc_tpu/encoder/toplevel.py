@@ -81,15 +81,11 @@ class VideoEncoder:
     def encode_frame(self, y, cb, cr) -> tuple[bytes, dict]:
         """Returns (slice NAL, recon planes)."""
         if self.backend == "jax":
-            if self.cfg.tiles_enabled:
-                from hevc_tpu.encoder.rowscan_jax import RowScanEncoder
-                rs = RowScanEncoder(self.cfg.qp, self.cfg.bit_depth)
-                res = rs.encode_frames_tiled(
-                    [(y, cb, cr)], self.cfg.tile_cols, self.cfg.tile_rows)[0]
-                from hevc_tpu.entropy.tiled import entropy_encode_frame_tiled
-                return entropy_encode_frame_tiled(self.cfg, res), res["recon"]
-            res = self._enc.encode_frame(y, cb, cr)
-            nal = entropy_encode_frame(self.cfg, res)
-            return nal, res["recon"]
+            from hevc_tpu.encoder.rowscan_jax import RowScanEncoder
+            from hevc_tpu.entropy.tiled import entropy_encode_frame_tiled
+            rs = RowScanEncoder(self.cfg.qp, self.cfg.bit_depth)
+            res = rs.encode_frames_tiled(
+                [(y, cb, cr)], self.cfg.tile_cols, self.cfg.tile_rows)[0]
+            return entropy_encode_frame_tiled(self.cfg, res), res["recon"]
         assert not self.cfg.tiles_enabled, "reference backend: tiles via jax"
         return self._enc.encode_frame(y, cb, cr)

@@ -84,9 +84,12 @@ def decode_file(path: str, max_frames: int = 512):
                               ctypes.byref(w), ctypes.byref(h), max_frames)
     if n < 0:
         raise RuntimeError(f"avref_decode_file error {n}")
-    W, H = w.value, h.value
+    W = w.value
+    H = h.value & 0xFFFF
+    bits = (h.value >> 16) or 8
+    dt = np.uint16 if bits > 8 else np.uint8
+    buf = np.ctypeslib.as_array(out, (cap,)).view(dt)
     fsz = W * H * 3 // 2
-    buf = np.ctypeslib.as_array(out, (cap,))
     frames = []
     for i in range(n):
         base = i * fsz
