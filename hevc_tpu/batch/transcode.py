@@ -71,8 +71,8 @@ def _read_frames(path: Path, info: VideoInfo):
 def convert_video(file_path, out_dir, progress_callback=None, debug=False,
                   skip_validator=False, force_cpu=False, force_gpu=False,
                   stop_event: threading.Event | None = None,
-                  nvenc_hdr_mode: str = "auto", qp_override: int | None = None
-                  ) -> dict:
+                  nvenc_hdr_mode: str = "auto", qp_override: int | None = None,
+                  resume: bool = False) -> dict:
     """Transcode one file to Apple-compatible HEVC .mp4.
 
     Returns {"file", "status", "quality", "retries", "method", "hdr"}.
@@ -90,6 +90,12 @@ def convert_video(file_path, out_dir, progress_callback=None, debug=False,
 
     info = probe_media(file_path)
     result["hdr"] = info.is_hdr
+    if resume:
+        from hevc_tpu.batch.resume import output_is_complete
+        if output_is_complete(out_path, expect_hdr=info.is_hdr):
+            result["status"] = "SUCCESS"
+            result["method"] = "resume-skip"
+            return result
     plan = calculate_dynamic_values(info)
     level = select_level(info)
     qp = qp_override if qp_override is not None else plan.qp
@@ -131,7 +137,7 @@ def convert_video(file_path, out_dir, progress_callback=None, debug=False,
                                 progress_callback=progress_callback,
                                 file_name=file_path.name,
                                 stop_event=stop_event, deadline=deadline,
-                                audio=audio)
+                                audio=audio, src_path=file_path, resume=resume)
             if ok == "CANCELLED":
                 status = "CANCELLED"
                 break
@@ -228,7 +234,8 @@ def _prepare_audio(file_path: Path):
 
 def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
                    backend: str, batch_frames: int, progress_callback,
-                   file_name: str, stop_event, deadline: float, audio=None):
+                   file_name: str, stop_event, deadline: float, audio=None,
+                   src_path=None, resume: bool = False):
     from hevc_tpu.entropy.headers import StreamConfig
     from hevc_tpu.encoder.toplevel import VideoEncoder, entropy_encode_frame
     from hevc_tpu.io.mp4 import mux_mp4
@@ -263,7 +270,16 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
     enc = VideoEncoder(cfg, backend=backend)
     samples = []
     total = len(frames)
-    i = 0
+    fp = None
+    if resume and src_path is not None:
+        from hevc_tpu.batch import resume as RZ
+        fp = RZ.config_fingerprint(src_path, cfg, total)
+        prev = RZ.load_checkpoint(out_path, fp)
+        if prev:
+            samples = prev[:total]
+            log.info("resuming %s from frame %d", file_name, len(samples))
+    i = len(samples)
+    last_ckpt = i
     while i < total:
         if stop_event is not None and stop_event.is_set():
             return "CANCELLED"
@@ -291,6 +307,10 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
                                           np.asarray(f[2], np.int32))
                 samples.append(length_prefixed([nal]))
         i += len(chunk)
+        if fp is not None and i - last_ckpt >= 32:
+            from hevc_tpu.batch import resume as RZ
+            RZ.save_checkpoint(out_path, fp, samples)
+            last_ckpt = i
         if progress_callback:
             try:
                 progress_callback(file_name, i, total)
@@ -301,4 +321,7 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
     mux_mp4(out_path, samples, cfg, fps=fps,
             vps=write_vps(cfg), sps=write_sps(cfg), pps=write_pps(cfg),
             hdr_metadata=hdr_md, audio=audio)
+    if fp is not None:
+        from hevc_tpu.batch import resume as RZ
+        RZ.clear_checkpoint(out_path)
     return "SUCCESS"
