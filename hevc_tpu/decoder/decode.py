@@ -129,6 +129,8 @@ class IntraDecoder:
         self.cr = np.zeros((self.H // 2, self.W // 2), dtype=np.int32)
         self.modes = np.full((self.H // 4, self.W // 4), INTRA_DC, np.int32)
         self.depth_map = np.zeros((self.H // 4, self.W // 4), np.int32)
+        self.part_map = np.zeros(((self.H + self.ctb - 1) // self.ctb,
+                                  (self.W + self.ctb - 1) // self.ctb), bool)
         self.syn = SliceSyntaxDecoder(payload, hdr.qp)
         ctbs_w = (self.W + self.ctb - 1) // self.ctb
         ctbs_h = (self.H + self.ctb - 1) // self.ctb
@@ -144,7 +146,8 @@ class IntraDecoder:
                     # end_of_subset_one_bit terminates this tile's substream
                     assert self.syn.decode_end_of_slice() == 1, \
                         "missing end_of_subset_one_bit"
-        return {"y": self.y, "cb": self.cb, "cr": self.cr, "qp": hdr.qp}
+        return {"y": self.y, "cb": self.cb, "cr": self.cr, "qp": hdr.qp,
+                "part_map": self.part_map}
 
     def _coding_quadtree(self, x0: int, y0: int, log2size: int) -> None:
         size = 1 << log2size
@@ -184,6 +187,9 @@ class IntraDecoder:
         part_nxn = False
         if log2size == self.sps.log2_min_cb:
             part_nxn = syn.decode_part_mode_intra()
+        if part_nxn:
+            self.part_map[y0 >> self.sps.log2_ctb,
+                          x0 >> self.sps.log2_ctb] = True
         self.depth_map[y0 >> 2:(y0 + size) >> 2, x0 >> 2:(x0 + size) >> 2] = \
             self.sps.log2_ctb - log2size
 
@@ -360,6 +366,7 @@ def _decode_tiled_slice(payload: bytes, hdr, sps: Sps, pps: Pps) -> dict:
     out_y = np.zeros((sps.pic_height, sps.pic_width), np.int32)
     out_cb = np.zeros((sps.pic_height // 2, sps.pic_width // 2), np.int32)
     out_cr = np.zeros_like(out_cb)
+    part_map = np.zeros((nh, nw), bool)
     k = 0
     y0 = 0
     for th in rows:
@@ -376,10 +383,12 @@ def _decode_tiled_slice(payload: bytes, hdr, sps: Sps, pps: Pps) -> dict:
                    xs // 2:(xs + tw * ctb) // 2] = f["cb"]
             out_cr[ys // 2:(ys + th * ctb) // 2,
                    xs // 2:(xs + tw * ctb) // 2] = f["cr"]
+            part_map[y0:y0 + th, x0:x0 + tw] = f["part_map"]
             k += 1
             x0 += tw
         y0 += th
-    return {"y": out_y, "cb": out_cb, "cr": out_cr, "qp": hdr.qp}
+    return {"y": out_y, "cb": out_cb, "cr": out_cr, "qp": hdr.qp,
+            "part_map": part_map}
 
 
 def decode_annexb(data: bytes, cfg=None) -> list[dict]:
@@ -422,4 +431,5 @@ def _apply_deblock(frame: dict, hdr, sps: Sps, pps: Pps) -> None:
                   for j in range(pps.tile_rows - 1)]
     deblock_frame(frame["y"], frame["cb"], frame["cr"], hdr.qp,
                   ctb=ctb, bit_depth=sps.bit_depth,
-                  tile_cols_px=tile_x, tile_rows_px=tile_y)
+                  tile_cols_px=tile_x, tile_rows_px=tile_y,
+                  nxn_map=frame.get("part_map"))

@@ -1,0 +1,132 @@
+"""v1 tile entropy: 2Nx2N / NxN intra CUs (CTB16), IntraSplit transform trees.
+
+Decision dicts come from encoder.ctu_modes.encode_ctu_v1 (or the JAX graph):
+per CTU: part_nxn, modes[4], cbf_y4[4], lvl_y (16x16; NxN = 8x8 quadrants),
+cbf_cb/cr (parent), cbf_cb4/cr4 (children), lvl_cb/cr (8x8; NxN = 4x4 quads).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from hevc_tpu.encoder.ctu_modes import nxn_mpm_cands
+from hevc_tpu.entropy import tables as T
+from hevc_tpu.entropy.headers import StreamConfig
+from hevc_tpu.entropy.syntax import SliceSyntaxEncoder, mpm_candidates, INTRA_DC
+from hevc_tpu.entropy.tiled import assemble_slice
+
+
+def encode_tile_payload_v1(cfg: StreamConfig, ctus: list[list[dict]],
+                           last_tile: bool) -> bytes:
+    """ctus: [row][col] decision dicts for one tile."""
+    syn = SliceSyntaxEncoder(cfg.qp)
+    nh = len(ctus)
+    nw = len(ctus[0])
+    left_modes_row = [(INTRA_DC, INTRA_DC)] * nh
+    for cy in range(nh):
+        left_modes = (INTRA_DC, INTRA_DC)
+        for cx in range(nw):
+            d = ctus[cy][cx]
+            _encode_ctu_v1(syn, d, left_modes, cx > 0)
+            m = d["modes"]
+            left_modes = (int(m[1]), int(m[3])) if d["part_nxn"] \
+                else (int(m[0]), int(m[0]))
+            last_ctu = (cy == nh - 1 and cx == nw - 1)
+            syn.encode_end_of_slice(last_ctu and last_tile)
+    if not last_tile:
+        syn.cabac.encode_terminate(1)
+    return syn.cabac.bytes_aligned()
+
+
+def _encode_ctu_v1(syn: SliceSyntaxEncoder, d: dict, left_modes, left_avail):
+    part_nxn = bool(d["part_nxn"])
+    modes = [int(m) for m in d["modes"]]
+    syn.encode_part_mode_intra(part_nxn)
+
+    if not part_nxn:
+        cands = mpm_candidates(left_modes[0] if left_avail else INTRA_DC,
+                               INTRA_DC)
+        syn.encode_luma_mode(modes[0], cands)
+        syn.encode_chroma_mode_dm()
+        syn.encode_cbf_chroma(int(d["cbf_cb"]), 0)
+        syn.encode_cbf_chroma(int(d["cbf_cr"]), 0)
+        syn.encode_cbf_luma(int(d["cbf_y4"][0]), 0)
+        if d["cbf_y4"][0]:
+            syn.encode_residual(np.asarray(d["lvl_y"]), 4,
+                                T.intra_scan_idx(4, modes[0], 0), 0)
+        if d["cbf_cb"]:
+            syn.encode_residual(np.asarray(d["lvl_cb"]), 3,
+                                T.intra_scan_idx(3, modes[0], 1), 1)
+        if d["cbf_cr"]:
+            syn.encode_residual(np.asarray(d["lvl_cr"]), 3,
+                                T.intra_scan_idx(3, modes[0], 1), 2)
+        return
+
+    # NxN: all four prev flags first, then mpm data (spec 7.3.8.5)
+    cand_lists = []
+    sofar: list[int] = []
+    for i in range(4):
+        cand_lists.append(nxn_mpm_cands(i, sofar, left_modes, left_avail))
+        sofar.append(modes[i])
+    c = syn.cabac
+    flags = [1 if modes[i] in cand_lists[i] else 0 for i in range(4)]
+    for f in flags:
+        c.encode_bin(T.CTX_OFF["prev_intra_luma_pred"], f)
+    for i in range(4):
+        if flags[i]:
+            idx = cand_lists[i].index(modes[i])
+            c.encode_bypass(0 if idx == 0 else 1)
+            if idx > 0:
+                c.encode_bypass(idx - 1)
+        else:
+            rem = modes[i] - sum(1 for x in cand_lists[i] if x < modes[i])
+            c.encode_bypass_bits(rem, 5)
+    syn.encode_chroma_mode_dm()
+    chroma_mode = modes[0]
+
+    # transform tree: parent chroma cbfs (depth 0), inferred split
+    pcb, pcr = int(d["cbf_cb"]), int(d["cbf_cr"])
+    syn.encode_cbf_chroma(pcb, 0)
+    syn.encode_cbf_chroma(pcr, 0)
+    lvl_y = np.asarray(d["lvl_y"])
+    lvl_cb = np.asarray(d["lvl_cb"])
+    lvl_cr = np.asarray(d["lvl_cr"])
+    for i in range(4):
+        dx, dy = (i & 1) * 8, (i >> 1) * 8
+        cbf_cb_i = int(d["cbf_cb4"][i]) if pcb else 0
+        cbf_cr_i = int(d["cbf_cr4"][i]) if pcr else 0
+        if pcb:
+            syn.encode_cbf_chroma(cbf_cb_i, 1)
+        if pcr:
+            syn.encode_cbf_chroma(cbf_cr_i, 1)
+        cbf_l = int(d["cbf_y4"][i])
+        syn.encode_cbf_luma(cbf_l, 1)
+        if cbf_l:
+            syn.encode_residual(lvl_y[dy:dy + 8, dx:dx + 8], 3,
+                                T.intra_scan_idx(3, modes[i], 0), 0)
+        cdx, cdy = (i & 1) * 4, (i >> 1) * 4
+        if cbf_cb_i:
+            syn.encode_residual(lvl_cb[cdy:cdy + 4, cdx:cdx + 4], 2,
+                                T.intra_scan_idx(2, chroma_mode, 1), 1)
+        if cbf_cr_i:
+            syn.encode_residual(lvl_cr[cdy:cdy + 4, cdx:cdx + 4], 2,
+                                T.intra_scan_idx(2, chroma_mode, 1), 2)
+
+
+def entropy_encode_frame_v1(cfg: StreamConfig, ctus: list[list[dict]]) -> bytes:
+    """Frame of decision dicts -> slice NAL (tiled or not)."""
+    if not cfg.tiles_enabled:
+        return assemble_slice(cfg, [encode_tile_payload_v1(cfg, ctus, True)])
+    cols, rows = cfg.tile_grid()
+    payloads = []
+    y0 = 0
+    k = 0
+    total = len(cols) * len(rows)
+    for th in rows:
+        x0 = 0
+        for tw in cols:
+            tile = [row[x0:x0 + tw] for row in ctus[y0:y0 + th]]
+            k += 1
+            payloads.append(encode_tile_payload_v1(cfg, tile, k == total))
+            x0 += tw
+        y0 += th
+    return assemble_slice(cfg, payloads)

@@ -25,7 +25,7 @@ TC_TABLE = np.array(
 
 
 def _luma_edge(p: np.ndarray, q: np.ndarray, beta: int, tc: int,
-               maxv: int) -> tuple[np.ndarray, np.ndarray]:
+               maxv: int, group_mask=None) -> tuple[np.ndarray, np.ndarray]:
     """Filter one set of vertical luma edges.
 
     p: (..., ngroups, 4, 4) samples left of the edge, p[..., k, j] = p_j of
@@ -42,6 +42,8 @@ def _luma_edge(p: np.ndarray, q: np.ndarray, beta: int, tc: int,
     dpq3 = dp3 + dq3
     d = dpq0 + dpq3
     filt = d < beta                                           # (..., g)
+    if group_mask is not None:
+        filt = filt & group_mask
 
     def strong_side_ok(k):
         sp = np.abs(p[..., k, 3] - p[..., k, 0])
@@ -96,8 +98,13 @@ def _luma_edge(p: np.ndarray, q: np.ndarray, beta: int, tc: int,
 
 
 def _deblock_luma_dir(plane: np.ndarray, qp: int, edge_step: int,
-                      skip_edges: set[int], bit_depth: int) -> None:
-    """Filter all vertical edges in-place (call on transposed for horizontal)."""
+                      skip_edges: set[int], bit_depth: int,
+                      inner_groups=None) -> None:
+    """Filter all vertical edges in-place (call on transposed for horizontal).
+
+    inner_groups: optional {x: bool-array over 4-row groups} enabling interior
+    (non-16-grid) edges only where an NxN CU creates a TU/PU boundary.
+    """
     H, W = plane.shape
     betaq = min(max(qp, 0), 51)
     tcq = min(max(qp + 2, 0), 53)     # bS = 2 -> +2
@@ -112,10 +119,15 @@ def _deblock_luma_dir(plane: np.ndarray, qp: int, edge_step: int,
         return
     ngroups = H // 4
     for x in xs:
+        mask = None
+        if inner_groups is not None and x in inner_groups:
+            mask = inner_groups[x]
+            if not mask.any():
+                continue
         seg = plane[:, x - 4:x + 4].reshape(ngroups, 4, 8)
         pside = seg[:, :, 3::-1]       # p0..p3 (nearest first)
         qside = seg[:, :, 4:]
-        fp, fq = _luma_edge(pside, qside, beta, tc, maxv)
+        fp, fq = _luma_edge(pside, qside, beta, tc, maxv, mask)
         seg[:, :, 3::-1] = fp
         seg[:, :, 4:] = fq
         plane[:, x - 4:x + 4] = seg.reshape(H, 8)
@@ -140,12 +152,35 @@ def _deblock_chroma_dir(plane: np.ndarray, qp_c: int, edge_step: int,
         plane[:, x] = np.clip(q0 - delta, 0, maxv)
 
 
+def _inner_edge_masks(nxn_map, H: int, W: int, transposed: bool) -> dict:
+    """{edge_x: (H//4,) bool} for interior 8-grid edges of NxN CTUs."""
+    out = {}
+    if nxn_map is None:
+        return out
+    m = nxn_map.T if transposed else nxn_map
+    nh, nw = m.shape
+    ngroups = H // 4
+    for k in range(nw):
+        x = 16 * k + 8
+        if x >= W:
+            continue
+        mask = np.zeros(ngroups, bool)
+        for j in range(nh):
+            if m[j, k]:
+                mask[j * 4:(j + 1) * 4] = True
+        out[x] = mask
+    return out
+
+
 def deblock_frame(y: np.ndarray, cb: np.ndarray, cr: np.ndarray, qp: int,
                   ctb: int = 16, bit_depth: int = 8,
                   tile_cols_px: list[int] | None = None,
-                  tile_rows_px: list[int] | None = None) -> None:
-    """In-place deblocking of one frame (v0 profile: CU=TU=16 edges, bS=2).
+                  tile_rows_px: list[int] | None = None,
+                  nxn_map: np.ndarray | None = None) -> None:
+    """In-place deblocking of one frame (v1 profile edges, bS=2).
 
+    Edges: CU boundaries on the 16-grid, plus interior 8-grid TU/PU edges of
+    NxN CTUs (nxn_map, (nh, nw) bool).  Chroma stays on its 8-grid (16 luma).
     tile_cols_px/rows_px: pixel offsets of tile boundaries to SKIP
     (loop_filter_across_tiles disabled).
     """
@@ -153,10 +188,18 @@ def deblock_frame(y: np.ndarray, cb: np.ndarray, cr: np.ndarray, qp: int,
     skip_v = set(tile_cols_px or [])
     skip_h = set(tile_rows_px or [])
     qpc = chroma_qp(qp)
+    H, W = y.shape
     # vertical edges first, then horizontal on the vertically-filtered output
-    _deblock_luma_dir(y, qp, 16, skip_v, bit_depth)
+    step = 8 if nxn_map is not None else 16
+    inner_v = _inner_edge_masks(nxn_map, H, W, False)
+    skip_v8 = skip_v | ({x for x in range(8, W, 16) if x not in inner_v}
+                        if nxn_map is not None else set())
+    _deblock_luma_dir(y, qp, step, skip_v8, bit_depth, inner_v)
     yt = np.ascontiguousarray(y.T)
-    _deblock_luma_dir(yt, qp, 16, skip_h, bit_depth)
+    inner_h = _inner_edge_masks(nxn_map, W, H, True)
+    skip_h8 = skip_h | ({x for x in range(8, H, 16) if x not in inner_h}
+                        if nxn_map is not None else set())
+    _deblock_luma_dir(yt, qp, step, skip_h8, bit_depth, inner_h)
     y[:, :] = yt.T
     for plane in (cb, cr):
         _deblock_chroma_dir(plane, qpc, 8, {x // 2 for x in skip_v}, bit_depth)

@@ -126,7 +126,8 @@ INV_ANGLE = {11: -4096, 12: -1638, 13: -910, 14: -630, 15: -482, 16: -390,
 
 def build_reference(recon: np.ndarray, x0: int, y0: int, n: int,
                     avail_left: bool, avail_above: bool,
-                    bit_depth: int = 8) -> tuple[np.ndarray, np.ndarray]:
+                    bit_depth: int = 8, left_valid: int | None = None,
+                    top_valid: int | None = None) -> np.ndarray:
     """Reference sample array for a TB at (x0, y0) of size n.
 
     Returns (left, top): left[k] = p[-1][k-1] for k in 0..2n (left[0] is the
@@ -137,24 +138,26 @@ def build_reference(recon: np.ndarray, x0: int, y0: int, n: int,
         ref[2n]       = p[-1][-1]     (corner)
         ref[2n+1+k]   = p[k][-1]      (top row, k = 0..2n-1)
 
-    Availability model: raster CTB order, whole-CTB PUs — below-left is never
-    available; above-right is available whenever the above row is (padded
-    picture, all samples in-frame).
+    Availability model: raster coding order.  left_valid / top_valid give the
+    number of valid samples along the left column / top row (z-scan
+    availability for sub-CTB blocks); defaults are the whole-CTB-PU case
+    (left n — below-left never coded; top 2n — above row fully coded).
     """
     h, w = recon.shape
     n2 = 2 * n
     ref = np.full(4 * n + 1, -1, dtype=np.int64)
+    lv = n if left_valid is None else left_valid
+    tv = n2 if top_valid is None else top_valid
 
     if avail_left:
-        max_y = min(n2, h - y0)   # rows below the PU limited by picture
-        avail_rows = min(max_y, n)  # below-left part never reconstructed yet
+        avail_rows = min(min(n2, h - y0), lv)
         col = recon[y0:y0 + avail_rows, x0 - 1]
         for k in range(avail_rows):
             ref[n2 - 1 - k] = col[k]
     if avail_left and avail_above:
         ref[n2] = recon[y0 - 1, x0 - 1]
     if avail_above:
-        max_x = min(n2, w - x0)
+        max_x = min(min(n2, w - x0), tv)
         row = recon[y0 - 1, x0:x0 + max_x]
         for k in range(max_x):
             ref[n2 + 1 + k] = row[k]
