@@ -32,13 +32,8 @@ from hevc_tpu.planner.hdr import build_hdr_metadata
 
 log = logging.getLogger(__name__)
 
-# degradation ladder (NVENC_RETRIES analogue): per attempt, knobs loosened
-RETRY_LADDER = [
-    {},                              # attempt 1: full settings
-    {"batch_frames": 4},             # attempt 2: smaller device batches
-    {"batch_frames": 2},
-    {"batch_frames": 1},
-]
+# degradation ladder (NVENC_RETRIES analogue): 4 steps of preset degradation
+RETRY_LADDER = [0, 1, 2, 3]
 
 
 def decide_encoder(force_cpu: bool, force_gpu: bool) -> bool:
@@ -72,7 +67,7 @@ def convert_video(file_path, out_dir, progress_callback=None, debug=False,
                   skip_validator=False, force_cpu=False, force_gpu=False,
                   stop_event: threading.Event | None = None,
                   nvenc_hdr_mode: str = "auto", qp_override: int | None = None,
-                  resume: bool = False) -> dict:
+                  resume: bool = False, preset: str | None = None) -> dict:
     """Transcode one file to Apple-compatible HEVC .mp4.
 
     Returns {"file", "status", "quality", "retries", "method", "hdr"}.
@@ -105,6 +100,9 @@ def convert_video(file_path, out_dir, progress_callback=None, debug=False,
                  plan.as_dict(), level.level, level.tier_high)
 
     use_fast = decide_encoder(force_cpu, force_gpu)
+    from hevc_tpu.planner.presets import select_preset, degrade, PRESETS
+    base_preset = (PRESETS[preset] if preset else
+                   select_preset(info.width, info.height, info.is_hdr))
     deadline = time.time() + config.ENCODE_TIMEOUT
 
     def cancelled() -> bool:
@@ -124,20 +122,22 @@ def convert_video(file_path, out_dir, progress_callback=None, debug=False,
     attempts = 0
     status = None
     method = None
-    for ladder_step, knobs in enumerate(RETRY_LADDER if use_fast else [{}]):
+    for ladder_step in (RETRY_LADDER if use_fast else [0]):
         if cancelled():
             status = "CANCELLED"
             break
         attempts = ladder_step + 1
         backend = "jax" if use_fast else "reference"
+        pr = degrade(base_preset, ladder_step)
         try:
             ok = _encode_to_mp4(frames, info, level, qp, out_path,
                                 backend=backend,
-                                batch_frames=knobs.get("batch_frames", 8),
+                                batch_frames=pr.batch_frames,
                                 progress_callback=progress_callback,
                                 file_name=file_path.name,
                                 stop_event=stop_event, deadline=deadline,
-                                audio=audio, src_path=file_path, resume=resume)
+                                audio=audio, src_path=file_path, resume=resume,
+                                nxn=pr.nxn)
             if ok == "CANCELLED":
                 status = "CANCELLED"
                 break
@@ -235,7 +235,7 @@ def _prepare_audio(file_path: Path):
 def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
                    backend: str, batch_frames: int, progress_callback,
                    file_name: str, stop_event, deadline: float, audio=None,
-                   src_path=None, resume: bool = False):
+                   src_path=None, resume: bool = False, nxn: bool = True):
     from hevc_tpu.entropy.headers import StreamConfig
     from hevc_tpu.encoder.toplevel import VideoEncoder, entropy_encode_frame
     from hevc_tpu.io.mp4 import mux_mp4
@@ -287,19 +287,26 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
             raise TimeoutError("per-file encode timeout")
         chunk = frames[i:i + batch_frames]
         if backend == "jax":
-            from hevc_tpu.entropy.tiled import entropy_encode_frame_tiled
             nchunk = [(np.asarray(f[0], np.int32), np.asarray(f[1], np.int32),
                        np.asarray(f[2], np.int32)) for f in chunk]
-            if cfg.tiles_enabled:
+            if nxn:
+                from hevc_tpu.encoder.rowscan_v1 import RowScanEncoderV1
+                from hevc_tpu.entropy.tiled_v1 import entropy_encode_frame_v1
+                rs = RowScanEncoderV1(cfg.qp, cfg.bit_depth)
+                results = rs.encode_frames_tiled(
+                    nchunk, cfg.tile_cols, cfg.tile_rows, want_recon=False)
+                for r in results:
+                    samples.append(length_prefixed(
+                        [entropy_encode_frame_v1(cfg, r)]))
+            else:
                 from hevc_tpu.encoder.rowscan_jax import RowScanEncoder
+                from hevc_tpu.entropy.tiled import entropy_encode_frame_tiled
                 rs = RowScanEncoder(cfg.qp, cfg.bit_depth)
                 results = rs.encode_frames_tiled(
                     nchunk, cfg.tile_cols, cfg.tile_rows)
-            else:
-                results = enc._enc.encode_frames(nchunk)
-            for r in results:
-                samples.append(length_prefixed(
-                    [entropy_encode_frame_tiled(cfg, r)]))
+                for r in results:
+                    samples.append(length_prefixed(
+                        [entropy_encode_frame_tiled(cfg, r)]))
         else:
             for f in chunk:
                 nal, _ = enc.encode_frame(np.asarray(f[0], np.int32),

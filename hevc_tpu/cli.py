@@ -29,6 +29,11 @@ def parse_args(argv=None):
     p.add_argument("--workers", type=int, default=None)
     p.add_argument("--qp", type=int, default=None,
                    help="override the planned QP (constant-QP encode)")
+    p.add_argument("--preset", choices=["fast", "medium", "slow"],
+                   default=None, help="encoder preset (default: auto by "
+                   "resolution/HDR, the reference's p4-p7 analogue)")
+    p.add_argument("--resume", action="store_true",
+                   help="skip complete outputs, resume partial encodes")
     return p.parse_args(argv)
 
 
@@ -45,7 +50,7 @@ def main(argv=None) -> int:
             stop_event=stop, debug=args.debug,
             skip_validator=args.skip_validator, force_cpu=args.force_cpu,
             force_gpu=args.force_gpu, nvenc_hdr_mode=args.nvenc_hdr_mode,
-            qp_override=args.qp)
+            qp_override=args.qp, preset=args.preset, resume=args.resume)
     except KeyboardInterrupt:
         stop.set()
         print("cancelled", file=sys.stderr)

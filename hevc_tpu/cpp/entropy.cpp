@@ -428,3 +428,179 @@ extern "C" long hevc_entropy_encode_slice_v0(
   return hevc_entropy_encode_tile_v0(qp, nh, nw, 1, modes, cbf_y, cbf_cb,
                                      cbf_cr, lvl_y, lvl_cb, lvl_cr, out, cap);
 }
+
+// ---- v1 profile: 2Nx2N / NxN intra CUs ------------------------------------
+
+namespace {
+
+void mpm_list(int a, int b, int out[3]) {
+  if (a == b) {
+    if (a < 2) { out[0] = 0; out[1] = 1; out[2] = 26; }
+    else { out[0] = a; out[1] = 2 + ((a + 29) % 32); out[2] = 2 + ((a - 1) % 32); }
+    return;
+  }
+  out[0] = a; out[1] = b;
+  out[2] = (a != 0 && b != 0) ? 0 : ((a != 1 && b != 1) ? 1 : 26);
+}
+
+void nxn_mpm(int i, const int *modes_sofar, int left_tr, int left_br,
+             int left_avail, int out[3]) {
+  int a, b;
+  if (i == 0) { a = left_avail ? left_tr : 1; b = 1; }
+  else if (i == 1) { a = modes_sofar[0]; b = 1; }
+  else if (i == 2) { a = left_avail ? left_br : 1; b = modes_sofar[0]; }
+  else { a = modes_sofar[2]; b = modes_sofar[1]; }
+  mpm_list(a, b, out);
+}
+
+int intra_scan_idx(int log2, int mode, int cidx) {
+  if (log2 == 2 || (log2 == 3 && cidx == 0)) {
+    if (mode >= 6 && mode <= 14) return 2;
+    if (mode >= 22 && mode <= 30) return 1;
+  }
+  return 0;
+}
+
+void encode_luma_mode(Cabac &c, int mode, const int cands[3]) {
+  int idx = -1;
+  for (int k = 0; k < 3; k++) if (cands[k] == mode) { idx = k; break; }
+  if (idx >= 0) {
+    c.bin(CTX_PREV_INTRA, 1);
+    c.bypass(idx == 0 ? 0 : 1);
+    if (idx > 0) c.bypass(idx - 1);
+  } else {
+    c.bin(CTX_PREV_INTRA, 0);
+    int rem = mode;
+    for (int k = 0; k < 3; k++) if (cands[k] < mode) rem--;
+    c.bypass_bits((uint32_t)rem, 5);
+  }
+}
+
+}  // namespace
+
+extern "C" long hevc_entropy_encode_tile_v1(
+    int qp, int nh, int nw, int last_tile,
+    const uint8_t *part, const int32_t *modes4,
+    const uint8_t *cbf_y4, const uint8_t *cbf_cb, const uint8_t *cbf_cr,
+    const uint8_t *cbf_cb4, const uint8_t *cbf_cr4,
+    const int16_t *lvl_y, const int16_t *lvl_cb, const int16_t *lvl_cr,
+    uint8_t *out, long cap) {
+  Cabac c(qp);
+  std::vector<uint16_t> scan16[3], scan8[3], scan4[3];
+  std::vector<uint16_t> sb16[3], sb8[3], sb4[3];
+  for (int s = 0; s < 3; s++) {
+    scan16[s] = Scans::hier(s, 16);
+    scan8[s] = Scans::hier(s, 8);
+    Scans::flat_scan(s, 4, scan4[s]);
+    Scans::flat_scan(s, 4, sb16[s]);
+    Scans::flat_scan(s, 2, sb8[s]);
+    Scans::flat_scan(s, 1, sb4[s]);
+  }
+  std::vector<int> left_tr(1, 1), left_br(1, 1);
+
+  // temp buffers for 8x8 / 4x4 sub-blocks
+  int16_t tmp8[64], tmp4[16];
+
+  for (int cy = 0; cy < nh; cy++) {
+    int ltr = 1, lbr = 1;   // left CTU's (top-right, bottom-right) modes
+    for (int cx = 0; cx < nw; cx++) {
+      long idx = (long)cy * nw + cx;
+      const int32_t *m4 = modes4 + idx * 4;
+      int nxn = part[idx];
+      c.bin(CTX_PART_MODE, nxn ? 0 : 1);
+
+      if (!nxn) {
+        int mode = m4[0];
+        int cands[3];
+        mpm_list(cx > 0 ? ltr : 1, 1, cands);
+        encode_luma_mode(c, mode, cands);
+        c.bin(CTX_CHROMA_MODE, 0);
+        int fcb = cbf_cb[idx], fcr = cbf_cr[idx], fy = cbf_y4[idx * 4];
+        c.bin(CTX_CBF_CHROMA + 0, fcb);
+        c.bin(CTX_CBF_CHROMA + 0, fcr);
+        c.bin(CTX_CBF_LUMA + 1, fy);
+        if (fy) {
+          int s = intra_scan_idx(4, mode, 0);
+          encode_residual(c, lvl_y + idx * 256, 4, s, 0, scan16[s], sb16[s]);
+        }
+        if (fcb) {
+          int s = intra_scan_idx(3, mode, 1);
+          encode_residual(c, lvl_cb + idx * 64, 3, s, 1, scan8[s], sb8[s]);
+        }
+        if (fcr) {
+          int s = intra_scan_idx(3, mode, 1);
+          encode_residual(c, lvl_cr + idx * 64, 3, s, 2, scan8[s], sb8[s]);
+        }
+        ltr = lbr = mode;
+      } else {
+        // NxN: grouped prev flags then mpm data
+        int cands[4][3];
+        int sofar[4];
+        for (int i = 0; i < 4; i++) {
+          nxn_mpm(i, sofar, ltr, lbr, cx > 0, cands[i]);
+          sofar[i] = m4[i];
+        }
+        int flags[4];
+        for (int i = 0; i < 4; i++) {
+          flags[i] = 0;
+          for (int k = 0; k < 3; k++) if (cands[i][k] == m4[i]) flags[i] = 1;
+          c.bin(CTX_PREV_INTRA, flags[i]);
+        }
+        for (int i = 0; i < 4; i++) {
+          if (flags[i]) {
+            int id = 0;
+            for (int k = 0; k < 3; k++) if (cands[i][k] == m4[i]) { id = k; break; }
+            c.bypass(id == 0 ? 0 : 1);
+            if (id > 0) c.bypass(id - 1);
+          } else {
+            int rem = m4[i];
+            for (int k = 0; k < 3; k++) if (cands[i][k] < m4[i]) rem--;
+            c.bypass_bits((uint32_t)rem, 5);
+          }
+        }
+        c.bin(CTX_CHROMA_MODE, 0);
+        int chroma_mode = m4[0];
+        int pcb = cbf_cb[idx], pcr = cbf_cr[idx];
+        c.bin(CTX_CBF_CHROMA + 0, pcb);
+        c.bin(CTX_CBF_CHROMA + 0, pcr);
+        for (int i = 0; i < 4; i++) {
+          int dx = (i & 1) * 8, dy = (i >> 1) * 8;
+          int fcb_i = pcb ? cbf_cb4[idx * 4 + i] : 0;
+          int fcr_i = pcr ? cbf_cr4[idx * 4 + i] : 0;
+          if (pcb) c.bin(CTX_CBF_CHROMA + 1, fcb_i);
+          if (pcr) c.bin(CTX_CBF_CHROMA + 1, fcr_i);
+          int fy = cbf_y4[idx * 4 + i];
+          c.bin(CTX_CBF_LUMA + 0, fy);
+          if (fy) {
+            for (int r2 = 0; r2 < 8; r2++)
+              for (int x2 = 0; x2 < 8; x2++)
+                tmp8[r2 * 8 + x2] = lvl_y[idx * 256 + (dy + r2) * 16 + dx + x2];
+            int s = intra_scan_idx(3, m4[i], 0);
+            encode_residual(c, tmp8, 3, s, 0, scan8[s], sb8[s]);
+          }
+          int cdx = (i & 1) * 4, cdy = (i >> 1) * 4;
+          if (fcb_i) {
+            for (int r2 = 0; r2 < 4; r2++)
+              for (int x2 = 0; x2 < 4; x2++)
+                tmp4[r2 * 4 + x2] = lvl_cb[idx * 64 + (cdy + r2) * 8 + cdx + x2];
+            int s = intra_scan_idx(2, chroma_mode, 1);
+            encode_residual(c, tmp4, 2, s, 1, scan4[s], sb4[s]);
+          }
+          if (fcr_i) {
+            for (int r2 = 0; r2 < 4; r2++)
+              for (int x2 = 0; x2 < 4; x2++)
+                tmp4[r2 * 4 + x2] = lvl_cr[idx * 64 + (cdy + r2) * 8 + cdx + x2];
+            int s = intra_scan_idx(2, chroma_mode, 1);
+            encode_residual(c, tmp4, 2, s, 2, scan4[s], sb4[s]);
+          }
+        }
+        ltr = m4[1];
+        lbr = m4[3];
+      }
+      bool last_ctu = (cy == nh - 1 && cx == nw - 1);
+      c.terminate((last_ctu && last_tile) ? 1 : 0);
+    }
+  }
+  if (!last_tile) c.terminate(1);
+  return c.flush_to(out, cap);
+}

@@ -45,8 +45,45 @@ def _load():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_long]
+    lib.hevc_entropy_encode_tile_v1.restype = ctypes.c_long
+    lib.hevc_entropy_encode_tile_v1.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_long]
     _lib = lib
     return lib
+
+
+def encode_tile_payload_v1(qp: int, dec: dict, y0: int, x0: int,
+                           th: int, tw: int, last_tile: bool) -> bytes | None:
+    """v1 tile substream from array-format decisions (device graph output)."""
+    lib = _load()
+    if not lib:
+        return None
+    sl = np.s_[y0:y0 + th, x0:x0 + tw]
+    part = np.ascontiguousarray(dec["part_nxn"][sl], dtype=np.uint8)
+    modes4 = np.ascontiguousarray(dec["modes4"][sl], dtype=np.int32)
+    cbf_y4 = np.ascontiguousarray(dec["cbf_y4"][sl], dtype=np.uint8)
+    cbf_cb = np.ascontiguousarray(dec["cbf_cb"][sl], dtype=np.uint8)
+    cbf_cr = np.ascontiguousarray(dec["cbf_cr"][sl], dtype=np.uint8)
+    cbf_cb4 = np.ascontiguousarray(dec["cbf_cb4"][sl], dtype=np.uint8)
+    cbf_cr4 = np.ascontiguousarray(dec["cbf_cr4"][sl], dtype=np.uint8)
+    lvl_y = np.ascontiguousarray(dec["lvl_y"][sl], dtype=np.int16)
+    lvl_cb = np.ascontiguousarray(dec["lvl_cb"][sl], dtype=np.int16)
+    lvl_cr = np.ascontiguousarray(dec["lvl_cr"][sl], dtype=np.int16)
+    cap = max(1 << 16, lvl_y.nbytes * 2)
+    out = (ctypes.c_ubyte * cap)()
+    n = lib.hevc_entropy_encode_tile_v1(
+        qp, th, tw, 1 if last_tile else 0,
+        part.ctypes.data, modes4.ctypes.data, cbf_y4.ctypes.data,
+        cbf_cb.ctypes.data, cbf_cr.ctypes.data, cbf_cb4.ctypes.data,
+        cbf_cr4.ctypes.data, lvl_y.ctypes.data, lvl_cb.ctypes.data,
+        lvl_cr.ctypes.data, out, cap)
+    if n < 0:
+        raise RuntimeError(f"entropy v1 fast path error {n}")
+    return bytes(bytearray(out[:n]))
 
 
 def available() -> bool:

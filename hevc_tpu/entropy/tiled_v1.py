@@ -112,10 +112,57 @@ def _encode_ctu_v1(syn: SliceSyntaxEncoder, d: dict, left_modes, left_avail):
                                 T.intra_scan_idx(2, chroma_mode, 1), 2)
 
 
-def entropy_encode_frame_v1(cfg: StreamConfig, ctus: list[list[dict]]) -> bytes:
-    """Frame of decision dicts -> slice NAL (tiled or not)."""
+def _arrays_to_ctus(dec: dict, y0: int, x0: int, th: int, tw: int
+                    ) -> list[list[dict]]:
+    """Array-format decisions (from the device graph) -> per-CTU dicts."""
+    out = []
+    for cy in range(y0, y0 + th):
+        row = []
+        for cx in range(x0, x0 + tw):
+            row.append({
+                "part_nxn": bool(dec["part_nxn"][cy, cx]),
+                "modes": dec["modes4"][cy, cx],
+                "cbf_y4": dec["cbf_y4"][cy, cx],
+                "cbf_cb": dec["cbf_cb"][cy, cx],
+                "cbf_cr": dec["cbf_cr"][cy, cx],
+                "cbf_cb4": dec["cbf_cb4"][cy, cx],
+                "cbf_cr4": dec["cbf_cr4"][cy, cx],
+                "lvl_y": dec["lvl_y"][cy, cx],
+                "lvl_cb": dec["lvl_cb"][cy, cx],
+                "lvl_cr": dec["lvl_cr"][cy, cx],
+            })
+        out.append(row)
+    return out
+
+
+def entropy_encode_frame_v1(cfg: StreamConfig, ctus,
+                            use_cpp: bool = True) -> bytes:
+    """Frame of decisions -> slice NAL. Accepts per-CTU dict grid (numpy
+    reference encoder) or the device graph's array-dict format."""
+    cpp = None
+    if isinstance(ctus, dict):
+        nh, nw = ctus["part_nxn"].shape
+        arrays = ctus
+        if use_cpp:
+            from hevc_tpu.entropy import binding
+            if binding.available():
+                def cpp(y0, x0, th, tw, last):
+                    return binding.encode_tile_payload_v1(
+                        cfg.qp, arrays, y0, x0, th, tw, last)
+        def tile(y0, x0, th, tw):
+            return _arrays_to_ctus(arrays, y0, x0, th, tw)
+    else:
+        def tile(y0, x0, th, tw):
+            return [row[x0:x0 + tw] for row in ctus[y0:y0 + th]]
+        nh, nw = len(ctus), len(ctus[0])
+
+    def payload(y0, x0, th, tw, last):
+        if cpp is not None:
+            return cpp(y0, x0, th, tw, last)
+        return encode_tile_payload_v1(cfg, tile(y0, x0, th, tw), last)
+
     if not cfg.tiles_enabled:
-        return assemble_slice(cfg, [encode_tile_payload_v1(cfg, ctus, True)])
+        return assemble_slice(cfg, [payload(0, 0, nh, nw, True)])
     cols, rows = cfg.tile_grid()
     payloads = []
     y0 = 0
@@ -124,9 +171,8 @@ def entropy_encode_frame_v1(cfg: StreamConfig, ctus: list[list[dict]]) -> bytes:
     for th in rows:
         x0 = 0
         for tw in cols:
-            tile = [row[x0:x0 + tw] for row in ctus[y0:y0 + th]]
             k += 1
-            payloads.append(encode_tile_payload_v1(cfg, tile, k == total))
+            payloads.append(payload(y0, x0, th, tw, k == total))
             x0 += tw
         y0 += th
     return assemble_slice(cfg, payloads)

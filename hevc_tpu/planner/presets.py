@@ -1,0 +1,47 @@
+"""Encoder presets — the reference's select_nvenc_preset analogue
+(reference core/transcoder.py:77-92: p4..p7 by resolution x HDR matrix).
+
+Here a preset selects search depth / toolset of the TPU encode graph; the
+retry ladder degrades along the same axis (the NVENC feature-degradation
+semantics, SURVEY C6).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass
+class Preset:
+    name: str
+    nxn: bool              # PART_NxN 8x8 sub-partition search
+    batch_frames: int = 8
+
+
+PRESETS = {
+    "fast": Preset("fast", nxn=False, batch_frames=16),
+    "medium": Preset("medium", nxn=True, batch_frames=8),
+    "slow": Preset("slow", nxn=True, batch_frames=4),
+}
+
+
+def select_preset(width: int, height: int, is_hdr: bool) -> Preset:
+    """Resolution x HDR matrix (the reference biased presets by the same
+    two inputs).  Bigger frames lean faster; HDR biases one step faster."""
+    if height >= 2160:
+        name = "fast"
+    elif height >= 1080:
+        name = "fast" if is_hdr else "medium"
+    else:
+        name = "medium" if is_hdr else "slow"
+    return PRESETS[name]
+
+
+def degrade(preset: Preset, step: int) -> Preset:
+    """Retry-ladder degradation: lower batch, then drop NxN."""
+    if step == 0:
+        return preset
+    if step == 1:
+        return Preset(preset.name + "-d1", preset.nxn,
+                      max(preset.batch_frames // 2, 1))
+    return Preset(preset.name + f"-d{step}", False,
+                  max(preset.batch_frames >> step, 1))
