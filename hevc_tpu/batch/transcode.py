@@ -137,7 +137,8 @@ def convert_video(file_path, out_dir, progress_callback=None, debug=False,
                                 file_name=file_path.name,
                                 stop_event=stop_event, deadline=deadline,
                                 audio=audio, src_path=file_path, resume=resume,
-                                nxn=pr.nxn)
+                                nxn=pr.nxn,
+                                rate_plan=plan if qp_override is None else None)
             if ok == "CANCELLED":
                 status = "CANCELLED"
                 break
@@ -235,7 +236,8 @@ def _prepare_audio(file_path: Path):
 def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
                    backend: str, batch_frames: int, progress_callback,
                    file_name: str, stop_event, deadline: float, audio=None,
-                   src_path=None, resume: bool = False, nxn: bool = True):
+                   src_path=None, resume: bool = False, nxn: bool = True,
+                   rate_plan=None):
     from hevc_tpu.entropy.headers import StreamConfig
     from hevc_tpu.encoder.toplevel import VideoEncoder, entropy_encode_frame
     from hevc_tpu.io.mp4 import mux_mp4
@@ -268,6 +270,13 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
         tile_cols=tile_cols, tile_rows=tile_rows,
     )
     enc = VideoEncoder(cfg, backend=backend)
+    rc = None
+    if rate_plan is not None:
+        from hevc_tpu.encoder.rc import RateController
+        rc = RateController(base_qp=qp,
+                            target_bps=rate_plan.vbv_maxrate_kbps * 1000 * 0.85,
+                            vbv_max_bps=rate_plan.vbv_maxrate_kbps * 1000,
+                            fps=float(fps))
     samples = []
     total = len(frames)
     fp = None
@@ -289,24 +298,28 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
         if backend == "jax":
             nchunk = [(np.asarray(f[0], np.int32), np.asarray(f[1], np.int32),
                        np.asarray(f[2], np.int32)) for f in chunk]
+            from dataclasses import replace as _dc_replace
+            cur_qp = rc.qp if rc is not None else cfg.qp
+            bcfg = _dc_replace(cfg, qp=cur_qp) if cur_qp != cfg.qp else cfg
             if nxn:
                 from hevc_tpu.encoder.rowscan_v1 import RowScanEncoderV1
                 from hevc_tpu.entropy.tiled_v1 import entropy_encode_frame_v1
-                rs = RowScanEncoderV1(cfg.qp, cfg.bit_depth)
+                rs = RowScanEncoderV1(cur_qp, cfg.bit_depth)
                 results = rs.encode_frames_tiled(
                     nchunk, cfg.tile_cols, cfg.tile_rows, want_recon=False)
-                for r in results:
-                    samples.append(length_prefixed(
-                        [entropy_encode_frame_v1(cfg, r)]))
+                ent = entropy_encode_frame_v1
             else:
                 from hevc_tpu.encoder.rowscan_jax import RowScanEncoder
                 from hevc_tpu.entropy.tiled import entropy_encode_frame_tiled
-                rs = RowScanEncoder(cfg.qp, cfg.bit_depth)
+                rs = RowScanEncoder(cur_qp, cfg.bit_depth)
                 results = rs.encode_frames_tiled(
                     nchunk, cfg.tile_cols, cfg.tile_rows)
-                for r in results:
-                    samples.append(length_prefixed(
-                        [entropy_encode_frame_tiled(cfg, r)]))
+                ent = entropy_encode_frame_tiled
+            for r in results:
+                nal = ent(bcfg, r)
+                samples.append(length_prefixed([nal]))
+                if rc is not None:
+                    rc.update(len(nal) * 8)
         else:
             for f in chunk:
                 nal, _ = enc.encode_frame(np.asarray(f[0], np.int32),

@@ -1,0 +1,113 @@
+"""Quality harness: this encoder vs libx265 at matched bitrate (PSNR/SSIM).
+
+VMAF is not available in this environment (no libvmaf); PSNR-Y and a simple
+SSIM-Y stand in.  Produces a small rate-distortion table on the synthetic
+fixture content.
+
+Run: python tools/quality_report.py [--width 640 --height 384 --frames 4]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+sys.path.insert(0, str(Path(__file__).parent.parent / "tests"))
+
+
+def psnr(a, b, peak=255.0):
+    mse = np.mean((np.asarray(a, float) - np.asarray(b, float)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(peak * peak / mse)
+
+
+def ssim_y(a, b):
+    """Global simplified SSIM (8x8 block statistics)."""
+    a = np.asarray(a, float)
+    b = np.asarray(b, float)
+    H, W = a.shape
+    H8, W8 = H // 8 * 8, W // 8 * 8
+    a = a[:H8, :W8].reshape(H8 // 8, 8, W8 // 8, 8).transpose(0, 2, 1, 3)
+    b = b[:H8, :W8].reshape(H8 // 8, 8, W8 // 8, 8).transpose(0, 2, 1, 3)
+    mu_a = a.mean((2, 3))
+    mu_b = b.mean((2, 3))
+    va = a.var((2, 3))
+    vb = b.var((2, 3))
+    cov = (a * b).mean((2, 3)) - mu_a * mu_b
+    c1, c2 = (0.01 * 255) ** 2, (0.03 * 255) ** 2
+    s = ((2 * mu_a * mu_b + c1) * (2 * cov + c2) /
+         ((mu_a ** 2 + mu_b ** 2 + c1) * (va + vb + c2)))
+    return float(s.mean())
+
+
+def run(width, height, n_frames, qps, crfs):
+    from generate_test_videos import synth_frame
+    from hevc_tpu.validate import avref
+    from hevc_tpu.encoder.rowscan_v1 import RowScanEncoderV1
+    from hevc_tpu.encoder.rowscan_jax import RowScanEncoder
+    from hevc_tpu.encoder.frame_jax import pick_tile_grid
+    from hevc_tpu.entropy.headers import StreamConfig, write_vps, write_sps, \
+        write_pps
+    from hevc_tpu.entropy.tiled_v1 import entropy_encode_frame_v1
+    from hevc_tpu.entropy.tiled import entropy_encode_frame_tiled
+    from hevc_tpu.utils.bitio import annexb
+
+    frames = [tuple(np.asarray(p, np.int32) for p in synth_frame(width, height, t))
+              for t in range(n_frames)]
+    u8 = [tuple(np.asarray(p, np.uint8) for p in f) for f in frames]
+    tc, tr = pick_tile_grid((height + 15) // 16, (width + 15) // 16)
+    rows = []
+
+    for tag, opts in (("libx265-medium", ""),
+                      ("libx265-medium-intra",
+                       "x265-params=keyint=1:no-scenecut=1")):
+        for crf in crfs:
+            t0 = time.time()
+            bs = avref.encode(u8, "libx265", crf=crf, preset="medium",
+                              opts=opts)
+            enc_t = time.time() - t0
+            dec = avref.decode_hevc(bs)
+            p = np.mean([psnr(d[0], f[0]) for d, f in zip(dec, frames)])
+            s = np.mean([ssim_y(d[0], f[0]) for d, f in zip(dec, frames)])
+            rows.append(dict(codec=tag, q=f"crf{crf}",
+                             bytes=len(bs), psnr_y=round(p, 2),
+                             ssim_y=round(s, 4),
+                             fps=round(n_frames / enc_t, 2)))
+
+    for name, enc_cls, ent in (("ours-v1(NxN)", RowScanEncoderV1,
+                                entropy_encode_frame_v1),
+                               ("ours-v0(16x16)", RowScanEncoder,
+                                entropy_encode_frame_tiled)):
+        for qp in qps:
+            cfg = StreamConfig(width=width, height=height, qp=qp,
+                               tile_cols=tc, tile_rows=tr, deblock=True)
+            enc = enc_cls(qp)
+            t0 = time.time()
+            res = enc.encode_frames_tiled(frames, tc, tr)
+            nals = [ent(cfg, r) for r in res]
+            enc_t = time.time() - t0
+            stream = annexb([write_vps(cfg), write_sps(cfg), write_pps(cfg)]
+                            + nals)
+            dec = avref.decode_hevc(stream)
+            p = np.mean([psnr(d[0], f[0]) for d, f in zip(dec, frames)])
+            s = np.mean([ssim_y(d[0], f[0]) for d, f in zip(dec, frames)])
+            rows.append(dict(codec=name, q=f"qp{qp}", bytes=len(stream),
+                             psnr_y=round(p, 2), ssim_y=round(s, 4),
+                             fps=round(n_frames / enc_t, 2)))
+    return rows
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--height", type=int, default=384)
+    ap.add_argument("--frames", type=int, default=4)
+    args = ap.parse_args()
+    rows = run(args.width, args.height, args.frames,
+               qps=(22, 27, 32, 37), crfs=(18, 23, 28, 33))
+    for r in rows:
+        print(json.dumps(r))
