@@ -164,7 +164,7 @@ def entropy_encode_frame_v1(cfg: StreamConfig, ctus,
     if not cfg.tiles_enabled:
         return assemble_slice(cfg, [payload(0, 0, nh, nw, True)])
     cols, rows = cfg.tile_grid()
-    payloads = []
+    jobs = []
     y0 = 0
     k = 0
     total = len(cols) * len(rows)
@@ -172,7 +172,16 @@ def entropy_encode_frame_v1(cfg: StreamConfig, ctus,
         x0 = 0
         for tw in cols:
             k += 1
-            payloads.append(payload(y0, x0, th, tw, k == total))
+            jobs.append((y0, x0, th, tw, k == total))
             x0 += tw
         y0 += th
+    if cpp is not None and len(jobs) > 3:
+        # per-tile substreams are independent; the C++ encoder releases the
+        # GIL, so thread across tiles (the CABAC-parallelism payoff of tiles)
+        from concurrent.futures import ThreadPoolExecutor
+        import os
+        with ThreadPoolExecutor(min(os.cpu_count() or 4, 16)) as pool:
+            payloads = list(pool.map(lambda j: payload(*j), jobs))
+    else:
+        payloads = [payload(*j) for j in jobs]
     return assemble_slice(cfg, payloads)

@@ -43,3 +43,26 @@ def encode_frames_sharded(mesh: Mesh, src_y, src_cb, src_cr, qp, lam_bits,
         return f(y, cb, cr)
 
     return run(src_y, src_cb, src_cr, qp, lam_bits, nh, nw)
+
+
+def encode_tiles_sharded_v1(mesh: Mesh, src_y, src_cb, src_cr, qp, lam_bits,
+                            tnh: int, tnw: int, bit_depth: int = 8):
+    """Shard the production (v1 NxN) tiled encode over the stream axis.
+
+    src_y: (B, tnh, tnw, 16, 16) with B = frames x tiles, a multiple of the
+    mesh size.  Tiles are independent, so the lane axis shards cleanly with
+    no collectives (stream-DP); each chip runs the identical row-scan.
+    """
+    from hevc_tpu.encoder.rowscan_v1 import encode_tiles_rowscan_v1_jit
+    shard = NamedSharding(mesh, P("stream"))
+    step_shard = NamedSharding(mesh, P(None, "stream"))  # outputs step-major
+    rep = NamedSharding(mesh, P())
+
+    @partial(jax.jit, static_argnames=("tnh", "tnw", "bit_depth"),
+             in_shardings=(shard, shard, shard, rep, rep),
+             out_shardings=step_shard)
+    def run(y, cb, cr, qp, lam_bits, tnh, tnw, bit_depth):
+        return encode_tiles_rowscan_v1_jit.__wrapped__(
+            y, cb, cr, qp, lam_bits, tnh, tnw, bit_depth)
+
+    return run(src_y, src_cb, src_cr, qp, lam_bits, tnh, tnw, bit_depth)

@@ -19,7 +19,7 @@ def test_graft_entry():
     fn, args = G.entry()
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
-    assert len(out) == 13
+    assert len(out) == 13          # v1 step outputs
 
 
 def test_dryrun_multichip():
