@@ -117,7 +117,7 @@ class IntraDecoder:
 
     # ---- slice decode ---------------------------------------------------------
     def decode_slice(self, payload: bytes, hdr: SliceHeader,
-                     expect_end: bool = True) -> dict:
+                     expect_end: bool = True, ref: dict | None = None) -> dict:
         qp_bd = 6 * (self.sps.bit_depth - 8)   # Qp' = Qp + QpBdOffset (8.6.3)
         self.qp = hdr.qp + qp_bd
         self.qpc_cb = R.chroma_qp(
@@ -131,7 +131,12 @@ class IntraDecoder:
         self.depth_map = np.zeros((self.H // 4, self.W // 4), np.int32)
         self.part_map = np.zeros(((self.H + self.ctb - 1) // self.ctb,
                                   (self.W + self.ctb - 1) // self.ctb), bool)
-        self.syn = SliceSyntaxDecoder(payload, hdr.qp)
+        self.skip4 = np.zeros((self.H // 4, self.W // 4), np.int32)
+        self.skip_map = np.zeros_like(self.part_map)
+        self.p_slice = hdr.slice_type == 1
+        self.ref = ref
+        assert not self.p_slice or ref is not None, "P slice needs a ref pic"
+        self.syn = SliceSyntaxDecoder(payload, hdr.qp, hdr.init_type)
         ctbs_w = (self.W + self.ctb - 1) // self.ctb
         ctbs_h = (self.H + self.ctb - 1) // self.ctb
         for cy in range(ctbs_h):
@@ -147,7 +152,7 @@ class IntraDecoder:
                     assert self.syn.decode_end_of_slice() == 1, \
                         "missing end_of_subset_one_bit"
         return {"y": self.y, "cb": self.cb, "cr": self.cr, "qp": hdr.qp,
-                "part_map": self.part_map}
+                "part_map": self.part_map, "skip_map": self.skip_map}
 
     def _coding_quadtree(self, x0: int, y0: int, log2size: int) -> None:
         size = 1 << log2size
@@ -184,6 +189,34 @@ class IntraDecoder:
     def _coding_unit(self, x0: int, y0: int, log2size: int) -> None:
         syn = self.syn
         size = 1 << log2size
+        if self.p_slice:
+            left = int(self.skip4[y0 >> 2, (x0 - 1) >> 2]) \
+                if self._avail(x0, y0, x0 - 1, y0) else 0
+            above = int(self.skip4[(y0 - 1) >> 2, x0 >> 2]) \
+                if self._avail(x0, y0, x0, y0 - 1) else 0
+            self.depth_map[y0 >> 2:(y0 + size) >> 2,
+                           x0 >> 2:(x0 + size) >> 2] = \
+                self.sps.log2_ctb - log2size
+            if syn.decode_cu_skip(left, above):
+                # zero-MV skip: copy co-located block from the reference pic
+                # (merge cand 0 is always MV (0,0) ref 0 in this profile:
+                #  every inter neighbor is itself zero-MV, and the fallback
+                #  zero candidate fills an empty list; MaxNumMergeCand = 1)
+                self.skip4[y0 >> 2:(y0 + size) >> 2,
+                           x0 >> 2:(x0 + size) >> 2] = 1
+                self.skip_map[y0 >> self.sps.log2_ctb,
+                              x0 >> self.sps.log2_ctb] = True
+                self.y[y0:y0 + size, x0:x0 + size] = \
+                    self.ref["y"][y0:y0 + size, x0:x0 + size]
+                cs = size >> 1
+                xc, yc = x0 >> 1, y0 >> 1
+                self.cb[yc:yc + cs, xc:xc + cs] = \
+                    self.ref["cb"][yc:yc + cs, xc:xc + cs]
+                self.cr[yc:yc + cs, xc:xc + cs] = \
+                    self.ref["cr"][yc:yc + cs, xc:xc + cs]
+                return
+            assert syn.decode_pred_mode_is_intra(), \
+                "non-skip inter CUs unsupported (zero-MV-skip profile)"
         part_nxn = False
         if log2size == self.sps.log2_min_cb:
             part_nxn = syn.decode_part_mode_intra()
@@ -353,7 +386,8 @@ def split_substreams(payload: bytes, ebsp_sizes: list[int]) -> list[bytes]:
     return parts
 
 
-def _decode_tiled_slice(payload: bytes, hdr, sps: Sps, pps: Pps) -> dict:
+def _decode_tiled_slice(payload: bytes, hdr, sps: Sps, pps: Pps,
+                        ref: dict | None = None) -> dict:
     from dataclasses import replace
     ctb = 1 << sps.log2_ctb
     nw = (sps.pic_width + ctb - 1) // ctb
@@ -367,6 +401,7 @@ def _decode_tiled_slice(payload: bytes, hdr, sps: Sps, pps: Pps) -> dict:
     out_cb = np.zeros((sps.pic_height // 2, sps.pic_width // 2), np.int32)
     out_cr = np.zeros_like(out_cb)
     part_map = np.zeros((nh, nw), bool)
+    skip_map = np.zeros((nh, nw), bool)
     k = 0
     y0 = 0
     for th in rows:
@@ -375,46 +410,60 @@ def _decode_tiled_slice(payload: bytes, hdr, sps: Sps, pps: Pps) -> dict:
             sub_sps = replace(sps, pic_width=tw * ctb, pic_height=th * ctb,
                               width=tw * ctb, height=th * ctb)
             dec = IntraDecoder(sub_sps, pps)
-            f = dec.decode_slice(subs[k], hdr,
-                                 expect_end=(k == t * r - 1))
             ys, xs = y0 * ctb, x0 * ctb
+            sub_ref = None
+            if ref is not None:
+                sub_ref = {
+                    "y": ref["y"][ys:ys + th * ctb, xs:xs + tw * ctb],
+                    "cb": ref["cb"][ys // 2:(ys + th * ctb) // 2,
+                                    xs // 2:(xs + tw * ctb) // 2],
+                    "cr": ref["cr"][ys // 2:(ys + th * ctb) // 2,
+                                    xs // 2:(xs + tw * ctb) // 2]}
+            f = dec.decode_slice(subs[k], hdr,
+                                 expect_end=(k == t * r - 1), ref=sub_ref)
             out_y[ys:ys + th * ctb, xs:xs + tw * ctb] = f["y"]
             out_cb[ys // 2:(ys + th * ctb) // 2,
                    xs // 2:(xs + tw * ctb) // 2] = f["cb"]
             out_cr[ys // 2:(ys + th * ctb) // 2,
                    xs // 2:(xs + tw * ctb) // 2] = f["cr"]
             part_map[y0:y0 + th, x0:x0 + tw] = f["part_map"]
+            skip_map[y0:y0 + th, x0:x0 + tw] = f["skip_map"]
             k += 1
             x0 += tw
         y0 += th
     return {"y": out_y, "cb": out_cb, "cr": out_cr, "qp": hdr.qp,
-            "part_map": part_map}
+            "part_map": part_map, "skip_map": skip_map}
 
 
 def decode_annexb(data: bytes, cfg=None) -> list[dict]:
-    """Decode all intra frames in an Annex-B stream (headers parsed)."""
+    """Decode an Annex-B stream: IDR (I) and TRAIL (zero-MV-skip P) frames.
+
+    The DPB is a single picture: the previous frame's deblocked output.
+    """
     sps = pps = None
     frames = []
-    dec = None
+    ref = None                  # previous deblocked picture (P reference)
     for nal in split_annexb(data):
         nal_type = (nal[0] >> 1) & 0x3F
         if nal_type == 33:
             sps = parse_sps(nal)
         elif nal_type == 34:
             pps = parse_pps(nal)
-        elif nal_type in (19, 20, 21):
+        elif nal_type in (0, 1, 19, 20, 21):
             assert sps is not None and pps is not None
             rbsp = ebsp_to_rbsp(nal[2:])
             hdr = parse_slice_header(rbsp, nal_type, sps, pps)
             payload = rbsp[hdr.payload_offset:]
+            r = ref if hdr.slice_type == 1 else None
             if pps.tiles_enabled:
-                frame = _decode_tiled_slice(payload, hdr, sps, pps)
+                frame = _decode_tiled_slice(payload, hdr, sps, pps, ref=r)
             else:
                 dec = IntraDecoder(sps, pps)
-                frame = dec.decode_slice(payload, hdr)
+                frame = dec.decode_slice(payload, hdr, ref=r)
             if not hdr.deblocking_disabled:
                 _apply_deblock(frame, hdr, sps, pps)
             frames.append(frame)
+            ref = {"y": frame["y"], "cb": frame["cb"], "cr": frame["cr"]}
     return frames
 
 
@@ -429,7 +478,9 @@ def _apply_deblock(frame: dict, hdr, sps: Sps, pps: Pps) -> None:
                   for i in range(pps.tile_cols - 1)]
         tile_y = [((j + 1) * nh // pps.tile_rows) * ctb
                   for j in range(pps.tile_rows - 1)]
+    skip = frame.get("skip_map")
     deblock_frame(frame["y"], frame["cb"], frame["cr"], hdr.qp,
                   ctb=ctb, bit_depth=sps.bit_depth,
                   tile_cols_px=tile_x, tile_rows_px=tile_y,
-                  nxn_map=frame.get("part_map"))
+                  nxn_map=frame.get("part_map"),
+                  skip_map=skip if skip is not None and skip.any() else None)

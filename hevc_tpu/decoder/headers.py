@@ -53,6 +53,8 @@ class Sps:
     sao_enabled: bool = False
     pcm_enabled: bool = False
     strong_intra_smoothing: bool = False
+    temporal_mvp: bool = False
+    num_st_rps: int = 0
     log2_max_poc_lsb: int = 8
     crop: tuple = (0, 0, 0, 0)
     raw: dict = field(default_factory=dict)
@@ -99,11 +101,19 @@ def parse_sps(nal: bytes) -> Sps:
     s.sao_enabled = bool(r.u(1))
     s.pcm_enabled = bool(r.u(1))
     assert not s.pcm_enabled, "PCM unsupported"
-    num_st_rps = r.ue()
-    assert num_st_rps == 0, "short-term RPS in SPS unsupported (intra only)"
+    s.num_st_rps = r.ue()
+    assert s.num_st_rps <= 1, "multiple short-term RPS unsupported"
+    if s.num_st_rps == 1:
+        # st_ref_pic_set(0): zero-MV-skip profile needs exactly {prev pic}
+        num_neg = r.ue()
+        num_pos = r.ue()
+        assert (num_neg, num_pos) == (1, 0), "only single-ref RPS supported"
+        delta = r.ue() + 1              # delta_poc_s0_minus1 + 1
+        used = r.u(1)
+        assert delta == 1 and used == 1, "RPS must be the previous picture"
     if r.u(1):                          # long_term_ref_pics_present
         raise NotImplementedError("long-term refs")
-    r.u(1)                              # temporal_mvp
+    s.temporal_mvp = bool(r.u(1))
     s.strong_intra_smoothing = bool(r.u(1))
     # VUI and extensions ignored
     return s
@@ -122,6 +132,8 @@ class Pps:
     cr_qp_offset: int = 0
     slice_chroma_qp_offsets_present: bool = False
     transquant_bypass: bool = False
+    weighted_pred: bool = False
+    lists_modification: bool = False
     tiles_enabled: bool = False
     tile_cols: int = 1
     tile_rows: int = 1
@@ -157,7 +169,8 @@ def parse_pps(nal: bytes) -> Pps:
     p.cb_qp_offset = r.se()
     p.cr_qp_offset = r.se()
     p.slice_chroma_qp_offsets_present = bool(r.u(1))
-    r.u(1), r.u(1)                      # weighted pred/bipred
+    p.weighted_pred = bool(r.u(1))
+    r.u(1)                              # weighted_bipred
     p.transquant_bypass = bool(r.u(1))
     assert not p.transquant_bypass, "transquant bypass unsupported"
     p.tiles_enabled = bool(r.u(1))
@@ -180,7 +193,7 @@ def parse_pps(nal: bytes) -> Pps:
         p.deblocking_disabled = False
     if r.u(1):                          # pps_scaling_list_data_present
         raise NotImplementedError("pps scaling lists")
-    r.u(1)                              # lists_modification_present
+    p.lists_modification = bool(r.u(1))
     r.ue()                              # log2_parallel_merge_level_minus2
     r.u(1)                              # slice_segment_header_extension
     return p
@@ -189,6 +202,9 @@ def parse_pps(nal: bytes) -> Pps:
 @dataclass
 class SliceHeader:
     slice_type: int = 2
+    poc: int = 0
+    init_type: int = 0                  # CABAC initType (9.3.2.2)
+    max_merge_cand: int = 1
     qp: int = 26
     sao_luma: bool = False
     sao_chroma: bool = False
@@ -211,18 +227,33 @@ def parse_slice_header(rbsp: bytes, nal_type: int, sps: Sps, pps: Pps) -> SliceH
     for _ in range(pps.num_extra_slice_header_bits):
         r.u(1)
     h.slice_type = r.ue()
-    assert h.slice_type == 2, "inter slices unsupported (v0)"
+    assert h.slice_type in (1, 2), "B slices unsupported"
     if pps.output_flag_present:
         r.u(1)
     if nal_type not in (19, 20):        # not IDR: POC + RPS
-        r.u(sps.log2_max_poc_lsb)
+        h.poc = r.u(sps.log2_max_poc_lsb)
         if not r.u(1):                  # short_term_ref_pic_set_sps_flag
             raise NotImplementedError("inline RPS")
-        raise NotImplementedError("non-IDR slices")
+        assert sps.num_st_rps == 1      # idx absent when only one RPS
+        if sps.temporal_mvp:
+            r.u(1)                      # slice_temporal_mvp_enabled_flag
     if sps.sao_enabled:
         h.sao_luma = bool(r.u(1))
         h.sao_chroma = bool(r.u(1))
         assert not (h.sao_luma or h.sao_chroma), "SAO decode unsupported (v0)"
+    if h.slice_type == 1:               # P: ref list + merge config
+        assert not pps.weighted_pred, "weighted prediction unsupported"
+        assert not pps.lists_modification, "ref list modification unsupported"
+        if r.u(1):                      # num_ref_idx_active_override_flag
+            r.ue()                      # num_ref_idx_l0_active_minus1
+        if pps.cabac_init_present:
+            cabac_init = r.u(1)
+            h.init_type = 2 if cabac_init else 1
+        else:
+            h.init_type = 1
+        h.max_merge_cand = 5 - r.ue()   # five_minus_max_num_merge_cand
+        assert h.max_merge_cand == 1, \
+            "merge_idx signaling unsupported (zero-MV-skip profile)"
     h.qp = pps.init_qp + r.se()
     if pps.slice_chroma_qp_offsets_present:
         r.se(), r.se()

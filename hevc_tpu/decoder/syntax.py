@@ -51,6 +51,13 @@ class SliceSyntaxDecoder:
         """Returns True for PART_NxN."""
         return self.cabac.decode_bin(T.CTX_OFF["part_mode"]) == 0
 
+    def decode_cu_skip(self, left_skip: int, above_skip: int) -> int:
+        return self.cabac.decode_bin(
+            T.CTX_OFF["cu_skip"] + left_skip + above_skip)
+
+    def decode_pred_mode_is_intra(self) -> bool:
+        return self.cabac.decode_bin(T.CTX_OFF["pred_mode"]) == 1
+
     def decode_end_of_slice(self) -> int:
         return self.cabac.decode_terminate()
 

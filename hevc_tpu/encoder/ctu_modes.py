@@ -23,6 +23,27 @@ def mode_bits_estimate(mode: int, cands: list[int]) -> int:
     return 6
 
 
+def level_bits_estimate(lvls) -> int:
+    """Cheap residual-rate estimate for the P-slice skip decision.
+
+    2 bits per nonzero coefficient plus its magnitude bit-length; NOT a real
+    CABAC rate — just a monotone proxy that the JAX P kernel replicates
+    bit-identically (integer compare-sums, no float logs).
+    """
+    bits = 0
+    for l in lvls:
+        a = np.abs(np.asarray(l, np.int64))
+        bits += 2 * int((a > 0).sum())
+        for k in range(1, 15):
+            bits += int((a >= (1 << k)).sum())
+    return bits
+
+
+def skip_lambda16(qp: int) -> int:
+    """SSE-domain lambda in 4-bit fixed point (qp includes QpBdOffset)."""
+    return int(0.85 * 2.0 ** ((qp - 12) / 3.0) * 16)
+
+
 def subblock_valid(i: int, n: int) -> tuple[int, int]:
     """(left_valid, top_valid) for sub-block i (z-order) of a 2x2 split.
 

@@ -46,6 +46,7 @@ class StreamConfig:
     tile_cols: int = 1             # uniform tile grid (1x1 = tiles off)
     tile_rows: int = 1
     deblock: bool = True           # in-loop deblocking filter
+    inter: bool = False            # P slices (zero-MV skip GOP structure)
     extra: dict = field(default_factory=dict)
 
     @property
@@ -160,7 +161,15 @@ def write_sps(cfg: StreamConfig) -> bytes:
     w.u(0, 1)                       # amp_enabled_flag
     w.u(0, 1)                       # sample_adaptive_offset_enabled_flag
     w.u(0, 1)                       # pcm_enabled_flag
-    w.ue(0)                         # num_short_term_ref_pic_sets
+    if cfg.inter:
+        # one RPS: the immediately preceding picture, used by current
+        w.ue(1)                     # num_short_term_ref_pic_sets
+        w.ue(1)                     # num_negative_pics     (st_ref_pic_set(0))
+        w.ue(0)                     # num_positive_pics
+        w.ue(0)                     # delta_poc_s0_minus1[0]
+        w.u(1, 1)                   # used_by_curr_pic_s0_flag[0]
+    else:
+        w.ue(0)                     # num_short_term_ref_pic_sets
     w.u(0, 1)                       # long_term_ref_pics_present_flag
     w.u(0, 1)                       # sps_temporal_mvp_enabled_flag
     w.u(0, 1)                       # strong_intra_smoothing_enabled_flag
@@ -267,5 +276,38 @@ def write_slice_header_idr(cfg: StreamConfig,
             for o in offs:
                 w.u(o - 1, blen)    # entry_point_offset_minus1
     w.bit(1)                        # byte_alignment: alignment_bit_equal_to_one
+    w.byte_align(0)
+    return w
+
+
+def write_slice_header_p(cfg: StreamConfig, poc_lsb: int,
+                         entry_point_offsets: list[int] | None = None
+                         ) -> BitWriter:
+    """P-slice (TRAIL_R) slice segment header (spec 7.3.6.1).
+
+    Zero-MV-skip profile: one ref pic (the previous picture, RPS idx 0 from
+    the SPS), MaxNumMergeCand = 1 so skip CUs carry no merge_idx, no weighted
+    prediction, no temporal MVP.
+    """
+    w = BitWriter()
+    w.u(1, 1)                       # first_slice_segment_in_pic_flag
+    w.ue(0)                         # slice_pic_parameter_set_id
+    w.ue(1)                         # slice_type = P
+    w.u(poc_lsb & 0xFF, 8)          # slice_pic_order_cnt_lsb (log2 = 8)
+    w.u(1, 1)                       # short_term_ref_pic_set_sps_flag (RPS 0)
+    w.u(0, 1)                       # num_ref_idx_active_override_flag
+    w.ue(4)                         # five_minus_max_num_merge_cand -> 1 cand
+    w.se(cfg.qp - 26)               # slice_qp_delta
+    if cfg.deblock:
+        w.u(1, 1)                   # slice_loop_filter_across_slices_enabled
+    if cfg.tiles_enabled:
+        offs = entry_point_offsets or []
+        w.ue(len(offs))             # num_entry_point_offsets
+        if offs:
+            blen = max(1, max(o - 1 for o in offs).bit_length())
+            w.ue(blen - 1)          # offset_len_minus1
+            for o in offs:
+                w.u(o - 1, blen)    # entry_point_offset_minus1
+    w.bit(1)                        # byte_alignment
     w.byte_align(0)
     return w

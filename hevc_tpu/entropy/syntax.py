@@ -73,6 +73,16 @@ class SliceSyntaxEncoder:
     def encode_part_mode_intra(self, part_nxn: bool) -> None:
         self.cabac.encode_bin(T.CTX_OFF["part_mode"], 0 if part_nxn else 1)
 
+    # ---- P-slice CU signaling (zero-MV skip profile) --------------------------
+    def encode_cu_skip(self, skip: int, left_skip: int, above_skip: int) -> None:
+        """cu_skip_flag, ctx = left + above neighbor skip flags (9.3.4.2.2)."""
+        self.cabac.encode_bin(T.CTX_OFF["cu_skip"] + left_skip + above_skip,
+                              skip)
+
+    def encode_pred_mode_intra(self) -> None:
+        """pred_mode_flag = 1 (MODE_INTRA) for non-skip CUs in P slices."""
+        self.cabac.encode_bin(T.CTX_OFF["pred_mode"], 1)
+
     def encode_end_of_slice(self, last: bool) -> None:
         self.cabac.encode_terminate(1 if last else 0)
 

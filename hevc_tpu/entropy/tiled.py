@@ -15,8 +15,10 @@ from __future__ import annotations
 
 import numpy as np
 
-from hevc_tpu.entropy.headers import StreamConfig, write_slice_header_idr
-from hevc_tpu.utils.bitio import make_nal, rbsp_to_ebsp, NAL_IDR_W_RADL
+from hevc_tpu.entropy.headers import StreamConfig, write_slice_header_idr, \
+    write_slice_header_p
+from hevc_tpu.utils.bitio import make_nal, rbsp_to_ebsp, NAL_IDR_W_RADL, \
+    NAL_TRAIL_R
 
 
 def _ebsp_len(payload: bytes) -> int:
@@ -87,14 +89,18 @@ def encode_tile_payload(cfg: StreamConfig, tile: dict, last_tile: bool,
     return syn.cabac.bytes_aligned()
 
 
-def assemble_slice(cfg: StreamConfig, payloads: list[bytes]) -> bytes:
-    """Slice NAL from per-tile substreams (entry points in EBSP bytes)."""
-    if len(payloads) == 1 and not cfg.tiles_enabled:
-        rbsp = write_slice_header_idr(cfg).bytes() + payloads[0]
-        return make_nal(NAL_IDR_W_RADL, rbsp)
-    offs = [_ebsp_len(p) for p in payloads[:-1]]
-    hdr = write_slice_header_idr(cfg, offs).bytes()
-    return make_nal(NAL_IDR_W_RADL, hdr + b"".join(payloads))
+def assemble_slice(cfg: StreamConfig, payloads: list[bytes],
+                   poc: int | None = None) -> bytes:
+    """Slice NAL from per-tile substreams (entry points in EBSP bytes).
+
+    poc=None -> IDR (I slice); poc=N -> TRAIL_R P slice referencing poc N-1.
+    """
+    offs = [_ebsp_len(p) for p in payloads[:-1]] if len(payloads) > 1 else None
+    if poc is None:
+        hdr = write_slice_header_idr(cfg, offs).bytes()
+        return make_nal(NAL_IDR_W_RADL, hdr + b"".join(payloads))
+    hdr = write_slice_header_p(cfg, poc, offs).bytes()
+    return make_nal(NAL_TRAIL_R, hdr + b"".join(payloads))
 
 
 def entropy_encode_frame_tiled(cfg: StreamConfig, dec: dict,

@@ -16,20 +16,40 @@ from hevc_tpu.entropy.tiled import assemble_slice
 
 
 def encode_tile_payload_v1(cfg: StreamConfig, ctus: list[list[dict]],
-                           last_tile: bool) -> bytes:
-    """ctus: [row][col] decision dicts for one tile."""
-    syn = SliceSyntaxEncoder(cfg.qp)
+                           last_tile: bool, p_slice: bool = False) -> bytes:
+    """ctus: [row][col] decision dicts for one tile.
+
+    p_slice: zero-MV-skip P slice — each CTU dict may carry skip=True
+    (cu_skip_flag=1, no further syntax); non-skip CUs signal
+    pred_mode_flag=1 then the usual intra syntax.  CABAC initType=1.
+    """
+    syn = SliceSyntaxEncoder(cfg.qp, init_type=1 if p_slice else 0)
     nh = len(ctus)
     nw = len(ctus[0])
-    left_modes_row = [(INTRA_DC, INTRA_DC)] * nh
+    above_skip = [0] * nw
     for cy in range(nh):
         left_modes = (INTRA_DC, INTRA_DC)
+        left_skip = 0
         for cx in range(nw):
             d = ctus[cy][cx]
-            _encode_ctu_v1(syn, d, left_modes, cx > 0)
-            m = d["modes"]
-            left_modes = (int(m[1]), int(m[3])) if d["part_nxn"] \
-                else (int(m[0]), int(m[0]))
+            skip = bool(d.get("skip")) if p_slice else False
+            if p_slice:
+                syn.encode_cu_skip(int(skip),
+                                   left_skip if cx > 0 else 0,
+                                   above_skip[cx] if cy > 0 else 0)
+            if skip:
+                left_modes = (INTRA_DC, INTRA_DC)
+                left_skip = 1
+                above_skip[cx] = 1
+            else:
+                if p_slice:
+                    syn.encode_pred_mode_intra()
+                _encode_ctu_v1(syn, d, left_modes, cx > 0)
+                m = d["modes"]
+                left_modes = (int(m[1]), int(m[3])) if d["part_nxn"] \
+                    else (int(m[0]), int(m[0]))
+                left_skip = 0
+                above_skip[cx] = 0
             last_ctu = (cy == nh - 1 and cx == nw - 1)
             syn.encode_end_of_slice(last_ctu and last_tile)
     if not last_tile:
@@ -116,9 +136,13 @@ def _arrays_to_ctus(dec: dict, y0: int, x0: int, th: int, tw: int
                     ) -> list[list[dict]]:
     """Array-format decisions (from the device graph) -> per-CTU dicts."""
     out = []
+    skip = dec.get("skip")
     for cy in range(y0, y0 + th):
         row = []
         for cx in range(x0, x0 + tw):
+            if skip is not None and skip[cy, cx]:
+                row.append({"skip": True})
+                continue
             row.append({
                 "part_nxn": bool(dec["part_nxn"][cy, cx]),
                 "modes": dec["modes4"][cy, cx],
@@ -136,9 +160,14 @@ def _arrays_to_ctus(dec: dict, y0: int, x0: int, th: int, tw: int
 
 
 def entropy_encode_frame_v1(cfg: StreamConfig, ctus,
-                            use_cpp: bool = True) -> bytes:
+                            use_cpp: bool = True,
+                            poc: int | None = None) -> bytes:
     """Frame of decisions -> slice NAL. Accepts per-CTU dict grid (numpy
-    reference encoder) or the device graph's array-dict format."""
+    reference encoder) or the device graph's array-dict format.
+
+    poc=None -> IDR; poc=N -> P slice (TRAIL_R) with zero-MV-skip CUs.
+    """
+    p_slice = poc is not None
     cpp = None
     if isinstance(ctus, dict):
         nh, nw = ctus["part_nxn"].shape
@@ -148,7 +177,8 @@ def entropy_encode_frame_v1(cfg: StreamConfig, ctus,
             if binding.available():
                 def cpp(y0, x0, th, tw, last):
                     return binding.encode_tile_payload_v1(
-                        cfg.qp, arrays, y0, x0, th, tw, last)
+                        cfg.qp, arrays, y0, x0, th, tw, last,
+                        p_slice=p_slice)
         def tile(y0, x0, th, tw):
             return _arrays_to_ctus(arrays, y0, x0, th, tw)
     else:
@@ -159,10 +189,11 @@ def entropy_encode_frame_v1(cfg: StreamConfig, ctus,
     def payload(y0, x0, th, tw, last):
         if cpp is not None:
             return cpp(y0, x0, th, tw, last)
-        return encode_tile_payload_v1(cfg, tile(y0, x0, th, tw), last)
+        return encode_tile_payload_v1(cfg, tile(y0, x0, th, tw), last,
+                                      p_slice=p_slice)
 
     if not cfg.tiles_enabled:
-        return assemble_slice(cfg, [payload(0, 0, nh, nw, True)])
+        return assemble_slice(cfg, [payload(0, 0, nh, nw, True)], poc=poc)
     cols, rows = cfg.tile_grid()
     jobs = []
     y0 = 0
@@ -184,4 +215,4 @@ def entropy_encode_frame_v1(cfg: StreamConfig, ctus,
             payloads = list(pool.map(lambda j: payload(*j), jobs))
     else:
         payloads = [payload(*j) for j in jobs]
-    return assemble_slice(cfg, payloads)
+    return assemble_slice(cfg, payloads, poc=poc)

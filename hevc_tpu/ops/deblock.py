@@ -134,7 +134,8 @@ def _deblock_luma_dir(plane: np.ndarray, qp: int, edge_step: int,
 
 
 def _deblock_chroma_dir(plane: np.ndarray, qp_c: int, edge_step: int,
-                        skip_edges: set[int], bit_depth: int) -> None:
+                        skip_edges: set[int], bit_depth: int,
+                        edge_masks: dict | None = None) -> None:
     H, W = plane.shape
     tcq = min(max(qp_c + 2, 0), 53)
     tc = int(TC_TABLE[tcq]) << (bit_depth - 8)
@@ -143,11 +144,18 @@ def _deblock_chroma_dir(plane: np.ndarray, qp_c: int, edge_step: int,
     maxv = (1 << bit_depth) - 1
     xs = [x for x in range(edge_step, W, edge_step) if x not in skip_edges]
     for x in xs:
+        mask = None
+        if edge_masks is not None and x in edge_masks:
+            mask = edge_masks[x]
+            if not mask.any():
+                continue
         p1 = plane[:, x - 2].astype(np.int32)
         p0 = plane[:, x - 1].astype(np.int32)
         q0 = plane[:, x].astype(np.int32)
         q1 = plane[:, x + 1].astype(np.int32)
         delta = np.clip((((q0 - p0) << 2) + p1 - q1 + 4) >> 3, -tc, tc)
+        if mask is not None:
+            delta = np.where(mask, delta, 0)
         plane[:, x - 1] = np.clip(p0 + delta, 0, maxv)
         plane[:, x] = np.clip(q0 - delta, 0, maxv)
 
@@ -172,17 +180,46 @@ def _inner_edge_masks(nxn_map, H: int, W: int, transposed: bool) -> dict:
     return out
 
 
+def _skip_edge_masks(skip_map, H: int, W: int, transposed: bool,
+                     gran: int) -> dict:
+    """{edge_x: (H//gran,) bool} for 16-grid CU edges when a skip map exists.
+
+    bS derivation for the zero-MV-skip P profile: a filtered edge always has
+    at least one intra side (bS=2); two adjacent skip CUs share MV (0,0),
+    ref 0 and have no residual, so their mutual edge is bS=0 (not filtered).
+    gran: rows per mask element (4 for luma 4-sample groups, 1 for chroma).
+    """
+    out = {}
+    if skip_map is None:
+        return out
+    m = skip_map.T if transposed else skip_map
+    nh, nw = m.shape
+    rows_per_ctu = 16 // gran if gran == 4 else 8   # luma groups / chroma rows
+    for k in range(1, nw):
+        x = (16 if gran == 4 else 8) * k
+        if x >= W:
+            continue
+        both = m[:, k - 1] & m[:, k]
+        if not both.any():
+            continue
+        out[x] = np.repeat(~both, rows_per_ctu)[:H // gran if gran == 4 else H]
+    return out
+
+
 def deblock_frame(y: np.ndarray, cb: np.ndarray, cr: np.ndarray, qp: int,
                   ctb: int = 16, bit_depth: int = 8,
                   tile_cols_px: list[int] | None = None,
                   tile_rows_px: list[int] | None = None,
-                  nxn_map: np.ndarray | None = None) -> None:
-    """In-place deblocking of one frame (v1 profile edges, bS=2).
+                  nxn_map: np.ndarray | None = None,
+                  skip_map: np.ndarray | None = None) -> None:
+    """In-place deblocking of one frame (v1 profile edges, bS in {0, 2}).
 
     Edges: CU boundaries on the 16-grid, plus interior 8-grid TU/PU edges of
     NxN CTUs (nxn_map, (nh, nw) bool).  Chroma stays on its 8-grid (16 luma).
     tile_cols_px/rows_px: pixel offsets of tile boundaries to SKIP
     (loop_filter_across_tiles disabled).
+    skip_map: (nh, nw) bool of zero-MV skip CTUs (P slices); edges between
+    two skip CTUs are bS=0 and left unfiltered.
     """
     from hevc_tpu.ops.reference import chroma_qp
     skip_v = set(tile_cols_px or [])
@@ -192,17 +229,23 @@ def deblock_frame(y: np.ndarray, cb: np.ndarray, cr: np.ndarray, qp: int,
     # vertical edges first, then horizontal on the vertically-filtered output
     step = 8 if nxn_map is not None else 16
     inner_v = _inner_edge_masks(nxn_map, H, W, False)
+    inner_v.update(_skip_edge_masks(skip_map, H, W, False, 4))
     skip_v8 = skip_v | ({x for x in range(8, W, 16) if x not in inner_v}
                         if nxn_map is not None else set())
     _deblock_luma_dir(y, qp, step, skip_v8, bit_depth, inner_v)
     yt = np.ascontiguousarray(y.T)
     inner_h = _inner_edge_masks(nxn_map, W, H, True)
+    inner_h.update(_skip_edge_masks(skip_map, W, H, True, 4))
     skip_h8 = skip_h | ({x for x in range(8, H, 16) if x not in inner_h}
                         if nxn_map is not None else set())
     _deblock_luma_dir(yt, qp, step, skip_h8, bit_depth, inner_h)
     y[:, :] = yt.T
+    cmask_v = _skip_edge_masks(skip_map, H // 2, W // 2, False, 1)
+    cmask_h = _skip_edge_masks(skip_map, W // 2, H // 2, True, 1)
     for plane in (cb, cr):
-        _deblock_chroma_dir(plane, qpc, 8, {x // 2 for x in skip_v}, bit_depth)
+        _deblock_chroma_dir(plane, qpc, 8, {x // 2 for x in skip_v}, bit_depth,
+                            cmask_v)
         pt = np.ascontiguousarray(plane.T)
-        _deblock_chroma_dir(pt, qpc, 8, {x // 2 for x in skip_h}, bit_depth)
+        _deblock_chroma_dir(pt, qpc, 8, {x // 2 for x in skip_h}, bit_depth,
+                            cmask_h)
         plane[:, :] = pt.T
