@@ -138,7 +138,8 @@ def convert_video(file_path, out_dir, progress_callback=None, debug=False,
                                 stop_event=stop_event, deadline=deadline,
                                 audio=audio, src_path=file_path, resume=resume,
                                 nxn=pr.nxn,
-                                rate_plan=plan if qp_override is None else None)
+                                rate_plan=plan if qp_override is None else None,
+                                gop=plan.gop if pr.inter else 0)
             if ok == "CANCELLED":
                 status = "CANCELLED"
                 break
@@ -237,7 +238,7 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
                    backend: str, batch_frames: int, progress_callback,
                    file_name: str, stop_event, deadline: float, audio=None,
                    src_path=None, resume: bool = False, nxn: bool = True,
-                   rate_plan=None):
+                   rate_plan=None, gop: int = 0):
     from hevc_tpu.entropy.headers import StreamConfig
     from hevc_tpu.encoder.toplevel import VideoEncoder, entropy_encode_frame
     from hevc_tpu.io.mp4 import mux_mp4
@@ -258,6 +259,7 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
         # (the reference's p010le conversion, core/transcoder.py:205-208)
         frames = [tuple(np.asarray(p, np.int32) << 2 for p in f)
                   for f in frames]
+    use_inter = gop > 1 and backend == "jax"
     cfg = StreamConfig(
         width=w, height=h, qp=qp, fps=fps, bit_depth=bit_depth,
         level_idc=level.level_idc, tier_high=level.tier_high,
@@ -268,6 +270,7 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
         full_range=info.color_range == "pc",
         chromaloc=info.chromaloc, hdr=info.is_hdr,
         tile_cols=tile_cols, tile_rows=tile_rows,
+        inter=use_inter,
     )
     enc = VideoEncoder(cfg, backend=backend)
     rc = None
@@ -287,6 +290,50 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
         if prev:
             samples = prev[:total]
             log.info("resuming %s from frame %d", file_name, len(samples))
+    if use_inter:
+        # GOP path: frames are sequential (P depends on the previous
+        # picture), tiles stay the device batch.  Resume restarts at the
+        # last IDR-aligned checkpoint so the DPB can be rebuilt.
+        from hevc_tpu.encoder.gop import GopEncoder
+        # truncating to a GOP boundary makes the next frame an IDR, which
+        # needs no DPB state
+        samples = samples[:(len(samples) // gop) * gop]
+        i = len(samples)
+        last_ckpt = i
+        genc = GopEncoder(cfg, enable_nxn=nxn)
+        while i < total:
+            if stop_event is not None and stop_event.is_set():
+                return "CANCELLED"
+            if time.time() > deadline:
+                raise TimeoutError("per-file encode timeout")
+            f = frames[i]
+            cur_qp = rc.qp if rc is not None else cfg.qp
+            nal, _ = genc.encode_next(
+                np.asarray(f[0], np.int32), np.asarray(f[1], np.int32),
+                np.asarray(f[2], np.int32), idr=(i % gop == 0), qp=cur_qp)
+            samples.append(length_prefixed([nal]))
+            if rc is not None:
+                rc.update(len(nal) * 8)
+            i += 1
+            if fp is not None and i - last_ckpt >= 32 and i % gop == 0:
+                from hevc_tpu.batch import resume as RZ
+                RZ.save_checkpoint(out_path, fp, samples)
+                last_ckpt = i
+            if progress_callback:
+                try:
+                    progress_callback(file_name, i, total)
+                except Exception:
+                    pass
+        hdr_md = build_hdr_metadata(info)
+        mux_mp4(out_path, samples, cfg, fps=fps,
+                vps=write_vps(cfg), sps=write_sps(cfg), pps=write_pps(cfg),
+                sync_samples=[k + 1 for k in range(total) if k % gop == 0],
+                hdr_metadata=hdr_md, audio=audio)
+        if fp is not None:
+            from hevc_tpu.batch import resume as RZ
+            RZ.clear_checkpoint(out_path)
+        return "SUCCESS"
+
     i = len(samples)
     last_ckpt = i
     while i < total:

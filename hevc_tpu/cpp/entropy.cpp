@@ -496,13 +496,14 @@ void encode_luma_mode(Cabac &c, int mode, const int cands[3]) {
 }  // namespace
 
 extern "C" long hevc_entropy_encode_tile_v1(
-    int qp, int nh, int nw, int last_tile,
+    int qp, int nh, int nw, int last_tile, int p_slice, const uint8_t *skip,
     const uint8_t *part, const int32_t *modes4,
     const uint8_t *cbf_y4, const uint8_t *cbf_cb, const uint8_t *cbf_cr,
     const uint8_t *cbf_cb4, const uint8_t *cbf_cr4,
     const int16_t *lvl_y, const int16_t *lvl_cb, const int16_t *lvl_cr,
     uint8_t *out, long cap) {
-  Cabac c(qp);
+  Cabac c(qp, p_slice ? 1 : 0);
+  std::vector<uint8_t> above_skip(nw, 0);
   std::vector<uint16_t> scan16[3], scan8[3], scan4[3];
   std::vector<uint16_t> sb16[3], sb8[3], sb4[3];
   for (int s = 0; s < 3; s++) {
@@ -520,9 +521,27 @@ extern "C" long hevc_entropy_encode_tile_v1(
 
   for (int cy = 0; cy < nh; cy++) {
     int ltr = 1, lbr = 1;   // left CTU's (top-right, bottom-right) modes
+    int left_skip = 0;
     for (int cx = 0; cx < nw; cx++) {
       long idx = (long)cy * nw + cx;
       const int32_t *m4 = modes4 + idx * 4;
+      int sk = (p_slice && skip) ? skip[idx] : 0;
+      if (p_slice) {
+        c.bin(CTX_CU_SKIP + (cx > 0 ? left_skip : 0) +
+                  (cy > 0 ? above_skip[cx] : 0),
+              sk);
+        if (sk) {
+          ltr = lbr = 1;    // non-intra neighbor -> DC for MPM purposes
+          left_skip = 1;
+          above_skip[cx] = 1;
+          bool last_ctu0 = (cy == nh - 1 && cx == nw - 1);
+          c.terminate((last_ctu0 && last_tile) ? 1 : 0);
+          continue;
+        }
+        c.bin(CTX_PRED_MODE, 1);   // pred_mode_flag = MODE_INTRA
+        left_skip = 0;
+        above_skip[cx] = 0;
+      }
       int nxn = part[idx];
       c.bin(CTX_PART_MODE, nxn ? 0 : 1);
 

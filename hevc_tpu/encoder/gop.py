@@ -1,0 +1,177 @@
+"""GOP-structured device encoding: IDR + zero-MV-skip P frames.
+
+Drives the v1 row-scan graphs frame by frame (P frames depend on the previous
+picture's deblocked reconstruction, so frames are sequential within a GOP;
+tiles remain the device batch dimension).  Entropy (host CABAC) consumes the
+array-format decisions including the per-CTU skip flags.
+
+Replaces the reference's x265 `keyint/min-keyint` GOP handling (reference
+core/transcoder.py:452-535) with a first-party encode loop.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from hevc_tpu.encoder.ctu_modes import skip_lambda16
+from hevc_tpu.encoder.rowscan_v1 import (RowScanEncoderV1,
+                                         encode_tiles_rowscan_v1_jit,
+                                         encode_tiles_rowscan_p_jit)
+from hevc_tpu.entropy.headers import StreamConfig, write_vps, write_sps, \
+    write_pps
+from hevc_tpu.entropy.tiled_v1 import entropy_encode_frame_v1
+from hevc_tpu.ops.deblock import deblock_frame
+from hevc_tpu.utils.bitio import annexb
+
+
+class GopEncoder:
+    """Device (JAX) GOP encoder for one stream configuration."""
+
+    def __init__(self, cfg: StreamConfig, enable_nxn: bool = True):
+        assert cfg.inter, "GopEncoder requires cfg.inter"
+        self.cfg = cfg
+        self.enable_nxn = enable_nxn
+        self.reset()
+
+    def reset(self) -> None:
+        """Drop DPB state; the next frame must be an IDR."""
+        self._ref_blocks = None
+        self._poc = 0
+
+    def parameter_sets(self) -> list[bytes]:
+        return [write_vps(self.cfg), write_sps(self.cfg), write_pps(self.cfg)]
+
+    # ---- block layout helpers (tile-major batch) ------------------------------
+    def _to_blocks(self, y, cb, cr):
+        from hevc_tpu.encoder.frame_jax import JaxIntraEncoder
+        yb, cbb, crb, nh, nw, H, W = JaxIntraEncoder._to_blocks(y, cb, cr)
+        self._geom = (nh, nw, H, W)
+        return yb, cbb, crb
+
+    def _tsplit(self, b, bs):
+        nh, nw, _, _ = self._geom
+        tc, tr = self.cfg.tile_cols, self.cfg.tile_rows
+        tnh, tnw = nh // tr, nw // tc
+        return (b.reshape(tr, tnh, tc, tnw, bs, bs)
+                 .swapaxes(1, 2).reshape(tr * tc, tnh, tnw, bs, bs))
+
+    def _unstep(self, a, to=None):
+        nh, nw, _, _ = self._geom
+        tc, tr = self.cfg.tile_cols, self.cfg.tile_rows
+        tnh, tnw = nh // tr, nw // tc
+        s = a.shape                       # (steps, T, ...)
+        x = np.moveaxis(a.reshape(tnh, tnw, 1, tr * tc, *s[2:]), (2, 3), (0, 1))
+        x = x.reshape(tr, tc, tnh, tnw, *s[2:])
+        x = x.swapaxes(1, 2).reshape(nh, nw, *s[2:])
+        return x.astype(to) if to is not None else x
+
+    def _plane(self, blocks, bs):
+        nh, nw, H, W = self._geom
+        scale = 16 // bs
+        return blocks.swapaxes(1, 2).reshape(H // scale, W // scale)
+
+    def _frame_decisions(self, y, cb, cr, ref_blocks, qp):
+        """One frame through the device graph -> (array decisions, recon)."""
+        cfg = self.cfg
+        rs = RowScanEncoderV1(qp, cfg.bit_depth)
+        lam16 = skip_lambda16(qp + 6 * (cfg.bit_depth - 8))
+        yb, cbb, crb = self._to_blocks(np.asarray(y, np.int32),
+                                       np.asarray(cb, np.int32),
+                                       np.asarray(cr, np.int32))
+        nh, nw, H, W = self._geom
+        tc, tr = cfg.tile_cols, cfg.tile_rows
+        tnh, tnw = nh // tr, nw // tc
+        ya = jnp.asarray(self._tsplit(yb, 16))
+        cba = jnp.asarray(self._tsplit(cbb, 8))
+        cra = jnp.asarray(self._tsplit(crb, 8))
+        if ref_blocks is None:
+            outs = encode_tiles_rowscan_v1_jit(
+                ya, cba, cra, jnp.asarray(qp), rs.lam_bits,
+                tnh, tnw, cfg.bit_depth, self.enable_nxn)
+            skip = None
+        else:
+            outs = encode_tiles_rowscan_p_jit(
+                ya, cba, cra, *ref_blocks, jnp.asarray(qp),
+                rs.lam_bits, jnp.asarray(lam16, jnp.int32),
+                tnh, tnw, cfg.bit_depth, self.enable_nxn)
+        outs = [np.asarray(o) for o in outs]
+        if ref_blocks is not None:
+            skip = self._unstep(outs[13])
+        (part, modes4, cbf_y4, cbf_cb, cbf_cr, cbf_cb4, cbf_cr4,
+         lvl_y, lvl_cb, lvl_cr, rec_y, rec_cb, rec_cr) = outs[:13]
+        dec = {
+            "part_nxn": self._unstep(part),
+            "modes4": self._unstep(modes4, np.int32),
+            "cbf_y4": self._unstep(cbf_y4),
+            "cbf_cb": self._unstep(cbf_cb), "cbf_cr": self._unstep(cbf_cr),
+            "cbf_cb4": self._unstep(cbf_cb4), "cbf_cr4": self._unstep(cbf_cr4),
+            "lvl_y": self._unstep(lvl_y, np.int32),
+            "lvl_cb": self._unstep(lvl_cb, np.int32),
+            "lvl_cr": self._unstep(lvl_cr, np.int32),
+        }
+        if skip is not None:
+            dec["skip"] = skip
+        recon = {
+            "y": self._plane(self._unstep(rec_y, np.int32), 16),
+            "cb": self._plane(self._unstep(rec_cb, np.int32), 8),
+            "cr": self._plane(self._unstep(rec_cr, np.int32), 8),
+        }
+        return dec, recon
+
+    def _deblocked(self, recon, dec, qp=None):
+        cfg = self.cfg
+        qp = cfg.qp if qp is None else qp
+        dy = recon["y"].copy()
+        dcb = recon["cb"].copy()
+        dcr = recon["cr"].copy()
+        if cfg.deblock:
+            cols, rows = cfg.tile_grid()
+            tx = list(np.cumsum(cols)[:-1] * cfg.ctb) \
+                if cfg.tiles_enabled else None
+            ty = list(np.cumsum(rows)[:-1] * cfg.ctb) \
+                if cfg.tiles_enabled else None
+            skip = dec.get("skip")
+            deblock_frame(dy, dcb, dcr, qp, ctb=cfg.ctb,
+                          bit_depth=cfg.bit_depth,
+                          tile_cols_px=tx, tile_rows_px=ty,
+                          nxn_map=np.asarray(dec["part_nxn"], bool),
+                          skip_map=np.asarray(skip, bool)
+                          if skip is not None else None)
+        return {"y": dy, "cb": dcb, "cr": dcr}
+
+    def encode_next(self, y, cb, cr, idr: bool = False,
+                    qp: int | None = None) -> tuple[bytes, dict]:
+        """Encode one frame (streaming).  Returns (slice NAL, deblocked recon).
+
+        idr forces an IDR; otherwise P against the previous picture.  qp
+        overrides cfg.qp for this frame (per-slice rate control).
+        """
+        import dataclasses
+        qp = self.cfg.qp if qp is None else qp
+        cfg_f = dataclasses.replace(self.cfg, qp=qp) \
+            if qp != self.cfg.qp else self.cfg
+        if idr or self._ref_blocks is None:
+            dec, recon = self._frame_decisions(y, cb, cr, None, qp)
+            self._poc = 0
+            nal = entropy_encode_frame_v1(cfg_f, dec)
+        else:
+            dec, recon = self._frame_decisions(y, cb, cr, self._ref_blocks, qp)
+            self._poc += 1
+            nal = entropy_encode_frame_v1(cfg_f, dec, poc=self._poc)
+        ref = self._deblocked(recon, dec, qp)
+        yb, cbb, crb = self._to_blocks(ref["y"], ref["cb"], ref["cr"])
+        self._ref_blocks = (jnp.asarray(self._tsplit(yb, 16)),
+                            jnp.asarray(self._tsplit(cbb, 8)),
+                            jnp.asarray(self._tsplit(crb, 8)))
+        return nal, ref
+
+    def encode_video(self, frames, gop: int = 0):
+        """frames: [(y, cb, cr)] -> (annexb bytes, deblocked recons)."""
+        self.reset()
+        out = annexb(self.parameter_sets())
+        recons = []
+        for i, f in enumerate(frames):
+            nal, ref = self.encode_next(*f, idr=bool(gop and i % gop == 0))
+            out += b"\x00\x00\x00\x01" + nal
+            recons.append(ref)
+        return out, recons

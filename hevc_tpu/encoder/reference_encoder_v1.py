@@ -162,8 +162,8 @@ class RefIntraEncoderV1:
                     enable_nxn=self.enable_nxn)
                 sse_intra = _sse(vy[sl], ry[sl]) + _sse(vcb[slc], rcb[slc]) \
                     + _sse(vcr[slc], rcr[slc])
-                bits = 8 + level_bits_estimate(
-                    (dec["lvl_y"], dec["lvl_cb"], dec["lvl_cr"]))
+                bits = min(8 + level_bits_estimate(
+                    (dec["lvl_y"], dec["lvl_cb"], dec["lvl_cr"])), 2048)
                 j_skip = sse_skip + (lam16 >> 4)
                 j_intra = sse_intra + ((lam16 * bits) >> 4)
                 if j_skip <= j_intra:

@@ -126,10 +126,28 @@ def _search_select(src, ref, n, lam_bits, c0, c1, c2, maxv, fixups=True):
     return mode, pred, jnp.min(costs, axis=1)
 
 
-@partial(jax.jit, static_argnames=("tnh", "tnw", "bit_depth"))
-def encode_tiles_rowscan_v1_jit(src_y, src_cb, src_cr, qp, lam_bits,
-                                tnh, tnw, bit_depth=8):
+def _level_bits(lvl):
+    """Residual-rate estimate, mirror of ctu_modes.level_bits_estimate."""
+    a = jnp.abs(lvl)
+    b = 2 * jnp.sum((a > 0).astype(I32), axis=(-2, -1))
+    ks = jnp.asarray([1 << k for k in range(1, 15)], I32)
+    b = b + jnp.sum((a[:, None] >= ks[None, :, None, None]).astype(I32),
+                    axis=(1, 2, 3))
+    return b
+
+
+def _sse_j(a, b):
+    d = a - b
+    return jnp.sum(d * d, axis=(-2, -1))
+
+
+def _rowscan_v1_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh, tnw, bit_depth,
+                     refs=None, lam16=None, enable_nxn=True):
+    """Shared row-scan body.  refs=(ref_y, ref_cb, ref_cr) enables the
+    P-slice zero-MV skip candidate (replicates the numpy reference P
+    decision: integer SSE + lambda16 rate estimate, bits capped at 2048)."""
     B = src_y.shape[0]
+    p_mode = refs is not None
     maxv = (1 << bit_depth) - 1
     qp_bd = 6 * (bit_depth - 8)
     qp_eff = qp + qp_bd
@@ -139,6 +157,10 @@ def encode_tiles_rowscan_v1_jit(src_y, src_cb, src_cr, qp, lam_bits,
     src_y_rows = src_y.transpose(1, 0, 2, 3, 4)
     src_cb_rows = src_cb.transpose(1, 0, 2, 3, 4)
     src_cr_rows = src_cr.transpose(1, 0, 2, 3, 4)
+    if p_mode:
+        ref_y_rows = refs[0].transpose(1, 0, 2, 3, 4)
+        ref_cb_rows = refs[1].transpose(1, 0, 2, 3, 4)
+        ref_cr_rows = refs[2].transpose(1, 0, 2, 3, 4)
 
     state = dict(
         top_y=jnp.zeros((B, tnw * 16), I32),
@@ -189,7 +211,7 @@ def encode_tiles_rowscan_v1_jit(src_y, src_cb, src_cr, qp, lam_bits,
         sub_out = []
         cost_nxn = jnp.zeros((B,), I32)
         ctu_rec = jnp.zeros((B, 16, 16), I32)
-        for i in range(4):
+        for i in range(4 if enable_nxn else 0):
             dx, dy = (i & 1) * 8, (i >> 1) * 8
             sub = src[:, dy:dy + 8, dx:dx + 8]
             if i == 0:
@@ -237,7 +259,13 @@ def encode_tiles_rowscan_v1_jit(src_y, src_cb, src_cr, qp, lam_bits,
             sub_out.append((lvl, cbf))
             cost_nxn = cost_nxn + cst
 
-        part = cost_nxn < cost2n                          # (B,)
+        if enable_nxn:
+            part = cost_nxn < cost2n                      # (B,)
+        else:
+            part = jnp.zeros((B,), jnp.bool_)
+            sub_modes = [mode2n] * 4
+            sub_out = [(jnp.zeros((B, 8, 8), I32),
+                        jnp.zeros((B,), jnp.bool_))] * 4
 
         # ---- luma selection ----
         lvl2n, cbf2n, rec2n = _tu(src, pred2n, qp_eff, 16, bit_depth, maxv)
@@ -256,11 +284,13 @@ def encode_tiles_rowscan_v1_jit(src_y, src_cb, src_cr, qp, lam_bits,
 
         # ---- chroma: both variants ----
         ch = {}
+        src_c = {}
         for (rows, tkey, lkey, ckey, name) in (
                 (src_cb_rows, "top_cb", "left_cb", "corner_cb", "cb"),
                 (src_cr_rows, "top_cr", "left_cr", "corner_cr", "cr")):
             sc = jax.lax.dynamic_slice(rows, (r, 0, c, 0, 0),
                                        (1, B, 1, 8, 8)).reshape(B, 8, 8)
+            src_c[name] = sc
             topc = jax.lax.dynamic_slice(state[tkey], (0, c * 8), (B, 8))
             trc = jax.lax.dynamic_slice(state[tkey], (0, cclamp * 8), (B, 8))
             lfc = state[lkey]
@@ -276,7 +306,10 @@ def encode_tiles_rowscan_v1_jit(src_y, src_cb, src_cr, qp, lam_bits,
             crec = jnp.zeros((B, 8, 8), I32)
             lvl_b = jnp.zeros((B, 8, 8), I32)
             cbfs_b = []
-            for i in range(4):
+            if not enable_nxn:
+                crec, lvl_b = rec_a, lvl_a
+                cbfs_b = [cbf_a] * 4
+            for i in range(4 if enable_nxn else 0):
                 dx, dy = (i & 1) * 4, (i >> 1) * 4
                 subc = sc[:, dy:dy + 4, dx:dx + 4]
                 if i == 0:
@@ -311,6 +344,35 @@ def encode_tiles_rowscan_v1_jit(src_y, src_cb, src_cr, qp, lam_bits,
                                    cbf_a)
             ch[name] = (lvl_c, rec_c, cbf4, cbf_parent)
 
+        rec_cb, rec_cr = ch["cb"][1], ch["cr"][1]
+        lmodes = jnp.stack(
+            [jnp.where(part, sub_modes[1], mode2n),
+             jnp.where(part, sub_modes[3], mode2n)], axis=1)
+
+        # ---- P slice: zero-MV skip candidate vs the intra result ----
+        if p_mode:
+            refy = jax.lax.dynamic_slice(ref_y_rows, (r, 0, c, 0, 0),
+                                         (1, B, 1, 16, 16)).reshape(B, 16, 16)
+            refcb = jax.lax.dynamic_slice(ref_cb_rows, (r, 0, c, 0, 0),
+                                          (1, B, 1, 8, 8)).reshape(B, 8, 8)
+            refcr = jax.lax.dynamic_slice(ref_cr_rows, (r, 0, c, 0, 0),
+                                          (1, B, 1, 8, 8)).reshape(B, 8, 8)
+            sse_skip = _sse_j(src, refy) + _sse_j(src_c["cb"], refcb) \
+                + _sse_j(src_c["cr"], refcr)
+            sse_intra = _sse_j(src, rec_y) + _sse_j(src_c["cb"], rec_cb) \
+                + _sse_j(src_c["cr"], rec_cr)
+            bits = 8 + _level_bits(lvl_y) + _level_bits(ch["cb"][0]) \
+                + _level_bits(ch["cr"][0])
+            bits = jnp.minimum(bits, 2048)
+            j_skip = sse_skip + (lam16 >> 4)
+            j_intra = sse_intra + ((lam16 * bits) >> 4)
+            skip = j_skip <= j_intra                      # (B,)
+            sm = skip[:, None, None]
+            rec_y = jnp.where(sm, refy, rec_y)
+            rec_cb = jnp.where(sm, refcb, rec_cb)
+            rec_cr = jnp.where(sm, refcr, rec_cr)
+            lmodes = jnp.where(skip[:, None], jnp.ones_like(lmodes), lmodes)
+
         # ---- state updates ----
         nxt = dict(state)
         nxt["corner_y"] = jax.lax.dynamic_slice(
@@ -322,27 +384,48 @@ def encode_tiles_rowscan_v1_jit(src_y, src_cb, src_cr, qp, lam_bits,
         nxt["top_y"] = jax.lax.dynamic_update_slice(
             state["top_y"], rec_y[:, 15, :], (0, c * 16))
         nxt["top_cb"] = jax.lax.dynamic_update_slice(
-            state["top_cb"], ch["cb"][1][:, 7, :], (0, c * 8))
+            state["top_cb"], rec_cb[:, 7, :], (0, c * 8))
         nxt["top_cr"] = jax.lax.dynamic_update_slice(
-            state["top_cr"], ch["cr"][1][:, 7, :], (0, c * 8))
+            state["top_cr"], rec_cr[:, 7, :], (0, c * 8))
         nxt["left_y"] = rec_y[:, :, 15]
-        nxt["left_cb"] = ch["cb"][1][:, :, 7]
-        nxt["left_cr"] = ch["cr"][1][:, :, 7]
-        nxt["left_modes"] = jnp.stack(
-            [jnp.where(part, sub_modes[1], mode2n),
-             jnp.where(part, sub_modes[3], mode2n)], axis=1)
+        nxt["left_cb"] = rec_cb[:, :, 7]
+        nxt["left_cr"] = rec_cr[:, :, 7]
+        nxt["left_modes"] = lmodes
 
         rdt = jnp.uint8 if bit_depth == 8 else jnp.uint16
         out = (part, modes4.astype(jnp.int8), cbf_y4,
                ch["cb"][3], ch["cr"][3], ch["cb"][2], ch["cr"][2],
                lvl_y.astype(jnp.int16),
                ch["cb"][0].astype(jnp.int16), ch["cr"][0].astype(jnp.int16),
-               rec_y.astype(rdt), ch["cb"][1].astype(rdt),
-               ch["cr"][1].astype(rdt))
+               rec_y.astype(rdt), rec_cb.astype(rdt), rec_cr.astype(rdt))
+        if p_mode:
+            out = out + (skip,)
         return nxt, out
 
     _, outs = jax.lax.scan(step, state, jnp.arange(tnh * tnw, dtype=I32))
     return outs
+
+
+@partial(jax.jit, static_argnames=("tnh", "tnw", "bit_depth", "enable_nxn"))
+def encode_tiles_rowscan_v1_jit(src_y, src_cb, src_cr, qp, lam_bits,
+                                tnh, tnw, bit_depth=8, enable_nxn=True):
+    return _rowscan_v1_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh, tnw,
+                            bit_depth, enable_nxn=enable_nxn)
+
+
+@partial(jax.jit, static_argnames=("tnh", "tnw", "bit_depth", "enable_nxn"))
+def encode_tiles_rowscan_p_jit(src_y, src_cb, src_cr, ref_y, ref_cb, ref_cr,
+                               qp, lam_bits, lam16, tnh, tnw, bit_depth=8,
+                               enable_nxn=True):
+    """P-frame row-scan: v1 intra search + zero-MV skip per CTU.
+
+    ref planes are the previous picture's DEBLOCKED reconstruction in the
+    same (B, tnh, tnw, n, n) block layout.  Returns the v1 outputs plus a
+    (steps, B) skip flag; recons reflect the skip selection.
+    """
+    return _rowscan_v1_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh, tnw,
+                            bit_depth, refs=(ref_y, ref_cb, ref_cr),
+                            lam16=lam16, enable_nxn=enable_nxn)
 
 
 class RowScanEncoderV1:

@@ -48,6 +48,7 @@ def _load():
     lib.hevc_entropy_encode_tile_v1.restype = ctypes.c_long
     lib.hevc_entropy_encode_tile_v1.argtypes = [
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -57,12 +58,18 @@ def _load():
 
 
 def encode_tile_payload_v1(qp: int, dec: dict, y0: int, x0: int,
-                           th: int, tw: int, last_tile: bool) -> bytes | None:
+                           th: int, tw: int, last_tile: bool,
+                           p_slice: bool = False) -> bytes | None:
     """v1 tile substream from array-format decisions (device graph output)."""
     lib = _load()
     if not lib:
         return None
     sl = np.s_[y0:y0 + th, x0:x0 + tw]
+    skip_ptr = 0
+    skip_arr = None
+    if p_slice and "skip" in dec:
+        skip_arr = np.ascontiguousarray(dec["skip"][sl], dtype=np.uint8)
+        skip_ptr = skip_arr.ctypes.data
     part = np.ascontiguousarray(dec["part_nxn"][sl], dtype=np.uint8)
     modes4 = np.ascontiguousarray(dec["modes4"][sl], dtype=np.int32)
     cbf_y4 = np.ascontiguousarray(dec["cbf_y4"][sl], dtype=np.uint8)
@@ -77,6 +84,7 @@ def encode_tile_payload_v1(qp: int, dec: dict, y0: int, x0: int,
     out = (ctypes.c_ubyte * cap)()
     n = lib.hevc_entropy_encode_tile_v1(
         qp, th, tw, 1 if last_tile else 0,
+        1 if p_slice else 0, skip_ptr,
         part.ctypes.data, modes4.ctypes.data, cbf_y4.ctypes.data,
         cbf_cb.ctypes.data, cbf_cr.ctypes.data, cbf_cb4.ctypes.data,
         cbf_cr4.ctypes.data, lvl_y.ctypes.data, lvl_cb.ctypes.data,

@@ -66,3 +66,29 @@ def encode_tiles_sharded_v1(mesh: Mesh, src_y, src_cb, src_cr, qp, lam_bits,
             y, cb, cr, qp, lam_bits, tnh, tnw, bit_depth)
 
     return run(src_y, src_cb, src_cr, qp, lam_bits, tnh, tnw, bit_depth)
+
+
+def encode_tiles_sharded_p(mesh: Mesh, src_y, src_cb, src_cr,
+                           ref_y, ref_cb, ref_cr, qp, lam_bits, lam16,
+                           tnh: int, tnw: int, bit_depth: int = 8):
+    """Sharded P-frame encode: the frame's tiles spread over the stream axis.
+
+    P frames are sequential in time (each needs the previous deblocked
+    picture), so the intra-frame tile batch IS the multi-chip parallelism
+    for GOP encoding; the reference planes shard identically with the
+    sources (each chip holds only its tiles' reference pixels).
+    """
+    from hevc_tpu.encoder.rowscan_v1 import encode_tiles_rowscan_p_jit
+    shard = NamedSharding(mesh, P("stream"))
+    step_shard = NamedSharding(mesh, P(None, "stream"))
+    rep = NamedSharding(mesh, P())
+
+    @partial(jax.jit, static_argnames=("tnh", "tnw", "bit_depth"),
+             in_shardings=(shard,) * 6 + (rep, rep, rep),
+             out_shardings=step_shard)
+    def run(y, cb, cr, ry, rcb, rcr, qp, lam_bits, lam16, tnh, tnw, bit_depth):
+        return encode_tiles_rowscan_p_jit.__wrapped__(
+            y, cb, cr, ry, rcb, rcr, qp, lam_bits, lam16, tnh, tnw, bit_depth)
+
+    return run(src_y, src_cb, src_cr, ref_y, ref_cb, ref_cr, qp, lam_bits,
+               lam16, tnh, tnw, bit_depth)

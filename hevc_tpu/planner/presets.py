@@ -15,6 +15,7 @@ class Preset:
     name: str
     nxn: bool              # PART_NxN 8x8 sub-partition search
     batch_frames: int = 8
+    inter: bool = True     # GOP with zero-MV-skip P frames (IDR-only if off)
 
 
 PRESETS = {
@@ -37,11 +38,11 @@ def select_preset(width: int, height: int, is_hdr: bool) -> Preset:
 
 
 def degrade(preset: Preset, step: int) -> Preset:
-    """Retry-ladder degradation: lower batch, then drop NxN."""
+    """Retry-ladder degradation: lower batch, then drop NxN, then inter."""
     if step == 0:
         return preset
     if step == 1:
         return Preset(preset.name + "-d1", preset.nxn,
-                      max(preset.batch_frames // 2, 1))
+                      max(preset.batch_frames // 2, 1), preset.inter)
     return Preset(preset.name + f"-d{step}", False,
-                  max(preset.batch_frames >> step, 1))
+                  max(preset.batch_frames >> step, 1), inter=step < 3)

@@ -46,3 +46,29 @@ def test_sharded_equals_local():
     local = encode_frames_batch_jit(y, cb, cr, qp, lb, nh, nw)
     for s, l in zip(sharded, local):
         assert np.array_equal(np.asarray(s), np.asarray(l))
+
+
+def test_sharded_p_equals_local():
+    import jax.numpy as jnp
+    from hevc_tpu.parallel.streams import make_stream_mesh, \
+        encode_tiles_sharded_p
+    from hevc_tpu.encoder.rowscan_v1 import encode_tiles_rowscan_p_jit
+
+    tnh, tnw = 2, 2
+    B = 8
+    rng = np.random.default_rng(4)
+    mk = lambda n: jnp.asarray(
+        rng.integers(0, 256, (B, tnh, tnw, n, n)).astype(np.int32))
+    y, cb, cr = mk(16), mk(8), mk(8)
+    ry, rcb, rcr = mk(16), mk(8), mk(8)
+    qp = jnp.asarray(32, jnp.int32)
+    lb = jnp.asarray([13, 20, 40], jnp.int32)
+    lam16 = jnp.asarray(1370, jnp.int32)
+    mesh = make_stream_mesh()
+    sharded = encode_tiles_sharded_p(mesh, y, cb, cr, ry, rcb, rcr, qp, lb,
+                                     lam16, tnh, tnw)
+    local = encode_tiles_rowscan_p_jit(y, cb, cr, ry, rcb, rcr, qp, lb,
+                                       lam16, tnh, tnw)
+    assert len(sharded) == 14
+    for s, l in zip(sharded, local):
+        assert np.array_equal(np.asarray(s), np.asarray(l))
