@@ -117,7 +117,8 @@ class IntraDecoder:
 
     # ---- slice decode ---------------------------------------------------------
     def decode_slice(self, payload: bytes, hdr: SliceHeader,
-                     expect_end: bool = True, ref: dict | None = None) -> dict:
+                     expect_end: bool = True, ref: dict | None = None,
+                     off: tuple[int, int] = (0, 0)) -> dict:
         qp_bd = 6 * (self.sps.bit_depth - 8)   # Qp' = Qp + QpBdOffset (8.6.3)
         self.qp = hdr.qp + qp_bd
         self.qpc_cb = R.chroma_qp(
@@ -133,8 +134,13 @@ class IntraDecoder:
                                   (self.W + self.ctb - 1) // self.ctb), bool)
         self.skip4 = np.zeros((self.H // 4, self.W // 4), np.int32)
         self.skip_map = np.zeros_like(self.part_map)
+        nh_ctu, nw_ctu = self.part_map.shape
+        self.inter_map = np.zeros((nh_ctu, nw_ctu), bool)
+        self.mv_map = np.zeros((nh_ctu, nw_ctu, 2), np.int32)
+        self.cbf_map = np.zeros((nh_ctu, nw_ctu), bool)
         self.p_slice = hdr.slice_type == 1
-        self.ref = ref
+        self.ref = ref              # full reference picture (not tile-cropped)
+        self.off = off              # this tile's (x, y) offset in the picture
         assert not self.p_slice or ref is not None, "P slice needs a ref pic"
         self.syn = SliceSyntaxDecoder(payload, hdr.qp, hdr.init_type)
         ctbs_w = (self.W + self.ctb - 1) // self.ctb
@@ -152,7 +158,9 @@ class IntraDecoder:
                     assert self.syn.decode_end_of_slice() == 1, \
                         "missing end_of_subset_one_bit"
         return {"y": self.y, "cb": self.cb, "cr": self.cr, "qp": hdr.qp,
-                "part_map": self.part_map, "skip_map": self.skip_map}
+                "part_map": self.part_map, "skip_map": self.skip_map,
+                "cu_maps": {"intra": ~self.inter_map, "cbf": self.cbf_map,
+                            "mv": self.mv_map}}
 
     def _coding_quadtree(self, x0: int, y0: int, log2size: int) -> None:
         size = 1 << log2size
@@ -198,25 +206,22 @@ class IntraDecoder:
                            x0 >> 2:(x0 + size) >> 2] = \
                 self.sps.log2_ctb - log2size
             if syn.decode_cu_skip(left, above):
-                # zero-MV skip: copy co-located block from the reference pic
-                # (merge cand 0 is always MV (0,0) ref 0 in this profile:
-                #  every inter neighbor is itself zero-MV, and the fallback
-                #  zero candidate fills an empty list; MaxNumMergeCand = 1)
                 self.skip4[y0 >> 2:(y0 + size) >> 2,
                            x0 >> 2:(x0 + size) >> 2] = 1
                 self.skip_map[y0 >> self.sps.log2_ctb,
                               x0 >> self.sps.log2_ctb] = True
-                self.y[y0:y0 + size, x0:x0 + size] = \
-                    self.ref["y"][y0:y0 + size, x0:x0 + size]
-                cs = size >> 1
-                xc, yc = x0 >> 1, y0 >> 1
-                self.cb[yc:yc + cs, xc:xc + cs] = \
-                    self.ref["cb"][yc:yc + cs, xc:xc + cs]
-                self.cr[yc:yc + cs, xc:xc + cs] = \
-                    self.ref["cr"][yc:yc + cs, xc:xc + cs]
+                self._inter_cu(x0, y0, size, merge=True, residual=False)
                 return
-            assert syn.decode_pred_mode_is_intra(), \
-                "non-skip inter CUs unsupported (zero-MV-skip profile)"
+            if not syn.decode_pred_mode_is_intra():
+                assert log2size == self.sps.log2_ctb == 4, \
+                    "inter CUs only at CTU granularity (v2 profile)"
+                assert syn.decode_part_mode_inter_is_2nx2n(), \
+                    "inter partitions other than 2Nx2N unsupported"
+                if syn.decode_merge_flag():
+                    self._inter_cu(x0, y0, size, merge=True, residual=True)
+                else:
+                    self._inter_cu(x0, y0, size, merge=False, residual=True)
+                return
         part_nxn = False
         if log2size == self.sps.log2_min_cb:
             part_nxn = syn.decode_part_mode_intra()
@@ -255,6 +260,63 @@ class IntraDecoder:
         max_depth = self.sps.max_trafo_depth_intra + (1 if part_nxn else 0)
         self._transform_tree(x0, y0, x0, y0, log2size, 0, 0,
                              max_depth, 1, 1)
+
+    def _inter_cu(self, x0: int, y0: int, size: int, merge: bool,
+                  residual: bool) -> None:
+        """Inter CU (CTU = CU = PU, single ref): motion derivation + MC + TU.
+
+        merge + residual=False is the skip path (rqt_root_cbf absent);
+        merge + residual=True has rqt_root_cbf inferred 1 (7.4.9.5);
+        explicit MV signals mvd/mvp then rqt_root_cbf.
+        """
+        from hevc_tpu.ops import inter as M
+        syn = self.syn
+        cy, cx = y0 >> self.sps.log2_ctb, x0 >> self.sps.log2_ctb
+        nh, nw = self.inter_map.shape
+        if merge:
+            mv = M.merge_cand0(self.inter_map, self.mv_map, cy, cx, nh, nw)
+            rqt = 1 if residual else 0
+        else:
+            mvd = syn.decode_mvd()
+            mvp_idx = syn.decode_mvp_flag()
+            cands = M.amvp_list(self.inter_map, self.mv_map, cy, cx, nh, nw)
+            mv = (cands[mvp_idx][0] + mvd[0], cands[mvp_idx][1] + mvd[1])
+            rqt = syn.decode_rqt_root_cbf()
+        self.inter_map[cy, cx] = True
+        self.mv_map[cy, cx] = mv
+
+        # MC against the FULL reference picture (tiles don't bound MC)
+        ox, oy = self.off
+        py = M.mc_luma(self.ref["y"], ox + x0, oy + y0, size, mv[0], mv[1],
+                       self.sps.bit_depth)
+        cs = size >> 1
+        xc, yc = x0 >> 1, y0 >> 1
+        pcb = M.mc_chroma(self.ref["cb"], (ox >> 1) + xc, (oy >> 1) + yc, cs,
+                          mv[0], mv[1], self.sps.bit_depth)
+        pcr = M.mc_chroma(self.ref["cr"], (ox >> 1) + xc, (oy >> 1) + yc, cs,
+                          mv[0], mv[1], self.sps.bit_depth)
+
+        cbf_y = cbf_cb = cbf_cr = 0
+        if rqt:
+            cbf_cb = syn.decode_cbf_chroma(0)
+            cbf_cr = syn.decode_cbf_chroma(0)
+            cbf_y = syn.decode_cbf_luma(0) if (cbf_cb or cbf_cr) else 1
+        self.cbf_map[cy, cx] = bool(cbf_y)
+
+        bd = self.sps.bit_depth
+        for plane, pred, cbf, c_idx, qpv, (px, pyy, n) in (
+                (self.y, py, cbf_y, 0, self.qp, (x0, y0, size)),
+                (self.cb, pcb, cbf_cb, 1, self.qpc_cb, (xc, yc, cs)),
+                (self.cr, pcr, cbf_cr, 2, self.qpc_cr, (xc, yc, cs))):
+            if cbf:
+                log2n = n.bit_length() - 1
+                lvl = syn.decode_residual(log2n, 0, c_idx)  # diagonal scan
+                resi = R.inverse_transform(R.dequantize(lvl, qpv, bd),
+                                           bit_depth=bd)
+                rec = R.reconstruct(pred, resi, bd)
+            else:
+                rec = pred
+            plane[pyy:pyy + n, px:px + n] = rec
 
     def _decode_chroma_mode(self, luma_mode: int) -> int:
         syn = self.syn
@@ -402,6 +464,9 @@ def _decode_tiled_slice(payload: bytes, hdr, sps: Sps, pps: Pps,
     out_cr = np.zeros_like(out_cb)
     part_map = np.zeros((nh, nw), bool)
     skip_map = np.zeros((nh, nw), bool)
+    cu_maps = {"intra": np.ones((nh, nw), bool),
+               "cbf": np.zeros((nh, nw), bool),
+               "mv": np.zeros((nh, nw, 2), np.int32)}
     k = 0
     y0 = 0
     for th in rows:
@@ -411,16 +476,11 @@ def _decode_tiled_slice(payload: bytes, hdr, sps: Sps, pps: Pps,
                               width=tw * ctb, height=th * ctb)
             dec = IntraDecoder(sub_sps, pps)
             ys, xs = y0 * ctb, x0 * ctb
-            sub_ref = None
-            if ref is not None:
-                sub_ref = {
-                    "y": ref["y"][ys:ys + th * ctb, xs:xs + tw * ctb],
-                    "cb": ref["cb"][ys // 2:(ys + th * ctb) // 2,
-                                    xs // 2:(xs + tw * ctb) // 2],
-                    "cr": ref["cr"][ys // 2:(ys + th * ctb) // 2,
-                                    xs // 2:(xs + tw * ctb) // 2]}
+            # MC reads the FULL reference picture; tile offset keeps the
+            # sub-decoder's local coords addressing the right region
             f = dec.decode_slice(subs[k], hdr,
-                                 expect_end=(k == t * r - 1), ref=sub_ref)
+                                 expect_end=(k == t * r - 1), ref=ref,
+                                 off=(xs, ys))
             out_y[ys:ys + th * ctb, xs:xs + tw * ctb] = f["y"]
             out_cb[ys // 2:(ys + th * ctb) // 2,
                    xs // 2:(xs + tw * ctb) // 2] = f["cb"]
@@ -428,11 +488,13 @@ def _decode_tiled_slice(payload: bytes, hdr, sps: Sps, pps: Pps,
                    xs // 2:(xs + tw * ctb) // 2] = f["cr"]
             part_map[y0:y0 + th, x0:x0 + tw] = f["part_map"]
             skip_map[y0:y0 + th, x0:x0 + tw] = f["skip_map"]
+            for kk in ("intra", "cbf", "mv"):
+                cu_maps[kk][y0:y0 + th, x0:x0 + tw] = f["cu_maps"][kk]
             k += 1
             x0 += tw
         y0 += th
     return {"y": out_y, "cb": out_cb, "cr": out_cr, "qp": hdr.qp,
-            "part_map": part_map, "skip_map": skip_map}
+            "part_map": part_map, "skip_map": skip_map, "cu_maps": cu_maps}
 
 
 def decode_annexb(data: bytes, cfg=None) -> list[dict]:
@@ -478,9 +540,10 @@ def _apply_deblock(frame: dict, hdr, sps: Sps, pps: Pps) -> None:
                   for i in range(pps.tile_cols - 1)]
         tile_y = [((j + 1) * nh // pps.tile_rows) * ctb
                   for j in range(pps.tile_rows - 1)]
-    skip = frame.get("skip_map")
+    maps = frame.get("cu_maps")
+    if maps is not None and bool(maps["intra"].all()):
+        maps = None                     # all-intra frame: bS=2 everywhere
     deblock_frame(frame["y"], frame["cb"], frame["cr"], hdr.qp,
                   ctb=ctb, bit_depth=sps.bit_depth,
                   tile_cols_px=tile_x, tile_rows_px=tile_y,
-                  nxn_map=frame.get("part_map"),
-                  skip_map=skip if skip is not None and skip.any() else None)
+                  nxn_map=frame.get("part_map"), cu_maps=maps)

@@ -58,6 +58,44 @@ class SliceSyntaxDecoder:
     def decode_pred_mode_is_intra(self) -> bool:
         return self.cabac.decode_bin(T.CTX_OFF["pred_mode"]) == 1
 
+    def decode_part_mode_inter_is_2nx2n(self) -> bool:
+        return self.cabac.decode_bin(T.CTX_OFF["part_mode"]) == 1
+
+    def decode_merge_flag(self) -> bool:
+        return self.cabac.decode_bin(T.CTX_OFF["merge_flag"]) == 1
+
+    def decode_mvd(self) -> tuple[int, int]:
+        c = self.cabac
+        g0x = c.decode_bin(T.CTX_OFF["mvd"])
+        g0y = c.decode_bin(T.CTX_OFF["mvd"])
+        g1x = c.decode_bin(T.CTX_OFF["mvd"] + 1) if g0x else 0
+        g1y = c.decode_bin(T.CTX_OFF["mvd"] + 1) if g0y else 0
+        out = []
+        for g0, g1 in ((g0x, g1x), (g0y, g1y)):
+            if not g0:
+                out.append(0)
+                continue
+            a = (2 + self._decode_eg1()) if g1 else 1
+            out.append(-a if c.decode_bypass() else a)
+        return out[0], out[1]
+
+    def _decode_eg1(self) -> int:
+        c = self.cabac
+        length = 1
+        v = 0
+        while c.decode_bypass():
+            v += 1 << length
+            length += 1
+            if length > 30:
+                raise ValueError("corrupt abs_mvd_minus2")
+        return v + c.decode_bypass_bits(length)
+
+    def decode_mvp_flag(self) -> int:
+        return self.cabac.decode_bin(T.CTX_OFF["mvp_flag"])
+
+    def decode_rqt_root_cbf(self) -> int:
+        return self.cabac.decode_bin(T.CTX_OFF["rqt_root_cbf"])
+
     def decode_end_of_slice(self) -> int:
         return self.cabac.decode_terminate()
 

@@ -19,10 +19,12 @@ def _sse(a: np.ndarray, b: np.ndarray) -> int:
 
 
 class RefIntraEncoderV1:
-    def __init__(self, cfg: StreamConfig, enable_nxn: bool = True):
+    def __init__(self, cfg: StreamConfig, enable_nxn: bool = True,
+                 mc: bool = True):
         assert cfg.log2_ctb == 4, "v1 profile: CTB16"
         self.cfg = cfg
         self.enable_nxn = enable_nxn
+        self.mc = mc            # P frames: motion search (False: zero-MV only)
 
     def parameter_sets(self) -> list[bytes]:
         return [write_vps(self.cfg), write_sps(self.cfg), write_pps(self.cfg)]
@@ -90,14 +92,18 @@ class RefIntraEncoderV1:
         nal = entropy_encode_frame_v1(self.cfg, ctus)
         return nal, recon
 
-    # ---- P frames (zero-MV skip; conditional replenishment) -------------------
+    # ---- P frames (motion-compensated, CTU = CU = PU) --------------------------
     def encode_frame_p_decisions(self, y, cb, cr, ref: dict):
         """P-frame encode against ref (the previous DEBLOCKED reconstruction).
 
-        Per CTU: full v1 intra search vs the zero-MV skip candidate (copy the
-        co-located ref CTU); the cheaper of
-            J = SSE + (lambda16 * bits_estimate >> 4)
-        wins.  Returns (ctus grid incl skip dicts, recon, skip_map).
+        Per CTU, four candidates under J = SSE + (lambda16 * bits_est >> 4):
+          skip        merge cand 0 motion, no residual
+          merge       merge cand 0 motion + coded residual (rqt inferred 1)
+          explicit    full-search integer MV (AMVP + mvd) +- residual
+          intra       the full v1 2Nx2N/NxN search
+        Motion compensation reads the full reference picture (tiles constrain
+        entropy + intra availability + merge/AMVP neighbors, not MC).
+        Returns (ctus grid, recon, cu_maps for deblocking).
         """
         cfg = self.cfg
         ctb = cfg.ctb
@@ -118,21 +124,24 @@ class RefIntraEncoderV1:
 
         cols, rows = cfg.tile_grid()
         ctus = [[None] * nw for _ in range(nh)]
-        skip_map = np.zeros((nh, nw), bool)
+        cu_maps = {"intra": np.zeros((nh, nw), bool),
+                   "cbf": np.zeros((nh, nw), bool),
+                   "mv": np.zeros((nh, nw, 2), np.int32)}
+        tile_fn = self._encode_tile_p_mc if self.mc else self._encode_tile_p
         ty0 = 0
         for th in rows:
             tx0 = 0
             for tw in cols:
-                self._encode_tile_p(ys, cbs, crs, rec_y, rec_cb, rec_cr, ref,
-                                    tx0, ty0, tw, th, qp, qpc, sqrt_lam,
-                                    lam16, ctus, skip_map)
+                tile_fn(ys, cbs, crs, rec_y, rec_cb, rec_cr, ref,
+                        tx0, ty0, tw, th, qp, qpc, sqrt_lam,
+                        lam16, ctus, cu_maps)
                 tx0 += tw
             ty0 += th
-        return ctus, {"y": rec_y, "cb": rec_cb, "cr": rec_cr}, skip_map
+        return ctus, {"y": rec_y, "cb": rec_cb, "cr": rec_cr}, cu_maps
 
     def _encode_tile_p(self, ys, cbs, crs, rec_y, rec_cb, rec_cr, ref,
                        tx0, ty0, tw, th, qp, qpc, sqrt_lam, lam16, ctus,
-                       skip_map):
+                       cu_maps):
         cfg = self.cfg
         ctb = cfg.ctb
         hc = ctb // 2
@@ -171,11 +180,170 @@ class RefIntraEncoderV1:
                     rcb[slc] = fcb[slc]
                     rcr[slc] = fcr[slc]
                     ctus[ty0 + cy][tx0 + cx] = {"skip": True}
-                    skip_map[ty0 + cy, tx0 + cx] = True
                     left_modes = (INTRA_DC, INTRA_DC)
                 else:
                     ctus[ty0 + cy][tx0 + cx] = dec
+                    cu_maps["intra"][ty0 + cy, tx0 + cx] = True
+                    cu_maps["cbf"][ty0 + cy, tx0 + cx] = \
+                        bool(np.any(dec["lvl_y"]))
                     left_modes = lm
+
+    def _encode_tile_p_mc(self, ys, cbs, crs, rec_y, rec_cb, rec_cr, ref,
+                          tx0, ty0, tw, th, qp, qpc, sqrt_lam, lam16, ctus,
+                          cu_maps):
+        """MC tile encode: skip / merge / explicit-MV / intra per CTU."""
+        from hevc_tpu.ops import inter as M
+        from hevc_tpu.encoder.ctu_modes import encode_tu
+        cfg = self.cfg
+        ctb = cfg.ctb
+        hc = ctb // 2
+        bd = cfg.bit_depth
+        sl16 = int(sqrt_lam * 16)
+        vy = ys[ty0 * ctb:(ty0 + th) * ctb, tx0 * ctb:(tx0 + tw) * ctb]
+        vcb = cbs[ty0 * hc:(ty0 + th) * hc, tx0 * hc:(tx0 + tw) * hc]
+        vcr = crs[ty0 * hc:(ty0 + th) * hc, tx0 * hc:(tx0 + tw) * hc]
+        ry = rec_y[ty0 * ctb:(ty0 + th) * ctb, tx0 * ctb:(tx0 + tw) * ctb]
+        rcb = rec_cb[ty0 * hc:(ty0 + th) * hc, tx0 * hc:(tx0 + tw) * hc]
+        rcr = rec_cr[ty0 * hc:(ty0 + th) * hc, tx0 * hc:(tx0 + tw) * hc]
+        inter_map = np.zeros((th, tw), bool)
+        mv_map = np.zeros((th, tw, 2), np.int32)
+
+        def tu3(src3, pred3):
+            """(lvl, cbf, rec) per plane for one inter CU's residual."""
+            out = []
+            for (s, p, q) in ((src3[0], pred3[0], qp),
+                              (src3[1], pred3[1], qpc),
+                              (src3[2], pred3[2], qpc)):
+                out.append(encode_tu(s, p, q, bd))
+            return out
+
+        for cy in range(th):
+            left_modes = (INTRA_DC, INTRA_DC)
+            for cx in range(tw):
+                x0, y0 = cx * ctb, cy * ctb
+                xc, yc = cx * hc, cy * hc
+                gx0, gy0 = (tx0 + cx) * ctb, (ty0 + cy) * ctb
+                sl = np.s_[y0:y0 + ctb, x0:x0 + ctb]
+                slc = np.s_[yc:yc + hc, xc:xc + hc]
+                src3 = (vy[sl], vcb[slc], vcr[slc])
+                merge_mv = M.merge_cand0(inter_map, mv_map, cy, cx, th, tw)
+                amvp = M.amvp_list(inter_map, mv_map, cy, cx, th, tw)
+
+                # --- motion search: SAD + lambda * mvd bits ---
+                def mv_cost(mv):
+                    pred = M.mc_luma(ref["y"], gx0, gy0, ctb,
+                                     mv[0], mv[1], bd)
+                    sad = int(np.abs(src3[0].astype(np.int64)
+                                     - pred.astype(np.int64)).sum())
+                    mb0 = M.mvd_bits(mv[0] - amvp[0][0]) + \
+                        M.mvd_bits(mv[1] - amvp[0][1])
+                    mb1 = M.mvd_bits(mv[0] - amvp[1][0]) + \
+                        M.mvd_bits(mv[1] - amvp[1][1])
+                    mvp_idx = 0 if mb0 <= mb1 else 1
+                    return ((sad << 4) + sl16 * min(mb0, mb1),
+                            mv, mvp_idx, min(mb0, mb1))
+
+                # full integer window (raster order, first-found wins ties)
+                best = None
+                for dy in range(-8, 9):
+                    for dx in range(-8, 9):
+                        cand = mv_cost((4 * dx, 4 * dy))
+                        if best is None or cand[0] < best[0]:
+                            best = cand
+                # half- then quarter-pel refinement around the best
+                for step in (2, 1):
+                    base = best[1]
+                    for dy in (-1, 0, 1):
+                        for dx in (-1, 0, 1):
+                            if dx == 0 and dy == 0:
+                                continue
+                            cand = mv_cost((base[0] + dx * step,
+                                            base[1] + dy * step))
+                            if cand[0] < best[0]:
+                                best = cand
+                _, mv_e, mvp_e, mbits_e = best
+
+                # --- candidate: skip (merge motion, no residual) ---
+                pm3 = M.mc_block(ref, gx0, gy0, ctb, merge_mv, bd)
+                sse_skip = sum(_sse(s, p) for s, p in zip(src3, pm3))
+                j = sse_skip + ((lam16 * 2) >> 4)
+                choice = ("skip", j)
+
+                # --- candidate: merge with residual ---
+                tm = tu3(src3, pm3)
+                if any(t[1] for t in tm):
+                    sse_m = sum(_sse(s, t[2]) for s, t in zip(src3, tm))
+                    bits = min(12 + level_bits_estimate(
+                        [t[0] for t in tm]), 2048)
+                    j = sse_m + ((lam16 * bits) >> 4)
+                    if j < choice[1]:
+                        choice = ("merge", j)
+
+                # --- candidate: explicit MV (+- residual) ---
+                pe3 = M.mc_block(ref, gx0, gy0, ctb, mv_e, bd)
+                te = tu3(src3, pe3)
+                rqt = int(any(t[1] for t in te))
+                if rqt:
+                    sse_e = sum(_sse(s, t[2]) for s, t in zip(src3, te))
+                    lv = [t[0] for t in te]
+                else:
+                    sse_e = sum(_sse(s, p) for s, p in zip(src3, pe3))
+                    lv = []
+                bits = min(16 + mbits_e + level_bits_estimate(lv), 2048)
+                j = sse_e + ((lam16 * bits) >> 4)
+                if j < choice[1]:
+                    choice = ("explicit", j)
+
+                # --- candidate: intra (writes recon in place) ---
+                dec, lm = encode_ctu_v1(
+                    vy, vcb, vcr, ry, rcb, rcr, cx, cy, ctb, qp, qpc, None,
+                    sqrt_lam, left_modes, bd, hadamard_satd,
+                    enable_nxn=self.enable_nxn)
+                sse_i = _sse(vy[sl], ry[sl]) + _sse(vcb[slc], rcb[slc]) \
+                    + _sse(vcr[slc], rcr[slc])
+                bits = min(8 + level_bits_estimate(
+                    (dec["lvl_y"], dec["lvl_cb"], dec["lvl_cr"])), 2048)
+                j = sse_i + ((lam16 * bits) >> 4)
+                if j < choice[1]:
+                    choice = ("intra", j)
+
+                gy, gx = ty0 + cy, tx0 + cx
+                kind = choice[0]
+                if kind == "intra":
+                    ctus[gy][gx] = dec
+                    cu_maps["intra"][gy, gx] = True
+                    cu_maps["cbf"][gy, gx] = bool(np.any(dec["lvl_y"]))
+                    left_modes = lm
+                    continue
+                left_modes = (INTRA_DC, INTRA_DC)
+                inter_map[cy, cx] = True
+                if kind == "skip":
+                    mv, rec3 = merge_mv, pm3
+                    ctus[gy][gx] = {"skip": True}
+                elif kind == "merge":
+                    mv = merge_mv
+                    rec3 = [t[2] for t in tm]
+                    ctus[gy][gx] = {
+                        "inter": True, "merge": True,
+                        "cbf_y": tm[0][1], "lvl_y": tm[0][0],
+                        "cbf_cb": tm[1][1], "lvl_cb": tm[1][0],
+                        "cbf_cr": tm[2][1], "lvl_cr": tm[2][0]}
+                    cu_maps["cbf"][gy, gx] = bool(tm[0][1])
+                else:
+                    mv = mv_e
+                    mvd = (mv_e[0] - amvp[mvp_e][0], mv_e[1] - amvp[mvp_e][1])
+                    rec3 = [t[2] for t in te] if rqt else list(pe3)
+                    d = {"inter": True, "merge": False,
+                         "mvd": mvd, "mvp": mvp_e, "rqt": rqt}
+                    if rqt:
+                        d.update(cbf_y=te[0][1], lvl_y=te[0][0],
+                                 cbf_cb=te[1][1], lvl_cb=te[1][0],
+                                 cbf_cr=te[2][1], lvl_cr=te[2][0])
+                        cu_maps["cbf"][gy, gx] = bool(te[0][1])
+                    ctus[gy][gx] = d
+                mv_map[cy, cx] = mv
+                cu_maps["mv"][gy, gx] = mv
+                ry[sl], rcb[slc], rcr[slc] = rec3[0], rec3[1], rec3[2]
 
     def encode_video(self, frames, gop: int = 0):
         """Encode a GOP-structured sequence -> (annexb bytes, recons).
@@ -196,12 +364,12 @@ class RefIntraEncoderV1:
             idr = ref is None or (gop and i % gop == 0)
             if idr:
                 ctus, recon = self.encode_frame_decisions(y, cb, cr)
-                skip_map = None
+                cu_maps = None
                 poc = 0
                 nal = entropy_encode_frame_v1(cfg, ctus)
             else:
                 poc += 1
-                ctus, recon, skip_map = self.encode_frame_p_decisions(
+                ctus, recon, cu_maps = self.encode_frame_p_decisions(
                     y, cb, cr, ref)
                 nal = entropy_encode_frame_v1(cfg, ctus, poc=poc)
             out += b"\x00\x00\x00\x01" + nal
@@ -219,7 +387,7 @@ class RefIntraEncoderV1:
                               bit_depth=cfg.bit_depth,
                               tile_cols_px=list(tx) if tx is not None else None,
                               tile_rows_px=list(tyy) if tyy is not None else None,
-                              nxn_map=nxn_map, skip_map=skip_map)
+                              nxn_map=nxn_map, cu_maps=cu_maps)
             ref = {"y": dy, "cb": dcb, "cr": dcr}
             recons.append(ref)
         return out, recons

@@ -79,9 +79,53 @@ class SliceSyntaxEncoder:
         self.cabac.encode_bin(T.CTX_OFF["cu_skip"] + left_skip + above_skip,
                               skip)
 
+    def encode_pred_mode(self, intra: bool) -> None:
+        """pred_mode_flag for non-skip CUs in P slices."""
+        self.cabac.encode_bin(T.CTX_OFF["pred_mode"], 1 if intra else 0)
+
+    # compat alias (pre-MC-inter callers)
     def encode_pred_mode_intra(self) -> None:
-        """pred_mode_flag = 1 (MODE_INTRA) for non-skip CUs in P slices."""
-        self.cabac.encode_bin(T.CTX_OFF["pred_mode"], 1)
+        self.encode_pred_mode(True)
+
+    def encode_part_mode_inter_2nx2n(self) -> None:
+        """part_mode for an inter CU at MinCb: '1' = PART_2Nx2N (9.3.3.7)."""
+        self.cabac.encode_bin(T.CTX_OFF["part_mode"], 1)
+
+    def encode_merge_flag(self, merge: bool) -> None:
+        self.cabac.encode_bin(T.CTX_OFF["merge_flag"], 1 if merge else 0)
+
+    def encode_mvd(self, mvdx: int, mvdy: int) -> None:
+        """mvd_coding (spec 7.3.8.9): greater0/1 flags, EG1 remainder, sign."""
+        c = self.cabac
+        ax, ay = abs(mvdx), abs(mvdy)
+        c.encode_bin(T.CTX_OFF["mvd"], 1 if ax else 0)
+        c.encode_bin(T.CTX_OFF["mvd"], 1 if ay else 0)
+        if ax:
+            c.encode_bin(T.CTX_OFF["mvd"] + 1, 1 if ax > 1 else 0)
+        if ay:
+            c.encode_bin(T.CTX_OFF["mvd"] + 1, 1 if ay > 1 else 0)
+        for v, a in ((mvdx, ax), (mvdy, ay)):
+            if a > 1:
+                self._encode_eg1(a - 2)
+            if a:
+                c.encode_bypass(1 if v < 0 else 0)
+
+    def _encode_eg1(self, v: int) -> None:
+        """1st-order exp-Golomb, bypass (abs_mvd_minus2 binarization)."""
+        c = self.cabac
+        length = 1
+        while v >= (1 << length):
+            c.encode_bypass(1)
+            v -= 1 << length
+            length += 1
+        c.encode_bypass(0)
+        c.encode_bypass_bits(v, length)
+
+    def encode_mvp_flag(self, idx: int) -> None:
+        self.cabac.encode_bin(T.CTX_OFF["mvp_flag"], idx)
+
+    def encode_rqt_root_cbf(self, cbf: int) -> None:
+        self.cabac.encode_bin(T.CTX_OFF["rqt_root_cbf"], cbf)
 
     def encode_end_of_slice(self, last: bool) -> None:
         self.cabac.encode_terminate(1 if last else 0)

@@ -41,9 +41,14 @@ def encode_tile_payload_v1(cfg: StreamConfig, ctus: list[list[dict]],
                 left_modes = (INTRA_DC, INTRA_DC)
                 left_skip = 1
                 above_skip[cx] = 1
+            elif p_slice and d.get("inter"):
+                _encode_inter_ctu(syn, d)
+                left_modes = (INTRA_DC, INTRA_DC)
+                left_skip = 0
+                above_skip[cx] = 0
             else:
                 if p_slice:
-                    syn.encode_pred_mode_intra()
+                    syn.encode_pred_mode(True)
                 _encode_ctu_v1(syn, d, left_modes, cx > 0)
                 m = d["modes"]
                 left_modes = (int(m[1]), int(m[3])) if d["part_nxn"] \
@@ -55,6 +60,44 @@ def encode_tile_payload_v1(cfg: StreamConfig, ctus: list[list[dict]],
     if not last_tile:
         syn.cabac.encode_terminate(1)
     return syn.cabac.bytes_aligned()
+
+
+def _encode_inter_ctu(syn: SliceSyntaxEncoder, d: dict) -> None:
+    """Non-skip inter CU (PART_2Nx2N, single ref): spec 7.3.8.5/7.3.8.6.
+
+    merge: rqt_root_cbf absent (inferred 1, else the encoder emits skip).
+    explicit: mvd_coding + mvp flag, then rqt_root_cbf.
+    Inter residual always uses the diagonal scan; cbf_luma at depth 0 is
+    inferred 1 when both chroma cbfs are 0 (7.4.9.8).
+    """
+    syn.encode_pred_mode(False)
+    syn.encode_part_mode_inter_2nx2n()
+    if d.get("merge"):
+        syn.encode_merge_flag(True)
+        rqt = 1
+    else:
+        syn.encode_merge_flag(False)
+        syn.encode_mvd(int(d["mvd"][0]), int(d["mvd"][1]))
+        syn.encode_mvp_flag(int(d["mvp"]))
+        rqt = int(d["rqt"])
+        syn.encode_rqt_root_cbf(rqt)
+    if not rqt:
+        return
+    cbf_y = int(d["cbf_y"])
+    cbf_cb = int(d["cbf_cb"])
+    cbf_cr = int(d["cbf_cr"])
+    syn.encode_cbf_chroma(cbf_cb, 0)
+    syn.encode_cbf_chroma(cbf_cr, 0)
+    if cbf_cb or cbf_cr:
+        syn.encode_cbf_luma(cbf_y, 0)
+    else:
+        assert cbf_y, "rqt_root_cbf=1 with no coded residual"
+    if cbf_y:
+        syn.encode_residual(np.asarray(d["lvl_y"]), 4, 0, 0)
+    if cbf_cb:
+        syn.encode_residual(np.asarray(d["lvl_cb"]), 3, 0, 1)
+    if cbf_cr:
+        syn.encode_residual(np.asarray(d["lvl_cr"]), 3, 0, 2)
 
 
 def _encode_ctu_v1(syn: SliceSyntaxEncoder, d: dict, left_modes, left_avail):

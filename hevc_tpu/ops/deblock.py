@@ -99,15 +99,16 @@ def _luma_edge(p: np.ndarray, q: np.ndarray, beta: int, tc: int,
 
 def _deblock_luma_dir(plane: np.ndarray, qp: int, edge_step: int,
                       skip_edges: set[int], bit_depth: int,
-                      inner_groups=None) -> None:
+                      inner_groups=None, bs1: bool = False) -> None:
     """Filter all vertical edges in-place (call on transposed for horizontal).
 
     inner_groups: optional {x: bool-array over 4-row groups} enabling interior
     (non-16-grid) edges only where an NxN CU creates a TU/PU boundary.
+    bs1: filter with the bS=1 tc derivation (qp + 0) instead of bS=2 (qp + 2).
     """
     H, W = plane.shape
     betaq = min(max(qp, 0), 51)
-    tcq = min(max(qp + 2, 0), 53)     # bS = 2 -> +2
+    tcq = min(max(qp + (0 if bs1 else 2), 0), 53)   # Q = qp + 2*(bS-1)
     shift = bit_depth - 8
     beta = int(BETA_TABLE[betaq]) << shift
     tc = int(TC_TABLE[tcq]) << shift
@@ -180,29 +181,39 @@ def _inner_edge_masks(nxn_map, H: int, W: int, transposed: bool) -> dict:
     return out
 
 
-def _skip_edge_masks(skip_map, H: int, W: int, transposed: bool,
-                     gran: int) -> dict:
-    """{edge_x: (H//gran,) bool} for 16-grid CU edges when a skip map exists.
+def _edge_bs(cu_maps: dict, transposed: bool) -> np.ndarray:
+    """(nh, nw-1) per-CTU-edge boundary strength (spec 8.7.2.4, CTU=CU=PU).
 
-    bS derivation for the zero-MV-skip P profile: a filtered edge always has
-    at least one intra side (bS=2); two adjacent skip CUs share MV (0,0),
-    ref 0 and have no residual, so their mutual edge is bS=0 (not filtered).
-    gran: rows per mask element (4 for luma 4-sample groups, 1 for chroma).
+    2: either side intra; 1: either side has coded residual or the MVs
+    differ by >= 1 luma pel (4 quarter units); 0 otherwise.
+    """
+    intra = np.asarray(cu_maps["intra"], bool)
+    cbf = np.asarray(cu_maps["cbf"], bool)
+    mv = np.asarray(cu_maps["mv"], np.int32)
+    if transposed:
+        intra, cbf, mv = intra.T, cbf.T, mv.transpose(1, 0, 2)
+    p, q = np.s_[:, :-1], np.s_[:, 1:]
+    two = intra[p] | intra[q]
+    mvdiff = np.abs(mv[p] - mv[q]).max(-1) >= 4
+    one = ~two & (cbf[p] | cbf[q] | mvdiff)
+    return np.where(two, 2, np.where(one, 1, 0)).astype(np.int32)
+
+
+def _bs_edge_masks(bs: np.ndarray, H: int, W: int, want: int,
+                   gran: int) -> dict:
+    """{edge_x: bool mask} for 16-grid CU edges with bS == want.
+
+    gran: rows per mask element (4 = luma 4-sample groups, 1 = chroma rows).
     """
     out = {}
-    if skip_map is None:
-        return out
-    m = skip_map.T if transposed else skip_map
-    nh, nw = m.shape
-    rows_per_ctu = 16 // gran if gran == 4 else 8   # luma groups / chroma rows
-    for k in range(1, nw):
-        x = (16 if gran == 4 else 8) * k
+    nh, nwm1 = bs.shape
+    rows_per_ctu = 4 if gran == 4 else 8
+    for k in range(nwm1):
+        x = (16 if gran == 4 else 8) * (k + 1)
         if x >= W:
             continue
-        both = m[:, k - 1] & m[:, k]
-        if not both.any():
-            continue
-        out[x] = np.repeat(~both, rows_per_ctu)[:H // gran if gran == 4 else H]
+        sel = bs[:, k] == want
+        out[x] = np.repeat(sel, rows_per_ctu)
     return out
 
 
@@ -211,37 +222,55 @@ def deblock_frame(y: np.ndarray, cb: np.ndarray, cr: np.ndarray, qp: int,
                   tile_cols_px: list[int] | None = None,
                   tile_rows_px: list[int] | None = None,
                   nxn_map: np.ndarray | None = None,
-                  skip_map: np.ndarray | None = None) -> None:
-    """In-place deblocking of one frame (v1 profile edges, bS in {0, 2}).
+                  skip_map: np.ndarray | None = None,
+                  cu_maps: dict | None = None) -> None:
+    """In-place deblocking of one frame (CTU-granular bS in {0, 1, 2}).
 
     Edges: CU boundaries on the 16-grid, plus interior 8-grid TU/PU edges of
-    NxN CTUs (nxn_map, (nh, nw) bool).  Chroma stays on its 8-grid (16 luma).
-    tile_cols_px/rows_px: pixel offsets of tile boundaries to SKIP
-    (loop_filter_across_tiles disabled).
-    skip_map: (nh, nw) bool of zero-MV skip CTUs (P slices); edges between
-    two skip CTUs are bS=0 and left unfiltered.
+    NxN intra CTUs (nxn_map, (nh, nw) bool).  Chroma stays on its 8-grid
+    (16 luma) and is filtered only at bS=2.  tile_cols_px/rows_px: pixel
+    offsets of tile boundaries to SKIP (loop_filter_across_tiles disabled).
+
+    cu_maps: {intra (nh,nw) bool, cbf (nh,nw) bool, mv (nh,nw,2) int32
+    quarter-pel} for P frames; all-intra frames (None) use bS=2 everywhere.
+    skip_map is legacy sugar for the zero-MV-skip profile.
     """
     from hevc_tpu.ops.reference import chroma_qp
+    if cu_maps is None and skip_map is not None:
+        sk = np.asarray(skip_map, bool)
+        cu_maps = {"intra": ~sk, "cbf": np.zeros(sk.shape, bool),
+                   "mv": np.zeros(sk.shape + (2,), np.int32)}
     skip_v = set(tile_cols_px or [])
     skip_h = set(tile_rows_px or [])
     qpc = chroma_qp(qp)
     H, W = y.shape
+    bs_v = _edge_bs(cu_maps, False) if cu_maps is not None else None
+    bs_h = _edge_bs(cu_maps, True) if cu_maps is not None else None
     # vertical edges first, then horizontal on the vertically-filtered output
     step = 8 if nxn_map is not None else 16
-    inner_v = _inner_edge_masks(nxn_map, H, W, False)
-    inner_v.update(_skip_edge_masks(skip_map, H, W, False, 4))
-    skip_v8 = skip_v | ({x for x in range(8, W, 16) if x not in inner_v}
-                        if nxn_map is not None else set())
-    _deblock_luma_dir(y, qp, step, skip_v8, bit_depth, inner_v)
+
+    def _luma_pass(plane, bs, transposed):
+        h, w = plane.shape
+        inner = _inner_edge_masks(nxn_map, h, w, transposed)
+        skips = (skip_h if transposed else skip_v)
+        skip8 = skips | ({x for x in range(8, w, 16) if x not in inner}
+                         if nxn_map is not None else set())
+        if bs is not None:
+            inner.update(_bs_edge_masks(bs, h, w, 2, 4))
+        _deblock_luma_dir(plane, qp, step, skip8, bit_depth, inner)
+        if bs is not None and (bs == 1).any():
+            m1 = _bs_edge_masks(bs, h, w, 1, 4)
+            _deblock_luma_dir(plane, qp, 16, skips | set(), bit_depth, m1,
+                              bs1=True)
+
+    _luma_pass(y, bs_v, False)
     yt = np.ascontiguousarray(y.T)
-    inner_h = _inner_edge_masks(nxn_map, W, H, True)
-    inner_h.update(_skip_edge_masks(skip_map, W, H, True, 4))
-    skip_h8 = skip_h | ({x for x in range(8, H, 16) if x not in inner_h}
-                        if nxn_map is not None else set())
-    _deblock_luma_dir(yt, qp, step, skip_h8, bit_depth, inner_h)
+    _luma_pass(yt, bs_h, True)
     y[:, :] = yt.T
-    cmask_v = _skip_edge_masks(skip_map, H // 2, W // 2, False, 1)
-    cmask_h = _skip_edge_masks(skip_map, W // 2, H // 2, True, 1)
+    cmask_v = _bs_edge_masks(bs_v, H // 2, W // 2, 2, 1) \
+        if bs_v is not None else None
+    cmask_h = _bs_edge_masks(bs_h, W // 2, H // 2, 2, 1) \
+        if bs_h is not None else None
     for plane in (cb, cr):
         _deblock_chroma_dir(plane, qpc, 8, {x // 2 for x in skip_v}, bit_depth,
                             cmask_v)

@@ -1,0 +1,156 @@
+"""Inter prediction: motion compensation + merge/AMVP derivation (numpy).
+
+Normative fractional-sample interpolation (spec 8.5.4.2.2/8.5.4.2.3) with the
+default uni-prediction weighting (8.5.4.2.4).  MVs are in quarter-luma-pel
+units throughout (chroma uses the same MV at eighth-chroma-pel granularity).
+
+The reference transcoder delegated all of this to x265/NVENC (reference
+core/transcoder.py:398-535); first-party surface for the TPU-native design.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+# 8-tap luma filters, Table 8-10 (index = xFracL in quarter pels)
+FL = np.array([
+    [0, 0, 0, 64, 0, 0, 0, 0],
+    [-1, 4, -10, 58, 17, -5, 1, 0],
+    [-1, 4, -11, 40, 40, -11, 4, -1],
+    [0, 1, -5, 17, 58, -10, 4, -1],
+], np.int64)
+
+# 4-tap chroma filters, Table 8-13 (index = xFracC in eighth pels)
+FC = np.array([
+    [0, 64, 0, 0],
+    [-2, 58, 10, -2],
+    [-4, 54, 16, -2],
+    [-6, 46, 28, -4],
+    [-4, 36, 36, -4],
+    [-4, 28, 46, -6],
+    [-2, 16, 54, -4],
+    [-2, 10, 58, -2],
+], np.int64)
+
+
+def _fetch(plane: np.ndarray, y0: int, x0: int, h: int, w: int) -> np.ndarray:
+    """Clamp-extended (edge-replicated) window read (spec ref sample clip)."""
+    H, W = plane.shape
+    ys = np.clip(np.arange(y0, y0 + h), 0, H - 1)
+    xs = np.clip(np.arange(x0, x0 + w), 0, W - 1)
+    return plane[np.ix_(ys, xs)].astype(np.int64)
+
+
+def mc_luma(ref: np.ndarray, x0: int, y0: int, n: int, mvx: int, mvy: int,
+            bit_depth: int = 8) -> np.ndarray:
+    """Luma MC for an n x n block at (x0, y0), MV in quarter pels."""
+    shift1 = bit_depth - 8
+    shift3 = 14 - bit_depth
+    xi, yi = x0 + (mvx >> 2), y0 + (mvy >> 2)
+    xf, yf = mvx & 3, mvy & 3
+    if xf == 0 and yf == 0:
+        val = _fetch(ref, yi, xi, n, n) << shift3
+    elif yf == 0:
+        win = _fetch(ref, yi, xi - 3, n, n + 7)
+        val = sum(FL[xf][k] * win[:, k:k + n] for k in range(8)) >> shift1
+    elif xf == 0:
+        win = _fetch(ref, yi - 3, xi, n + 7, n)
+        val = sum(FL[yf][k] * win[k:k + n, :] for k in range(8)) >> shift1
+    else:
+        win = _fetch(ref, yi - 3, xi - 3, n + 7, n + 7)
+        tmp = sum(FL[xf][k] * win[:, k:k + n] for k in range(8)) >> shift1
+        val = sum(FL[yf][k] * tmp[k:k + n, :] for k in range(8)) >> 6
+    off = 1 << (13 - bit_depth)
+    return np.clip((val + off) >> (14 - bit_depth),
+                   0, (1 << bit_depth) - 1).astype(np.int32)
+
+
+def mc_chroma(ref: np.ndarray, xc: int, yc: int, nc: int, mvx: int, mvy: int,
+              bit_depth: int = 8) -> np.ndarray:
+    """Chroma MC (4:2:0): block at chroma coords, MV in LUMA quarter pels
+    (== chroma eighth pels, spec 8.5.3.2.9)."""
+    shift1 = bit_depth - 8
+    xi, yi = xc + (mvx >> 3), yc + (mvy >> 3)
+    xf, yf = mvx & 7, mvy & 7
+    if xf == 0 and yf == 0:
+        val = _fetch(ref, yi, xi, nc, nc) << (14 - bit_depth)
+    elif yf == 0:
+        win = _fetch(ref, yi, xi - 1, nc, nc + 3)
+        val = sum(FC[xf][k] * win[:, k:k + nc] for k in range(4)) >> shift1
+    elif xf == 0:
+        win = _fetch(ref, yi - 1, xi, nc + 3, nc)
+        val = sum(FC[yf][k] * win[k:k + nc, :] for k in range(4)) >> shift1
+    else:
+        win = _fetch(ref, yi - 1, xi - 1, nc + 3, nc + 3)
+        tmp = sum(FC[xf][k] * win[:, k:k + nc] for k in range(4)) >> shift1
+        val = sum(FC[yf][k] * tmp[k:k + nc, :] for k in range(4)) >> 6
+    off = 1 << (13 - bit_depth)
+    return np.clip((val + off) >> (14 - bit_depth),
+                   0, (1 << bit_depth) - 1).astype(np.int32)
+
+
+def mc_block(ref: dict, x0: int, y0: int, n: int, mv, bit_depth: int = 8):
+    """(luma, cb, cr) MC for one square PU; ref = {'y','cb','cr'} planes."""
+    mvx, mvy = int(mv[0]), int(mv[1])
+    py = mc_luma(ref["y"], x0, y0, n, mvx, mvy, bit_depth)
+    pcb = mc_chroma(ref["cb"], x0 // 2, y0 // 2, n // 2, mvx, mvy, bit_depth)
+    pcr = mc_chroma(ref["cr"], x0 // 2, y0 // 2, n // 2, mvx, mvy, bit_depth)
+    return py, pcb, pcr
+
+
+# ---- motion candidate derivation (CTU == CU == PU profile) -------------------
+#
+# Motion state per CTU grid position: inter flag + (mvx, mvy).  With one
+# reference picture (the previous picture, refIdx 0) no MV scaling ever
+# applies, and list pruning cannot change candidate 0.
+
+def merge_cand0(inter_map, mv_map, cy: int, cx: int, nh: int, nw: int):
+    """First merge candidate (spec 8.5.3.2.2/8.5.3.2.3 with MaxNumMergeCand=1).
+
+    Spatial order A1 (left), B1 (above), B0 (above-right), A0 (below-left,
+    never decoded yet at CTU granularity), B2 (above-left); temporal MVP
+    disabled; zero candidate otherwise.
+    """
+    for (dy, dx) in ((0, -1), (-1, 0), (-1, 1), (-1, -1)):  # A1, B1, B0, B2
+        ny, nx = cy + dy, cx + dx
+        if 0 <= ny < nh and 0 <= nx < nw and inter_map[ny, nx]:
+            return int(mv_map[ny, nx, 0]), int(mv_map[ny, nx, 1])
+    return 0, 0
+
+
+def amvp_list(inter_map, mv_map, cy: int, cx: int, nh: int, nw: int):
+    """Two AMVP candidates (spec 8.5.3.2.6, single-ref so no scaling).
+
+    A = A0 (below-left, unavailable) else A1 (left); B = first of B0
+    (above-right), B1 (above), B2 (above-left).  B dropped if equal to A;
+    zero-fill to 2 entries.
+    """
+    cands = []
+    if cx > 0 and inter_map[cy, cx - 1]:                     # A1
+        cands.append((int(mv_map[cy, cx - 1, 0]), int(mv_map[cy, cx - 1, 1])))
+    b = None
+    for (dy, dx) in ((-1, 1), (-1, 0), (-1, -1)):            # B0, B1, B2
+        ny, nx = cy + dy, cx + dx
+        if 0 <= ny < nh and 0 <= nx < nw and inter_map[ny, nx]:
+            b = (int(mv_map[ny, nx, 0]), int(mv_map[ny, nx, 1]))
+            break
+    if b is not None and (not cands or b != cands[0]):
+        cands.append(b)
+    while len(cands) < 2:
+        cands.append((0, 0))
+    return cands
+
+
+def mvd_bits(mvd: int) -> int:
+    """Approximate bin count of one mvd component (greater0/1 + EG1 + sign)."""
+    a = abs(mvd)
+    if a == 0:
+        return 1
+    if a == 1:
+        return 3
+    # abs_mvd_minus2 in EG1: prefix + suffix
+    v = a - 2
+    length = 1
+    while v >= (1 << length):
+        v -= 1 << length
+        length += 1
+    return 2 + (2 * length - 1) + 1 + 1
