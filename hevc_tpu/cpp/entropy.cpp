@@ -495,8 +495,25 @@ void encode_luma_mode(Cabac &c, int mode, const int cands[3]) {
 
 }  // namespace
 
+namespace {
+void encode_eg1(Cabac &c, uint32_t v) {
+  // 1st-order exp-Golomb bypass (abs_mvd_minus2)
+  int len = 1;
+  while (v >= (1u << len)) {
+    c.bypass(1);
+    v -= 1u << len;
+    len++;
+  }
+  c.bypass(0);
+  c.bypass_bits(v, len);
+}
+}  // namespace
+
 extern "C" long hevc_entropy_encode_tile_v1(
     int qp, int nh, int nw, int last_tile, int p_slice, const uint8_t *skip,
+    const uint8_t *inter, const uint8_t *merge, const int16_t *mvd,
+    const uint8_t *mvp, const uint8_t *rqt, const uint8_t *cbf_yi,
+    const uint8_t *cbf_cbi, const uint8_t *cbf_cri,
     const uint8_t *part, const int32_t *modes4,
     const uint8_t *cbf_y4, const uint8_t *cbf_cb, const uint8_t *cbf_cr,
     const uint8_t *cbf_cb4, const uint8_t *cbf_cr4,
@@ -536,6 +553,50 @@ extern "C" long hevc_entropy_encode_tile_v1(
           above_skip[cx] = 1;
           bool last_ctu0 = (cy == nh - 1 && cx == nw - 1);
           c.terminate((last_ctu0 && last_tile) ? 1 : 0);
+          continue;
+        }
+        if (inter && inter[idx]) {
+          // non-skip inter CU: PART_2Nx2N, single ref, optional residual
+          c.bin(CTX_PRED_MODE, 0);
+          c.bin(CTX_PART_MODE, 1);
+          int mrg = merge[idx];
+          c.bin(CTX_MERGE_FLAG, mrg);
+          int rqt_f = 1;
+          if (!mrg) {
+            int mx = mvd[idx * 2], my = mvd[idx * 2 + 1];
+            int ax = mx < 0 ? -mx : mx, ay = my < 0 ? -my : my;
+            c.bin(CTX_MVD, ax ? 1 : 0);
+            c.bin(CTX_MVD, ay ? 1 : 0);
+            if (ax) c.bin(CTX_MVD + 1, ax > 1 ? 1 : 0);
+            if (ay) c.bin(CTX_MVD + 1, ay > 1 ? 1 : 0);
+            if (ax > 1) encode_eg1(c, (uint32_t)(ax - 2));
+            if (ax) c.bypass(mx < 0 ? 1 : 0);
+            if (ay > 1) encode_eg1(c, (uint32_t)(ay - 2));
+            if (ay) c.bypass(my < 0 ? 1 : 0);
+            c.bin(CTX_MVP, mvp[idx]);
+            rqt_f = rqt[idx];
+            c.bin(CTX_RQT_ROOT, rqt_f);
+          }
+          if (rqt_f) {
+            int fy = cbf_yi[idx], fcb = cbf_cbi[idx], fcr = cbf_cri[idx];
+            c.bin(CTX_CBF_CHROMA + 0, fcb);
+            c.bin(CTX_CBF_CHROMA + 0, fcr);
+            if (fcb || fcr) c.bin(CTX_CBF_LUMA + 1, fy);
+            if (fy)
+              encode_residual(c, lvl_y + idx * 256, 4, 0, 0, scan16[0],
+                              sb16[0]);
+            if (fcb)
+              encode_residual(c, lvl_cb + idx * 64, 3, 0, 1, scan8[0],
+                              sb8[0]);
+            if (fcr)
+              encode_residual(c, lvl_cr + idx * 64, 3, 0, 2, scan8[0],
+                              sb8[0]);
+          }
+          ltr = lbr = 1;
+          left_skip = 0;
+          above_skip[cx] = 0;
+          bool last_ctu1 = (cy == nh - 1 && cx == nw - 1);
+          c.terminate((last_ctu1 && last_tile) ? 1 : 0);
           continue;
         }
         c.bin(CTX_PRED_MODE, 1);   // pred_mode_flag = MODE_INTRA

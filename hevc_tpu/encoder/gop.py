@@ -14,9 +14,10 @@ import numpy as np
 import jax.numpy as jnp
 
 from hevc_tpu.encoder.ctu_modes import skip_lambda16
-from hevc_tpu.encoder.rowscan_v1 import (RowScanEncoderV1,
+from hevc_tpu.encoder.rowscan_v1 import (RowScanEncoderV1, MARGIN, MARGIN_C,
                                          encode_tiles_rowscan_v1_jit,
-                                         encode_tiles_rowscan_p_jit)
+                                         encode_tiles_rowscan_p_jit,
+                                         encode_tiles_rowscan_pmc_jit)
 from hevc_tpu.entropy.headers import StreamConfig, write_vps, write_sps, \
     write_pps
 from hevc_tpu.entropy.tiled_v1 import entropy_encode_frame_v1
@@ -27,10 +28,12 @@ from hevc_tpu.utils.bitio import annexb
 class GopEncoder:
     """Device (JAX) GOP encoder for one stream configuration."""
 
-    def __init__(self, cfg: StreamConfig, enable_nxn: bool = True):
+    def __init__(self, cfg: StreamConfig, enable_nxn: bool = True,
+                 mc: bool = True):
         assert cfg.inter, "GopEncoder requires cfg.inter"
         self.cfg = cfg
         self.enable_nxn = enable_nxn
+        self.mc = mc        # motion search (False: zero-MV skip only)
         self.reset()
 
     def reset(self) -> None:
@@ -88,15 +91,20 @@ class GopEncoder:
             outs = encode_tiles_rowscan_v1_jit(
                 ya, cba, cra, jnp.asarray(qp), rs.lam_bits,
                 tnh, tnw, cfg.bit_depth, self.enable_nxn)
-            skip = None
+        elif self.mc:
+            sl16 = int(np.sqrt(0.85 * 2.0 ** (
+                (qp + 6 * (cfg.bit_depth - 8) - 12) / 3.0)) * 16)
+            outs = encode_tiles_rowscan_pmc_jit(
+                ya, cba, cra, *ref_blocks, jnp.asarray(qp),
+                rs.lam_bits, jnp.asarray(lam16, jnp.int32),
+                jnp.asarray(sl16, jnp.int32),
+                tnh, tnw, cfg.bit_depth, self.enable_nxn)
         else:
             outs = encode_tiles_rowscan_p_jit(
                 ya, cba, cra, *ref_blocks, jnp.asarray(qp),
                 rs.lam_bits, jnp.asarray(lam16, jnp.int32),
                 tnh, tnw, cfg.bit_depth, self.enable_nxn)
         outs = [np.asarray(o) for o in outs]
-        if ref_blocks is not None:
-            skip = self._unstep(outs[13])
         (part, modes4, cbf_y4, cbf_cb, cbf_cr, cbf_cb4, cbf_cr4,
          lvl_y, lvl_cb, lvl_cr, rec_y, rec_cb, rec_cr) = outs[:13]
         dec = {
@@ -109,8 +117,22 @@ class GopEncoder:
             "lvl_cb": self._unstep(lvl_cb, np.int32),
             "lvl_cr": self._unstep(lvl_cr, np.int32),
         }
-        if skip is not None:
-            dec["skip"] = skip
+        if ref_blocks is not None and self.mc:
+            (skipf, interf, mergef, mvd, mvp, rqt,
+             cbf_yi, cbf_cbi, cbf_cri, mv) = outs[13:23]
+            dec.update(
+                skip=self._unstep(skipf),
+                inter=self._unstep(interf),
+                merge=self._unstep(mergef),
+                mvd=self._unstep(mvd, np.int32),
+                mvp=self._unstep(mvp, np.int32),
+                rqt=self._unstep(rqt, np.int32),
+                cbf_yi=self._unstep(cbf_yi), cbf_cbi=self._unstep(cbf_cbi),
+                cbf_cri=self._unstep(cbf_cri),
+                mv=self._unstep(mv, np.int32),
+            )
+        elif ref_blocks is not None:
+            dec["skip"] = self._unstep(outs[13])
         recon = {
             "y": self._plane(self._unstep(rec_y, np.int32), 16),
             "cb": self._plane(self._unstep(rec_cb, np.int32), 8),
@@ -131,13 +153,60 @@ class GopEncoder:
             ty = list(np.cumsum(rows)[:-1] * cfg.ctb) \
                 if cfg.tiles_enabled else None
             skip = dec.get("skip")
+            cu_maps = None
+            # part_nxn from the device graph is the INTRA candidate's flag;
+            # only CTUs that actually selected intra create NxN inner edges
+            nxn = np.asarray(dec["part_nxn"], bool)
+            if "inter" in dec:
+                inter = np.asarray(dec["skip"], bool) \
+                    | np.asarray(dec["inter"], bool)
+                cu_maps = {
+                    "intra": ~inter,
+                    "cbf": np.asarray(dec["inter"], bool)
+                    & np.asarray(dec["cbf_yi"], bool),
+                    "mv": np.asarray(dec["mv"], np.int32)}
+                nxn = nxn & ~inter
+                skip = None
+            elif skip is not None:
+                nxn = nxn & ~np.asarray(skip, bool)
             deblock_frame(dy, dcb, dcr, qp, ctb=cfg.ctb,
                           bit_depth=cfg.bit_depth,
                           tile_cols_px=tx, tile_rows_px=ty,
-                          nxn_map=np.asarray(dec["part_nxn"], bool),
+                          nxn_map=nxn,
                           skip_map=np.asarray(skip, bool)
-                          if skip is not None else None)
+                          if skip is not None else None,
+                          cu_maps=cu_maps)
         return {"y": dy, "cb": dcb, "cr": dcr}
+
+    def _pad_tiles(self, ref):
+        """Full deblocked planes -> per-tile padded ref planes (MC halo).
+
+        The halo is filled with TRUE picture pixels (edge-replicated only at
+        frame borders), so device MC across tile boundaries is bit-exact with
+        the numpy encoder's full-picture fetch."""
+        cfg = self.cfg
+        nh, nw, H, W = self._geom
+        tc, tr = cfg.tile_cols, cfg.tile_rows
+        TH, TW = (nh // tr) * 16, (nw // tc) * 16
+
+        def pad_one(plane, ts_h, ts_w, m):
+            hp, wp = plane.shape
+            out = np.empty((tr * tc, ts_h + 2 * m, ts_w + 2 * m),
+                           plane.dtype)
+            k = 0
+            for j in range(tr):
+                for i in range(tc):
+                    ysel = np.clip(np.arange(j * ts_h - m,
+                                             (j + 1) * ts_h + m), 0, hp - 1)
+                    xsel = np.clip(np.arange(i * ts_w - m,
+                                             (i + 1) * ts_w + m), 0, wp - 1)
+                    out[k] = plane[np.ix_(ysel, xsel)]
+                    k += 1
+            return out
+
+        return (jnp.asarray(pad_one(ref["y"], TH, TW, MARGIN)),
+                jnp.asarray(pad_one(ref["cb"], TH // 2, TW // 2, MARGIN_C)),
+                jnp.asarray(pad_one(ref["cr"], TH // 2, TW // 2, MARGIN_C)))
 
     def encode_next(self, y, cb, cr, idr: bool = False,
                     qp: int | None = None) -> tuple[bytes, dict]:
@@ -159,10 +228,13 @@ class GopEncoder:
             self._poc += 1
             nal = entropy_encode_frame_v1(cfg_f, dec, poc=self._poc)
         ref = self._deblocked(recon, dec, qp)
-        yb, cbb, crb = self._to_blocks(ref["y"], ref["cb"], ref["cr"])
-        self._ref_blocks = (jnp.asarray(self._tsplit(yb, 16)),
-                            jnp.asarray(self._tsplit(cbb, 8)),
-                            jnp.asarray(self._tsplit(crb, 8)))
+        if self.mc:
+            self._ref_blocks = self._pad_tiles(ref)
+        else:
+            yb, cbb, crb = self._to_blocks(ref["y"], ref["cb"], ref["cr"])
+            self._ref_blocks = (jnp.asarray(self._tsplit(yb, 16)),
+                                jnp.asarray(self._tsplit(cbb, 8)),
+                                jnp.asarray(self._tsplit(crb, 8)))
         return nal, ref
 
     def encode_video(self, frames, gop: int = 0):

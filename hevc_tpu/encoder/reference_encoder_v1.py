@@ -20,11 +20,12 @@ def _sse(a: np.ndarray, b: np.ndarray) -> int:
 
 class RefIntraEncoderV1:
     def __init__(self, cfg: StreamConfig, enable_nxn: bool = True,
-                 mc: bool = True):
+                 mc: bool = True, subpel: bool = True):
         assert cfg.log2_ctb == 4, "v1 profile: CTB16"
         self.cfg = cfg
         self.enable_nxn = enable_nxn
         self.mc = mc            # P frames: motion search (False: zero-MV only)
+        self.subpel = subpel    # half/quarter-pel refinement after int search
 
     def parameter_sets(self) -> list[bytes]:
         return [write_vps(self.cfg), write_sps(self.cfg), write_pps(self.cfg)]
@@ -251,7 +252,7 @@ class RefIntraEncoderV1:
                         if best is None or cand[0] < best[0]:
                             best = cand
                 # half- then quarter-pel refinement around the best
-                for step in (2, 1):
+                for step in (2, 1) if self.subpel else ():
                     base = best[1]
                     for dy in (-1, 0, 1):
                         for dx in (-1, 0, 1):

@@ -141,13 +141,63 @@ def _sse_j(a, b):
     return jnp.sum(d * d, axis=(-2, -1))
 
 
+MARGIN = 16          # padded-ref halo (8 search + up to 4 interp + merge drift)
+MARGIN_C = 8
+
+
+def _mvd_bits_j(d):
+    """Device mirror of ops.inter.mvd_bits (EG1 bin-count estimate)."""
+    a = jnp.abs(d)
+    ks = jnp.asarray([1 << k for k in range(1, 16)], I32)
+    bl = 1 + jnp.sum((a[..., None] >= ks).astype(I32), -1)   # bit_length(a)
+    ln = jnp.maximum(1, bl - 1)
+    return jnp.where(a == 0, 1, jnp.where(a == 1, 3, 2 * ln + 3))
+
+
+def _chroma_mc_j(win, mvx, mvy, bit_depth):
+    """(B, 11, 11) gathered window -> (B, 8, 8) chroma MC prediction.
+
+    Integer-luma MVs only: fractional chroma position is 0 or 4 eighths per
+    axis (spec 8.5.4.2.3 with the {-4, 36, 36, -4} half filter).
+    """
+    shift1 = bit_depth - 8
+    maxv = (1 << bit_depth) - 1
+    off = 1 << (13 - bit_depth)
+    sh = 14 - bit_depth
+    xf = ((mvx & 7) == 4)[:, None, None]
+    yf = ((mvy & 7) == 4)[:, None, None]
+
+    def h4(a):                      # filter along x: (B, r, 11) -> (B, r, 8)
+        return (-4 * a[..., 0:8] + 36 * a[..., 1:9]
+                + 36 * a[..., 2:10] - 4 * a[..., 3:11])
+
+    def v4(a):                      # filter along y: (B, 11, c) -> (B, 8, c)
+        return (-4 * a[:, 0:8] + 36 * a[:, 1:9]
+                + 36 * a[:, 2:10] - 4 * a[:, 3:11])
+
+    p00 = win[:, 1:9, 1:9]
+    ph = jnp.clip((((h4(win)[:, 1:9]) >> shift1) + off) >> sh, 0, maxv)
+    pv = jnp.clip((((v4(win)[:, :, 1:9]) >> shift1) + off) >> sh, 0, maxv)
+    tmp = h4(win) >> shift1                              # (B, 11, 8)
+    phv = jnp.clip(((v4(tmp) >> 6) + off) >> sh, 0, maxv)
+    return jnp.where(xf & yf, phv,
+                     jnp.where(xf, ph, jnp.where(yf, pv, p00)))
+
+
 def _rowscan_v1_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh, tnw, bit_depth,
-                     refs=None, lam16=None, enable_nxn=True):
-    """Shared row-scan body.  refs=(ref_y, ref_cb, ref_cr) enables the
-    P-slice zero-MV skip candidate (replicates the numpy reference P
-    decision: integer SSE + lambda16 rate estimate, bits capped at 2048)."""
+                     refs=None, lam16=None, enable_nxn=True,
+                     ref_pads=None, sl16=None):
+    """Shared row-scan body.
+
+    refs=(ref_y, ref_cb, ref_cr) (block layout) enables the P-slice zero-MV
+    skip candidate.  ref_pads=(pad_y, pad_cb, pad_cr) (padded tile planes,
+    MARGIN halo built from the FULL reference picture) enables the
+    motion-compensated P step instead: full +-8 integer search, merge /
+    explicit-MV / skip / intra RD — replicating the numpy reference encoder
+    (mc=True, subpel=False) bit-exactly."""
     B = src_y.shape[0]
-    p_mode = refs is not None
+    mc_mode = ref_pads is not None
+    p_mode = refs is not None or mc_mode
     maxv = (1 << bit_depth) - 1
     qp_bd = 6 * (bit_depth - 8)
     qp_eff = qp + qp_bd
@@ -157,7 +207,7 @@ def _rowscan_v1_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh, tnw, bit_depth,
     src_y_rows = src_y.transpose(1, 0, 2, 3, 4)
     src_cb_rows = src_cb.transpose(1, 0, 2, 3, 4)
     src_cr_rows = src_cr.transpose(1, 0, 2, 3, 4)
-    if p_mode:
+    if refs is not None:
         ref_y_rows = refs[0].transpose(1, 0, 2, 3, 4)
         ref_cb_rows = refs[1].transpose(1, 0, 2, 3, 4)
         ref_cr_rows = refs[2].transpose(1, 0, 2, 3, 4)
@@ -174,6 +224,16 @@ def _rowscan_v1_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh, tnw, bit_depth,
         corner_cr=jnp.zeros((B,), I32),
         left_modes=jnp.full((B, 2), 1, I32),   # (top-right, bottom-right)
     )
+    if mc_mode:
+        # motion state for merge/AMVP: left CTU, above row, above-left corner
+        state.update(
+            left_inter=jnp.zeros((B,), jnp.bool_),
+            left_mv=jnp.zeros((B, 2), I32),
+            top_inter=jnp.zeros((B, tnw), jnp.bool_),
+            top_mv=jnp.zeros((B, tnw, 2), I32),
+            corner_inter=jnp.zeros((B,), jnp.bool_),
+            corner_mv=jnp.zeros((B, 2), I32),
+        )
 
     zeros8 = jnp.zeros((B, 8), I32)
     zeros4 = jnp.zeros((B, 4), I32)
@@ -349,8 +409,149 @@ def _rowscan_v1_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh, tnw, bit_depth,
             [jnp.where(part, sub_modes[1], mode2n),
              jnp.where(part, sub_modes[3], mode2n)], axis=1)
 
-        # ---- P slice: zero-MV skip candidate vs the intra result ----
-        if p_mode:
+        # ---- P slice, MC mode: skip / merge / explicit-MV / intra ----
+        if mc_mode:
+            pad_y, pad_cb, pad_cr = ref_pads
+            INF = jnp.asarray(2**31 - 1, I32)
+            li, lmv = state["left_inter"], state["left_mv"]
+            b1_i = jax.lax.dynamic_slice(state["top_inter"], (0, c),
+                                         (B, 1)).reshape(B)
+            b1_mv = jax.lax.dynamic_slice(state["top_mv"], (0, c, 0),
+                                          (B, 1, 2)).reshape(B, 2)
+            b0_i = jax.lax.dynamic_slice(state["top_inter"], (0, cclamp),
+                                         (B, 1)).reshape(B)
+            b0_mv = jax.lax.dynamic_slice(state["top_mv"], (0, cclamp, 0),
+                                          (B, 1, 2)).reshape(B, 2)
+            a1_av = al & li
+            b1_av = aa & b1_i
+            b0_av = aar & b0_i
+            b2_av = ac & state["corner_inter"]
+            cmv = state["corner_mv"]
+            # merge cand 0: first of A1, B1, B0, B2 (A0 is undecoded)
+            mg_mv = jnp.where(a1_av[:, None], lmv,
+                              jnp.where(b1_av[:, None], b1_mv,
+                                        jnp.where(b0_av[:, None], b0_mv,
+                                                  jnp.where(b2_av[:, None],
+                                                            cmv, 0))))
+            # AMVP: A = A1; B = first of B0, B1, B2; dedupe; zero-fill
+            b_av = b0_av | b1_av | b2_av
+            b_mv = jnp.where(b0_av[:, None], b0_mv,
+                             jnp.where(b1_av[:, None], b1_mv,
+                                       jnp.where(b2_av[:, None], cmv, 0)))
+            dup = a1_av & b_av & jnp.all(lmv == b_mv, -1)
+            c0mv = jnp.where(a1_av[:, None], lmv,
+                             jnp.where(b_av[:, None], b_mv, 0))
+            c1mv = jnp.where((a1_av & b_av & ~dup)[:, None], b_mv, 0)
+
+            # full +-8 integer search over a shared 32x32 window
+            win = jax.lax.dynamic_slice(
+                pad_y, (0, r * 16 + MARGIN - 8, c * 16 + MARGIN - 8),
+                (B, 32, 32))
+            rows_s = jnp.stack([win[:, k:k + 16, :] for k in range(17)], 1)
+            cand = jnp.stack([rows_s[..., k:k + 16] for k in range(17)], 2)
+            cand = cand.reshape(B, 289, 16, 16)
+            sad = jnp.sum(jnp.abs(src[:, None] - cand), axis=(2, 3))
+            offs = jnp.arange(289, dtype=I32)
+            mvx_all = 4 * (offs % 17 - 8)
+            mvy_all = 4 * (offs // 17 - 8)
+            mb0 = _mvd_bits_j(mvx_all[None] - c0mv[:, 0:1]) \
+                + _mvd_bits_j(mvy_all[None] - c0mv[:, 1:2])
+            mb1 = _mvd_bits_j(mvx_all[None] - c1mv[:, 0:1]) \
+                + _mvd_bits_j(mvy_all[None] - c1mv[:, 1:2])
+            cost = (sad << 4) + sl16 * jnp.minimum(mb0, mb1)
+            bi = jnp.argmin(cost, axis=1).astype(I32)
+            mv_e = jnp.stack([4 * (bi % 17 - 8), 4 * (bi // 17 - 8)], 1)
+            mb0b = jnp.take_along_axis(mb0, bi[:, None], 1).reshape(B)
+            mb1b = jnp.take_along_axis(mb1, bi[:, None], 1).reshape(B)
+            mvp_e = (mb0b > mb1b).astype(I32)
+            mbits_e = jnp.minimum(mb0b, mb1b)
+            pred_e = jnp.take_along_axis(
+                cand, bi[:, None, None, None], 1).reshape(B, 16, 16)
+            mi = (mg_mv[:, 1] // 4 + 8) * 17 + (mg_mv[:, 0] // 4 + 8)
+            pred_m = jnp.take_along_axis(
+                cand, mi[:, None, None, None], 1).reshape(B, 16, 16)
+
+            def cpred(pad_c, mv):
+                by = r * 8 + MARGIN_C + (mv[:, 1] >> 3) - 1
+                bx = c * 8 + MARGIN_C + (mv[:, 0] >> 3) - 1
+                wins = jax.vmap(
+                    lambda p, yy, xx: jax.lax.dynamic_slice(
+                        p, (yy, xx), (11, 11)))(pad_c, by, bx)
+                return _chroma_mc_j(wins, mv[:, 0], mv[:, 1], bit_depth)
+
+            pm_cb, pm_cr = cpred(pad_cb, mg_mv), cpred(pad_cr, mg_mv)
+            pe_cb, pe_cr = cpred(pad_cb, mv_e), cpred(pad_cr, mv_e)
+
+            lvlm_y, cbfm_y, recm_y = _tu(src, pred_m, qp_eff, 16,
+                                         bit_depth, maxv)
+            lvlm_cb, cbfm_cb, recm_cb = _tu(src_c["cb"], pm_cb, qpc, 8,
+                                            bit_depth, maxv)
+            lvlm_cr, cbfm_cr, recm_cr = _tu(src_c["cr"], pm_cr, qpc, 8,
+                                            bit_depth, maxv)
+            lvle_y, cbfe_y, rece_y = _tu(src, pred_e, qp_eff, 16,
+                                         bit_depth, maxv)
+            lvle_cb, cbfe_cb, rece_cb = _tu(src_c["cb"], pe_cb, qpc, 8,
+                                            bit_depth, maxv)
+            lvle_cr, cbfe_cr, rece_cr = _tu(src_c["cr"], pe_cr, qpc, 8,
+                                            bit_depth, maxv)
+
+            sse_skip = _sse_j(src, pred_m) + _sse_j(src_c["cb"], pm_cb) \
+                + _sse_j(src_c["cr"], pm_cr)
+            j_skip = sse_skip + ((lam16 * 2) >> 4)
+            sse_m = _sse_j(src, recm_y) + _sse_j(src_c["cb"], recm_cb) \
+                + _sse_j(src_c["cr"], recm_cr)
+            bits_m = jnp.minimum(12 + _level_bits(lvlm_y)
+                                 + _level_bits(lvlm_cb)
+                                 + _level_bits(lvlm_cr), 2048)
+            any_m = cbfm_y | cbfm_cb | cbfm_cr
+            j_m = jnp.where(any_m, sse_m + ((lam16 * bits_m) >> 4), INF)
+            sse_e = _sse_j(src, rece_y) + _sse_j(src_c["cb"], rece_cb) \
+                + _sse_j(src_c["cr"], rece_cr)
+            bits_e = jnp.minimum(16 + mbits_e + _level_bits(lvle_y)
+                                 + _level_bits(lvle_cb)
+                                 + _level_bits(lvle_cr), 2048)
+            j_e = sse_e + ((lam16 * bits_e) >> 4)
+            rqt_e = (cbfe_y | cbfe_cb | cbfe_cr).astype(I32)
+            sse_i = _sse_j(src, rec_y) + _sse_j(src_c["cb"], rec_cb) \
+                + _sse_j(src_c["cr"], rec_cr)
+            bits_i = jnp.minimum(8 + _level_bits(lvl_y)
+                                 + _level_bits(ch["cb"][0])
+                                 + _level_bits(ch["cr"][0]), 2048)
+            j_i = sse_i + ((lam16 * bits_i) >> 4)
+
+            kind = jnp.argmin(jnp.stack([j_skip, j_m, j_e, j_i], 1),
+                              axis=1).astype(I32)   # first-min = priority
+            skipf = kind == 0
+            is_m = kind == 1
+            is_e = kind == 2
+            inter_sel = kind != 3
+
+            def sel4(a_skip, a_m, a_e, a_i, flags_nd):
+                k = kind.reshape(kind.shape + (1,) * flags_nd)
+                return jnp.where(k == 0, a_skip,
+                                 jnp.where(k == 1, a_m,
+                                           jnp.where(k == 2, a_e, a_i)))
+
+            rec_y = sel4(pred_m, recm_y, rece_y, rec_y, 2)
+            rec_cb = sel4(pm_cb, recm_cb, rece_cb, rec_cb, 2)
+            rec_cr = sel4(pm_cr, recm_cr, rece_cr, rec_cr, 2)
+            lvl_y = sel4(lvlm_y, lvlm_y, lvle_y, lvl_y, 2)
+            lvl_cb_f = sel4(lvlm_cb, lvlm_cb, lvle_cb, ch["cb"][0], 2)
+            lvl_cr_f = sel4(lvlm_cr, lvlm_cr, lvle_cr, ch["cr"][0], 2)
+            ch["cb"] = (lvl_cb_f,) + ch["cb"][1:]
+            ch["cr"] = (lvl_cr_f,) + ch["cr"][1:]
+            cbfi_y = jnp.where(is_e, cbfe_y, cbfm_y)
+            cbfi_cb = jnp.where(is_e, cbfe_cb, cbfm_cb)
+            cbfi_cr = jnp.where(is_e, cbfe_cr, cbfm_cr)
+            mvp_sel = jnp.where(mvp_e[:, None] == 0, c0mv, c1mv)
+            mvd = mv_e - mvp_sel
+            mv_f = jnp.where(is_e[:, None], mv_e,
+                             jnp.where(inter_sel[:, None], mg_mv, 0))
+            lmodes = jnp.where(inter_sel[:, None],
+                               jnp.ones_like(lmodes), lmodes)
+
+        # ---- P slice, zero-MV profile: skip candidate vs intra ----
+        elif p_mode:
             refy = jax.lax.dynamic_slice(ref_y_rows, (r, 0, c, 0, 0),
                                          (1, B, 1, 16, 16)).reshape(B, 16, 16)
             refcb = jax.lax.dynamic_slice(ref_cb_rows, (r, 0, c, 0, 0),
@@ -391,6 +592,17 @@ def _rowscan_v1_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh, tnw, bit_depth,
         nxt["left_cb"] = rec_cb[:, :, 7]
         nxt["left_cr"] = rec_cr[:, :, 7]
         nxt["left_modes"] = lmodes
+        if mc_mode:
+            nxt["corner_inter"] = jax.lax.dynamic_slice(
+                state["top_inter"], (0, c), (B, 1)).reshape(B)
+            nxt["corner_mv"] = jax.lax.dynamic_slice(
+                state["top_mv"], (0, c, 0), (B, 1, 2)).reshape(B, 2)
+            nxt["top_inter"] = jax.lax.dynamic_update_slice(
+                state["top_inter"], inter_sel[:, None], (0, c))
+            nxt["top_mv"] = jax.lax.dynamic_update_slice(
+                state["top_mv"], mv_f[:, None, :], (0, c, 0))
+            nxt["left_inter"] = inter_sel
+            nxt["left_mv"] = mv_f
 
         rdt = jnp.uint8 if bit_depth == 8 else jnp.uint16
         out = (part, modes4.astype(jnp.int8), cbf_y4,
@@ -398,7 +610,12 @@ def _rowscan_v1_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh, tnw, bit_depth,
                lvl_y.astype(jnp.int16),
                ch["cb"][0].astype(jnp.int16), ch["cr"][0].astype(jnp.int16),
                rec_y.astype(rdt), rec_cb.astype(rdt), rec_cr.astype(rdt))
-        if p_mode:
+        if mc_mode:
+            out = out + (skipf, inter_sel & ~skipf, is_m,
+                         mvd.astype(jnp.int16), mvp_e.astype(jnp.int8),
+                         jnp.where(is_e, rqt_e, 1).astype(jnp.int8),
+                         cbfi_y, cbfi_cb, cbfi_cr, mv_f.astype(jnp.int16))
+        elif p_mode:
             out = out + (skip,)
         return nxt, out
 
@@ -426,6 +643,25 @@ def encode_tiles_rowscan_p_jit(src_y, src_cb, src_cr, ref_y, ref_cb, ref_cr,
     return _rowscan_v1_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh, tnw,
                             bit_depth, refs=(ref_y, ref_cb, ref_cr),
                             lam16=lam16, enable_nxn=enable_nxn)
+
+
+@partial(jax.jit, static_argnames=("tnh", "tnw", "bit_depth", "enable_nxn"))
+def encode_tiles_rowscan_pmc_jit(src_y, src_cb, src_cr,
+                                 pad_y, pad_cb, pad_cr,
+                                 qp, lam_bits, lam16, sl16,
+                                 tnh, tnw, bit_depth=8, enable_nxn=True):
+    """Motion-compensated P-frame row-scan (device mirror of the numpy
+    reference encoder with mc=True, subpel=False).
+
+    pad_*: per-tile reference planes with a MARGIN/MARGIN_C halo of true
+    picture pixels (edge-replicated at frame borders), so MC across tile
+    boundaries matches the full-picture fetch.  Extra outputs (after the
+    13 v1 outputs): skip, inter, merge, mvd, mvp, rqt, cbf_y/cb/cr, mv.
+    """
+    return _rowscan_v1_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh, tnw,
+                            bit_depth, lam16=lam16,
+                            ref_pads=(pad_y, pad_cb, pad_cr), sl16=sl16,
+                            enable_nxn=enable_nxn)
 
 
 class RowScanEncoderV1:

@@ -46,13 +46,9 @@ def _load():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_long]
     lib.hevc_entropy_encode_tile_v1.restype = ctypes.c_long
-    lib.hevc_entropy_encode_tile_v1.argtypes = [
-        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.c_void_p,
-        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.c_void_p, ctypes.c_long]
+    lib.hevc_entropy_encode_tile_v1.argtypes = (
+        [ctypes.c_int] * 4 + [ctypes.c_int] + [ctypes.c_void_p] * 9
+        + [ctypes.c_void_p] * 10 + [ctypes.c_void_p, ctypes.c_long])
     _lib = lib
     return lib
 
@@ -65,11 +61,24 @@ def encode_tile_payload_v1(qp: int, dec: dict, y0: int, x0: int,
     if not lib:
         return None
     sl = np.s_[y0:y0 + th, x0:x0 + tw]
-    skip_ptr = 0
-    skip_arr = None
-    if p_slice and "skip" in dec:
-        skip_arr = np.ascontiguousarray(dec["skip"][sl], dtype=np.uint8)
-        skip_ptr = skip_arr.ctypes.data
+    keep = []                       # keep contiguous copies alive
+
+    def ptr(key, dt):
+        if key not in dec:
+            return 0
+        a = np.ascontiguousarray(dec[key][sl], dtype=dt)
+        keep.append(a)
+        return a.ctypes.data
+
+    skip_ptr = ptr("skip", np.uint8) if p_slice else 0
+    inter_ptr = ptr("inter", np.uint8) if p_slice else 0
+    merge_ptr = ptr("merge", np.uint8) if p_slice else 0
+    mvd_ptr = ptr("mvd", np.int16) if p_slice else 0
+    mvp_ptr = ptr("mvp", np.uint8) if p_slice else 0
+    rqt_ptr = ptr("rqt", np.uint8) if p_slice else 0
+    cbf_yi_ptr = ptr("cbf_yi", np.uint8) if p_slice else 0
+    cbf_cbi_ptr = ptr("cbf_cbi", np.uint8) if p_slice else 0
+    cbf_cri_ptr = ptr("cbf_cri", np.uint8) if p_slice else 0
     part = np.ascontiguousarray(dec["part_nxn"][sl], dtype=np.uint8)
     modes4 = np.ascontiguousarray(dec["modes4"][sl], dtype=np.int32)
     cbf_y4 = np.ascontiguousarray(dec["cbf_y4"][sl], dtype=np.uint8)
@@ -84,7 +93,8 @@ def encode_tile_payload_v1(qp: int, dec: dict, y0: int, x0: int,
     out = (ctypes.c_ubyte * cap)()
     n = lib.hevc_entropy_encode_tile_v1(
         qp, th, tw, 1 if last_tile else 0,
-        1 if p_slice else 0, skip_ptr,
+        1 if p_slice else 0, skip_ptr, inter_ptr, merge_ptr, mvd_ptr,
+        mvp_ptr, rqt_ptr, cbf_yi_ptr, cbf_cbi_ptr, cbf_cri_ptr,
         part.ctypes.data, modes4.ctypes.data, cbf_y4.ctypes.data,
         cbf_cb.ctypes.data, cbf_cr.ctypes.data, cbf_cb4.ctypes.data,
         cbf_cr4.ctypes.data, lvl_y.ctypes.data, lvl_cb.ctypes.data,

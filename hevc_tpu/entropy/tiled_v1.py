@@ -180,11 +180,30 @@ def _arrays_to_ctus(dec: dict, y0: int, x0: int, th: int, tw: int
     """Array-format decisions (from the device graph) -> per-CTU dicts."""
     out = []
     skip = dec.get("skip")
+    inter = dec.get("inter")
     for cy in range(y0, y0 + th):
         row = []
         for cx in range(x0, x0 + tw):
             if skip is not None and skip[cy, cx]:
                 row.append({"skip": True})
+                continue
+            if inter is not None and inter[cy, cx]:
+                merge = bool(dec["merge"][cy, cx])
+                d = {"inter": True, "merge": merge}
+                rqt = 1 if merge else int(dec["rqt"][cy, cx])
+                if not merge:
+                    d["mvd"] = (int(dec["mvd"][cy, cx, 0]),
+                                int(dec["mvd"][cy, cx, 1]))
+                    d["mvp"] = int(dec["mvp"][cy, cx])
+                    d["rqt"] = rqt
+                if rqt:
+                    d.update(cbf_y=int(dec["cbf_yi"][cy, cx]),
+                             cbf_cb=int(dec["cbf_cbi"][cy, cx]),
+                             cbf_cr=int(dec["cbf_cri"][cy, cx]),
+                             lvl_y=dec["lvl_y"][cy, cx],
+                             lvl_cb=dec["lvl_cb"][cy, cx],
+                             lvl_cr=dec["lvl_cr"][cy, cx])
+                row.append(d)
                 continue
             row.append({
                 "part_nxn": bool(dec["part_nxn"][cy, cx]),

@@ -92,3 +92,30 @@ def encode_tiles_sharded_p(mesh: Mesh, src_y, src_cb, src_cr,
 
     return run(src_y, src_cb, src_cr, ref_y, ref_cb, ref_cr, qp, lam_bits,
                lam16, tnh, tnw, bit_depth)
+
+
+def encode_tiles_sharded_pmc(mesh: Mesh, src_y, src_cb, src_cr,
+                             pad_y, pad_cb, pad_cr, qp, lam_bits, lam16, sl16,
+                             tnh: int, tnw: int, bit_depth: int = 8):
+    """Sharded motion-compensated P step: tiles spread over the stream axis.
+
+    Each chip holds its tiles' sources AND padded reference planes (the
+    MARGIN halo carries the neighbor-tile pixels MC needs, so no runtime
+    collectives — the halo exchange happened at host assembly).
+    """
+    from hevc_tpu.encoder.rowscan_v1 import encode_tiles_rowscan_pmc_jit
+    shard = NamedSharding(mesh, P("stream"))
+    step_shard = NamedSharding(mesh, P(None, "stream"))
+    rep = NamedSharding(mesh, P())
+
+    @partial(jax.jit, static_argnames=("tnh", "tnw", "bit_depth"),
+             in_shardings=(shard,) * 6 + (rep,) * 4,
+             out_shardings=step_shard)
+    def run(y, cb, cr, py, pcb, pcr, qp, lam_bits, lam16, sl16,
+            tnh, tnw, bit_depth):
+        return encode_tiles_rowscan_pmc_jit.__wrapped__(
+            y, cb, cr, py, pcb, pcr, qp, lam_bits, lam16, sl16,
+            tnh, tnw, bit_depth)
+
+    return run(src_y, src_cb, src_cr, pad_y, pad_cb, pad_cr, qp, lam_bits,
+               lam16, sl16, tnh, tnw, bit_depth)

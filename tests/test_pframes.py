@@ -126,16 +126,12 @@ def test_all_static_sequence_codes_inter(tmp_path):
 
 
 def test_device_gop_matches_reference(tmp_path):
-    """Device graph parity for the zero-MV-skip profile (mc=False).
-
-    The device kernel gains motion search in a later milestone; until then
-    GopEncoder corresponds to the reference encoder's mc=False mode.
-    """
+    """Device graph parity for the zero-MV-skip profile (mc=False)."""
     from hevc_tpu.encoder.gop import GopEncoder
     frames = _sequence(W=64, H=48, F=3)
     cfg = StreamConfig(width=64, height=48, qp=32, inter=True)
     s_ref, r_ref = RefIntraEncoderV1(cfg, mc=False).encode_video(frames)
-    s_jax, r_jax = GopEncoder(cfg).encode_video(frames)
+    s_jax, r_jax = GopEncoder(cfg, mc=False).encode_video(frames)
     assert s_ref == s_jax
     for i in range(len(frames)):
         for k in ("y", "cb", "cr"):
@@ -152,8 +148,19 @@ def test_cpp_p_entropy_identical():
         pytest.skip("C++ entropy unavailable")
     rng = np.random.default_rng(1)
     nh, nw = 4, 5
+    inter = (rng.random((nh, nw)) < 0.5)
+    merge = (rng.random((nh, nw)) < 0.5)
+    rqt = (rng.random((nh, nw)) < 0.7).astype(np.int32)
     d = {
-        "skip": rng.random((nh, nw)) < 0.5,
+        "skip": rng.random((nh, nw)) < 0.3,
+        "inter": inter,
+        "merge": merge,
+        "mvd": rng.integers(-70, 71, (nh, nw, 2), np.int16),
+        "mvp": rng.integers(0, 2, (nh, nw), np.int32),
+        "rqt": rqt,
+        "cbf_yi": np.ones((nh, nw), np.uint8),
+        "cbf_cbi": (rng.random((nh, nw)) < 0.5).astype(np.uint8),
+        "cbf_cri": (rng.random((nh, nw)) < 0.5).astype(np.uint8),
         "part_nxn": rng.random((nh, nw)) < 0.4,
         "modes4": rng.integers(0, 35, (nh, nw, 4), np.int32),
         "cbf_y4": np.ones((nh, nw, 4), np.uint8),
@@ -185,3 +192,20 @@ def test_cpp_p_entropy_identical():
             cpp = binding.encode_tile_payload_v1(qp, d, 0, 0, nh, nw, last,
                                                  p_slice=True)
             assert py == cpp
+
+
+def test_device_mc_gop_matches_reference(tmp_path):
+    """Device MC kernel == numpy reference (mc=True, subpel=False)."""
+    from hevc_tpu.encoder.gop import GopEncoder
+    frames = _pan_sequence(W=96, H=64, F=3, step=(2, 3))
+    cfg = StreamConfig(width=96, height=64, qp=32, inter=True,
+                       tile_cols=2, tile_rows=2)
+    s_ref, r_ref = RefIntraEncoderV1(cfg, subpel=False).encode_video(frames)
+    s_jax, r_jax = GopEncoder(cfg).encode_video(frames)
+    assert s_ref == s_jax
+    for i in range(len(frames)):
+        for k in ("y", "cb", "cr"):
+            assert np.array_equal(r_ref[i][k], r_jax[i][k]), (i, k)
+    assert _avref_exact(s_jax, r_jax, tmp_path)
+    dec = decode_annexb(s_jax)
+    assert any((~f["cu_maps"]["intra"]).any() for f in dec[1:])
