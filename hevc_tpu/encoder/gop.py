@@ -104,6 +104,11 @@ class GopEncoder:
                 ya, cba, cra, *ref_blocks, jnp.asarray(qp),
                 rs.lam_bits, jnp.asarray(lam16, jnp.int32),
                 tnh, tnw, cfg.bit_depth, self.enable_nxn)
+        dev = {"rec_y": outs[10], "rec_cb": outs[11], "rec_cr": outs[12],
+               "part": outs[0]}
+        if ref_blocks is not None and self.mc:
+            dev.update(skip=outs[13], inter=outs[14], cbf_yi=outs[19],
+                       mv=outs[22])
         outs = [np.asarray(o) for o in outs]
         (part, modes4, cbf_y4, cbf_cb, cbf_cr, cbf_cb4, cbf_cr4,
          lvl_y, lvl_cb, lvl_cr, rec_y, rec_cb, rec_cr) = outs[:13]
@@ -138,7 +143,7 @@ class GopEncoder:
             "cb": self._plane(self._unstep(rec_cb, np.int32), 8),
             "cr": self._plane(self._unstep(rec_cr, np.int32), 8),
         }
-        return dec, recon
+        return dec, recon, dev
 
     def _deblocked(self, recon, dec, qp=None):
         cfg = self.cfg
@@ -178,36 +183,6 @@ class GopEncoder:
                           cu_maps=cu_maps)
         return {"y": dy, "cb": dcb, "cr": dcr}
 
-    def _pad_tiles(self, ref):
-        """Full deblocked planes -> per-tile padded ref planes (MC halo).
-
-        The halo is filled with TRUE picture pixels (edge-replicated only at
-        frame borders), so device MC across tile boundaries is bit-exact with
-        the numpy encoder's full-picture fetch."""
-        cfg = self.cfg
-        nh, nw, H, W = self._geom
-        tc, tr = cfg.tile_cols, cfg.tile_rows
-        TH, TW = (nh // tr) * 16, (nw // tc) * 16
-
-        def pad_one(plane, ts_h, ts_w, m):
-            hp, wp = plane.shape
-            out = np.empty((tr * tc, ts_h + 2 * m, ts_w + 2 * m),
-                           plane.dtype)
-            k = 0
-            for j in range(tr):
-                for i in range(tc):
-                    ysel = np.clip(np.arange(j * ts_h - m,
-                                             (j + 1) * ts_h + m), 0, hp - 1)
-                    xsel = np.clip(np.arange(i * ts_w - m,
-                                             (i + 1) * ts_w + m), 0, wp - 1)
-                    out[k] = plane[np.ix_(ysel, xsel)]
-                    k += 1
-            return out
-
-        return (jnp.asarray(pad_one(ref["y"], TH, TW, MARGIN)),
-                jnp.asarray(pad_one(ref["cb"], TH // 2, TW // 2, MARGIN_C)),
-                jnp.asarray(pad_one(ref["cr"], TH // 2, TW // 2, MARGIN_C)))
-
     def encode_next(self, y, cb, cr, idr: bool = False,
                     qp: int | None = None) -> tuple[bytes, dict]:
         """Encode one frame (streaming).  Returns (slice NAL, deblocked recon).
@@ -220,17 +195,42 @@ class GopEncoder:
         cfg_f = dataclasses.replace(self.cfg, qp=qp) \
             if qp != self.cfg.qp else self.cfg
         if idr or self._ref_blocks is None:
-            dec, recon = self._frame_decisions(y, cb, cr, None, qp)
+            dec, recon, dev = self._frame_decisions(y, cb, cr, None, qp)
             self._poc = 0
             nal = entropy_encode_frame_v1(cfg_f, dec)
         else:
-            dec, recon = self._frame_decisions(y, cb, cr, self._ref_blocks, qp)
+            dec, recon, dev = self._frame_decisions(y, cb, cr,
+                                                    self._ref_blocks, qp)
             self._poc += 1
             nal = entropy_encode_frame_v1(cfg_f, dec, poc=self._poc)
-        ref = self._deblocked(recon, dec, qp)
+        self._last_dec = dec
         if self.mc:
-            self._ref_blocks = self._pad_tiles(ref)
+            # deblock + halo padding stay ON DEVICE: the GOP feedback loop
+            # never round-trips pixels through the host
+            from hevc_tpu.ops.deblock_jax import assemble_deblock_pad_jit
+            cfg = self.cfg
+            nh, nw, H, W = self._geom
+            tc, tr = cfg.tile_cols, cfg.tile_rows
+            tnh, tnw = nh // tr, nw // tc
+            shape_st = dev["part"].shape
+            if "inter" in dev:
+                inter_s = dev["skip"] | dev["inter"]
+                intra_s = ~inter_s
+                cbf_s = dev["inter"] & dev["cbf_yi"]
+                mv_s = dev["mv"]
+            else:
+                intra_s = jnp.ones(shape_st, bool)
+                cbf_s = jnp.zeros(shape_st, bool)
+                mv_s = jnp.zeros(shape_st + (2,), jnp.int16)
+            douts = assemble_deblock_pad_jit(
+                dev["rec_y"], dev["rec_cb"], dev["rec_cr"], jnp.asarray(qp),
+                intra_s, cbf_s, mv_s, dev["part"] & intra_s,
+                tnh, tnw, tr, tc, cfg.bit_depth, cfg.deblock)
+            self._ref_blocks = (douts[3], douts[4], douts[5])
+            ref = {"y": np.asarray(douts[0]), "cb": np.asarray(douts[1]),
+                   "cr": np.asarray(douts[2])}
         else:
+            ref = self._deblocked(recon, dec, qp)
             yb, cbb, crb = self._to_blocks(ref["y"], ref["cb"], ref["cr"])
             self._ref_blocks = (jnp.asarray(self._tsplit(yb, 16)),
                                 jnp.asarray(self._tsplit(cbb, 8)),
