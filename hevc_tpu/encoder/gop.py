@@ -29,11 +29,13 @@ class GopEncoder:
     """Device (JAX) GOP encoder for one stream configuration."""
 
     def __init__(self, cfg: StreamConfig, enable_nxn: bool = True,
-                 mc: bool = True):
+                 mc: bool = True, nxn_p: bool | None = None):
         assert cfg.inter, "GopEncoder requires cfg.inter"
         self.cfg = cfg
         self.enable_nxn = enable_nxn
         self.mc = mc        # motion search (False: zero-MV skip only)
+        # NxN intra in P frames: off by default in MC mode (I frames keep it)
+        self.nxn_p = (False if mc else enable_nxn) if nxn_p is None else nxn_p
         self.reset()
 
     def reset(self) -> None:
@@ -98,7 +100,7 @@ class GopEncoder:
                 ya, cba, cra, *ref_blocks, jnp.asarray(qp),
                 rs.lam_bits, jnp.asarray(lam16, jnp.int32),
                 jnp.asarray(sl16, jnp.int32),
-                tnh, tnw, cfg.bit_depth, self.enable_nxn)
+                tnh, tnw, cfg.bit_depth, self.nxn_p)
         else:
             outs = encode_tiles_rowscan_p_jit(
                 ya, cba, cra, *ref_blocks, jnp.asarray(qp),

@@ -20,12 +20,16 @@ def _sse(a: np.ndarray, b: np.ndarray) -> int:
 
 class RefIntraEncoderV1:
     def __init__(self, cfg: StreamConfig, enable_nxn: bool = True,
-                 mc: bool = True, subpel: bool = True):
+                 mc: bool = True, subpel: bool = True,
+                 nxn_p: bool | None = None):
         assert cfg.log2_ctb == 4, "v1 profile: CTB16"
         self.cfg = cfg
         self.enable_nxn = enable_nxn
         self.mc = mc            # P frames: motion search (False: zero-MV only)
         self.subpel = subpel    # half/quarter-pel refinement after int search
+        # NxN intra inside P frames: rarely wins and doubles the search; the
+        # medium preset keeps it for I frames only (matches GopEncoder)
+        self.nxn_p = (False if mc else enable_nxn) if nxn_p is None else nxn_p
 
     def parameter_sets(self) -> list[bytes]:
         return [write_vps(self.cfg), write_sps(self.cfg), write_pps(self.cfg)]
@@ -299,7 +303,7 @@ class RefIntraEncoderV1:
                 dec, lm = encode_ctu_v1(
                     vy, vcb, vcr, ry, rcb, rcr, cx, cy, ctb, qp, qpc, None,
                     sqrt_lam, left_modes, bd, hadamard_satd,
-                    enable_nxn=self.enable_nxn)
+                    enable_nxn=self.nxn_p)
                 sse_i = _sse(vy[sl], ry[sl]) + _sse(vcb[slc], rcb[slc]) \
                     + _sse(vcr[slc], rcr[slc])
                 bits = min(8 + level_bits_estimate(

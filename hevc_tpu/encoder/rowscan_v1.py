@@ -471,16 +471,26 @@ def _rowscan_v1_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh, tnw, bit_depth,
             pred_m = jnp.take_along_axis(
                 cand, mi[:, None, None, None], 1).reshape(B, 16, 16)
 
-            def cpred(pad_c, mv):
-                by = r * 8 + MARGIN_C + (mv[:, 1] >> 3) - 1
-                bx = c * 8 + MARGIN_C + (mv[:, 0] >> 3) - 1
-                wins = jax.vmap(
-                    lambda p, yy, xx: jax.lax.dynamic_slice(
-                        p, (yy, xx), (11, 11)))(pad_c, by, bx)
+            def cstack(pad_c):
+                # all 81 integer chroma offsets as one stack (per-lane
+                # gathers are pathological on TPU; take_along_axis on a
+                # stacked axis is not)
+                cwin = jax.lax.dynamic_slice(
+                    pad_c, (0, r * 8 + MARGIN_C - 5, c * 8 + MARGIN_C - 5),
+                    (B, 19, 19))
+                crows = jnp.stack([cwin[:, k:k + 11, :] for k in range(9)], 1)
+                return jnp.stack([crows[..., k:k + 11] for k in range(9)],
+                                 2).reshape(B, 81, 11, 11)
+
+            def cpred(stk, mv):
+                idx = ((mv[:, 1] >> 3) + 4) * 9 + (mv[:, 0] >> 3) + 4
+                wins = jnp.take_along_axis(
+                    stk, idx[:, None, None, None], 1).reshape(B, 11, 11)
                 return _chroma_mc_j(wins, mv[:, 0], mv[:, 1], bit_depth)
 
-            pm_cb, pm_cr = cpred(pad_cb, mg_mv), cpred(pad_cr, mg_mv)
-            pe_cb, pe_cr = cpred(pad_cb, mv_e), cpred(pad_cr, mv_e)
+            stk_cb, stk_cr = cstack(pad_cb), cstack(pad_cr)
+            pm_cb, pm_cr = cpred(stk_cb, mg_mv), cpred(stk_cr, mg_mv)
+            pe_cb, pe_cr = cpred(stk_cb, mv_e), cpred(stk_cr, mv_e)
 
             lvlm_y, cbfm_y, recm_y = _tu(src, pred_m, qp_eff, 16,
                                          bit_depth, maxv)
