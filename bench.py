@@ -62,9 +62,8 @@ def main():
         f"({sum(len(n) for n in nals)*8*30/F/1e6:.2f} Mbps @30fps)")
 
     # ---- device-only steady-state P loop (sources preloaded on device) ----
-    from hevc_tpu.encoder.rowscan_v1 import encode_tiles_rowscan_pmc_jit, \
-        RowScanEncoderV1
-    from hevc_tpu.ops.deblock_jax import assemble_deblock_pad_jit
+    from hevc_tpu.encoder.gop import _gop_step_jit
+    from hevc_tpu.encoder.rowscan_v1 import RowScanEncoderV1
     from hevc_tpu.encoder.ctu_modes import skip_lambda16
     nh, nw, Hp, Wp = enc._geom
     tnh, tnw = nh // tr, nw // tc
@@ -82,14 +81,9 @@ def main():
     pads = enc._ref_blocks
 
     def p_step(src3, pads):
-        outs = encode_tiles_rowscan_pmc_jit(
-            *src3, *pads, qpj, rs.lam_bits, lam16, sl16, tnh, tnw, 8)
-        inter_s = outs[13] | outs[14]
-        douts = assemble_deblock_pad_jit(
-            outs[10], outs[11], outs[12], qpj, ~inter_s,
-            outs[14] & outs[19], outs[22], outs[0] & ~inter_s,
-            tnh, tnw, tr, tc, 8, True)
-        return outs, (douts[3], douts[4], douts[5])
+        outs = _gop_step_jit(*src3, *pads, qpj, rs.lam_bits, lam16, sl16,
+                             tnh, tnw, tr, tc, 8, enc.nxn_p, True, False)
+        return outs, outs[26:29]
 
     outs, pads = p_step(srcs[0], pads)   # warm (compiled already)
     jax.block_until_ready(pads)

@@ -13,8 +13,13 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+from functools import partial
+
+import jax
+
 from hevc_tpu.encoder.ctu_modes import skip_lambda16
 from hevc_tpu.encoder.rowscan_v1 import (RowScanEncoderV1, MARGIN, MARGIN_C,
+                                         _rowscan_v1_scan,
                                          encode_tiles_rowscan_v1_jit,
                                          encode_tiles_rowscan_p_jit,
                                          encode_tiles_rowscan_pmc_jit)
@@ -23,6 +28,43 @@ from hevc_tpu.entropy.headers import StreamConfig, write_vps, write_sps, \
 from hevc_tpu.entropy.tiled_v1 import entropy_encode_frame_v1
 from hevc_tpu.ops.deblock import deblock_frame
 from hevc_tpu.utils.bitio import annexb
+
+
+@partial(jax.jit, static_argnames=("tnh", "tnw", "tr", "tc_", "bit_depth",
+                                   "enable_nxn", "deblock", "idr"))
+def _gop_step_jit(ya, cba, cra, pad_y, pad_cb, pad_cr, qp, lam_bits,
+                  lam16, sl16, tnh, tnw, tr, tc_, bit_depth,
+                  enable_nxn, deblock, idr):
+    """One fused GOP step: encode kernel + deblock + ref padding.
+
+    A single device dispatch per frame — on hosts with high dispatch
+    latency the split kernel/deblock graphs each pay a round trip.
+    Returns (kernel outputs..., dy, dcb, dcr, pad_y, pad_cb, pad_cr).
+    """
+    from hevc_tpu.ops.deblock_jax import assemble_deblock_pad_jit
+    import jax.numpy as jnp
+    if idr:
+        outs = _rowscan_v1_scan(ya, cba, cra, qp, lam_bits, tnh, tnw,
+                                bit_depth, enable_nxn=enable_nxn)
+        st = outs[0].shape
+        intra_s = jnp.ones(st, bool)
+        cbf_s = jnp.zeros(st, bool)
+        mv_s = jnp.zeros(st + (2,), jnp.int16)
+        nxn_s = outs[0]
+    else:
+        outs = _rowscan_v1_scan(ya, cba, cra, qp, lam_bits, tnh, tnw,
+                                bit_depth, lam16=lam16,
+                                ref_pads=(pad_y, pad_cb, pad_cr), sl16=sl16,
+                                enable_nxn=enable_nxn)
+        inter_s = outs[13] | outs[14]
+        intra_s = ~inter_s
+        cbf_s = outs[14] & outs[19]
+        mv_s = outs[22]
+        nxn_s = outs[0] & intra_s
+    d = assemble_deblock_pad_jit.__wrapped__(
+        outs[10], outs[11], outs[12], qp, intra_s, cbf_s, mv_s, nxn_s,
+        tnh, tnw, tr, tc_, bit_depth, deblock)
+    return tuple(outs) + tuple(d)
 
 
 class GopEncoder:
@@ -111,9 +153,21 @@ class GopEncoder:
         if ref_blocks is not None and self.mc:
             dev.update(skip=outs[13], inter=outs[14], cbf_yi=outs[19],
                        mv=outs[22])
-        outs = [np.asarray(o) for o in outs]
+        outs = jax.device_get(list(outs))
+        dec = self._dec_from_outs(outs,
+                                  p_mc=ref_blocks is not None and self.mc,
+                                  p_zmv=ref_blocks is not None and not self.mc)
+        recon = {
+            "y": self._plane(self._unstep(outs[10], np.int32), 16),
+            "cb": self._plane(self._unstep(outs[11], np.int32), 8),
+            "cr": self._plane(self._unstep(outs[12], np.int32), 8),
+        }
+        return dec, recon, dev
+
+    def _dec_from_outs(self, outs, p_mc: bool, p_zmv: bool = False) -> dict:
+        """Host decision dict from (host-fetched) kernel outputs."""
         (part, modes4, cbf_y4, cbf_cb, cbf_cr, cbf_cb4, cbf_cr4,
-         lvl_y, lvl_cb, lvl_cr, rec_y, rec_cb, rec_cr) = outs[:13]
+         lvl_y, lvl_cb, lvl_cr) = outs[:10]
         dec = {
             "part_nxn": self._unstep(part),
             "modes4": self._unstep(modes4, np.int32),
@@ -124,7 +178,7 @@ class GopEncoder:
             "lvl_cb": self._unstep(lvl_cb, np.int32),
             "lvl_cr": self._unstep(lvl_cr, np.int32),
         }
-        if ref_blocks is not None and self.mc:
+        if p_mc:
             (skipf, interf, mergef, mvd, mvp, rqt,
              cbf_yi, cbf_cbi, cbf_cri, mv) = outs[13:23]
             dec.update(
@@ -138,14 +192,9 @@ class GopEncoder:
                 cbf_cri=self._unstep(cbf_cri),
                 mv=self._unstep(mv, np.int32),
             )
-        elif ref_blocks is not None:
+        elif p_zmv:
             dec["skip"] = self._unstep(outs[13])
-        recon = {
-            "y": self._plane(self._unstep(rec_y, np.int32), 16),
-            "cb": self._plane(self._unstep(rec_cb, np.int32), 8),
-            "cr": self._plane(self._unstep(rec_cr, np.int32), 8),
-        }
-        return dec, recon, dev
+        return dec
 
     def _deblocked(self, recon, dec, qp=None):
         cfg = self.cfg
@@ -196,47 +245,64 @@ class GopEncoder:
         qp = self.cfg.qp if qp is None else qp
         cfg_f = dataclasses.replace(self.cfg, qp=qp) \
             if qp != self.cfg.qp else self.cfg
-        if idr or self._ref_blocks is None:
-            dec, recon, dev = self._frame_decisions(y, cb, cr, None, qp)
-            self._poc = 0
-            nal = entropy_encode_frame_v1(cfg_f, dec)
-        else:
-            dec, recon, dev = self._frame_decisions(y, cb, cr,
-                                                    self._ref_blocks, qp)
-            self._poc += 1
-            nal = entropy_encode_frame_v1(cfg_f, dec, poc=self._poc)
-        self._last_dec = dec
-        if self.mc:
-            # deblock + halo padding stay ON DEVICE: the GOP feedback loop
-            # never round-trips pixels through the host
-            from hevc_tpu.ops.deblock_jax import assemble_deblock_pad_jit
-            cfg = self.cfg
-            nh, nw, H, W = self._geom
-            tc, tr = cfg.tile_cols, cfg.tile_rows
-            tnh, tnw = nh // tr, nw // tc
-            shape_st = dev["part"].shape
-            if "inter" in dev:
-                inter_s = dev["skip"] | dev["inter"]
-                intra_s = ~inter_s
-                cbf_s = dev["inter"] & dev["cbf_yi"]
-                mv_s = dev["mv"]
+        if not self.mc:
+            if idr or self._ref_blocks is None:
+                dec, recon, dev = self._frame_decisions(y, cb, cr, None, qp)
+                self._poc = 0
+                nal = entropy_encode_frame_v1(cfg_f, dec)
             else:
-                intra_s = jnp.ones(shape_st, bool)
-                cbf_s = jnp.zeros(shape_st, bool)
-                mv_s = jnp.zeros(shape_st + (2,), jnp.int16)
-            douts = assemble_deblock_pad_jit(
-                dev["rec_y"], dev["rec_cb"], dev["rec_cr"], jnp.asarray(qp),
-                intra_s, cbf_s, mv_s, dev["part"] & intra_s,
-                tnh, tnw, tr, tc, cfg.bit_depth, cfg.deblock)
-            self._ref_blocks = (douts[3], douts[4], douts[5])
-            ref = {"y": np.asarray(douts[0]), "cb": np.asarray(douts[1]),
-                   "cr": np.asarray(douts[2])}
-        else:
+                dec, recon, dev = self._frame_decisions(
+                    y, cb, cr, self._ref_blocks, qp)
+                self._poc += 1
+                nal = entropy_encode_frame_v1(cfg_f, dec, poc=self._poc)
+            self._last_dec = dec
             ref = self._deblocked(recon, dec, qp)
             yb, cbb, crb = self._to_blocks(ref["y"], ref["cb"], ref["cr"])
             self._ref_blocks = (jnp.asarray(self._tsplit(yb, 16)),
                                 jnp.asarray(self._tsplit(cbb, 8)),
                                 jnp.asarray(self._tsplit(crb, 8)))
+            return nal, ref
+
+        # MC mode: ONE fused device dispatch per frame (kernel + deblock +
+        # ref padding), one batched host fetch of the decision arrays.
+        cfg = self.cfg
+        yb, cbb, crb = self._to_blocks(np.asarray(y, np.int32),
+                                       np.asarray(cb, np.int32),
+                                       np.asarray(cr, np.int32))
+        nh, nw, H, W = self._geom
+        tc, tr = cfg.tile_cols, cfg.tile_rows
+        tnh, tnw = nh // tr, nw // tc
+        ya = jnp.asarray(self._tsplit(yb, 16))
+        cba = jnp.asarray(self._tsplit(cbb, 8))
+        cra = jnp.asarray(self._tsplit(crb, 8))
+        is_idr = idr or self._ref_blocks is None
+        if self._ref_blocks is None:
+            T = tr * tc
+            self._ref_blocks = (
+                jnp.zeros((T, tnh * 16 + 2 * MARGIN,
+                           tnw * 16 + 2 * MARGIN), jnp.int32),
+                jnp.zeros((T, tnh * 8 + 2 * MARGIN_C,
+                           tnw * 8 + 2 * MARGIN_C), jnp.int32),
+                jnp.zeros((T, tnh * 8 + 2 * MARGIN_C,
+                           tnw * 8 + 2 * MARGIN_C), jnp.int32))
+        rs = RowScanEncoderV1(qp, cfg.bit_depth)
+        lam16 = skip_lambda16(qp + 6 * (cfg.bit_depth - 8))
+        sl16 = int(np.sqrt(0.85 * 2.0 ** (
+            (qp + 6 * (cfg.bit_depth - 8) - 12) / 3.0)) * 16)
+        outs = _gop_step_jit(
+            ya, cba, cra, *self._ref_blocks, jnp.asarray(qp), rs.lam_bits,
+            jnp.asarray(lam16, jnp.int32), jnp.asarray(sl16, jnp.int32),
+            tnh, tnw, tr, tc, cfg.bit_depth,
+            self.enable_nxn if is_idr else self.nxn_p, cfg.deblock, is_idr)
+        nk = 13 if is_idr else 23
+        self._ref_blocks = outs[nk + 3:nk + 6]
+        host = jax.device_get(list(outs[:nk]) + list(outs[nk:nk + 3]))
+        dec = self._dec_from_outs(host[:nk], p_mc=not is_idr)
+        self._poc = 0 if is_idr else self._poc + 1
+        nal = entropy_encode_frame_v1(cfg_f, dec,
+                                      poc=None if is_idr else self._poc)
+        self._last_dec = dec
+        ref = {"y": host[nk], "cb": host[nk + 1], "cr": host[nk + 2]}
         return nal, ref
 
     def encode_video(self, frames, gop: int = 0):
