@@ -137,7 +137,7 @@ def convert_video(file_path, out_dir, progress_callback=None, debug=False,
                                 file_name=file_path.name,
                                 stop_event=stop_event, deadline=deadline,
                                 audio=audio, src_path=file_path, resume=resume,
-                                nxn=pr.nxn,
+                                nxn=pr.nxn, sao=pr.sao,
                                 rate_plan=plan if qp_override is None else None,
                                 gop=plan.gop if pr.inter else 0)
             if ok == "CANCELLED":
@@ -238,7 +238,7 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
                    backend: str, batch_frames: int, progress_callback,
                    file_name: str, stop_event, deadline: float, audio=None,
                    src_path=None, resume: bool = False, nxn: bool = True,
-                   rate_plan=None, gop: int = 0):
+                   rate_plan=None, gop: int = 0, sao: bool = False):
     from hevc_tpu.entropy.headers import StreamConfig
     from hevc_tpu.encoder.toplevel import VideoEncoder, entropy_encode_frame
     from hevc_tpu.io.mp4 import mux_mp4
@@ -270,7 +270,7 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
         full_range=info.color_range == "pc",
         chromaloc=info.chromaloc, hdr=info.is_hdr,
         tile_cols=tile_cols, tile_rows=tile_rows,
-        inter=use_inter,
+        inter=use_inter, sao=sao and use_inter,
     )
     enc = VideoEncoder(cfg, backend=backend)
     rc = None

@@ -496,6 +496,48 @@ void encode_luma_mode(Cabac &c, int mode, const int cands[3]) {
 }  // namespace
 
 namespace {
+
+// SAO syntax (spec 7.3.8.3): this encoder never uses merge (flags coded 0).
+void encode_sao_offsets(Cabac &c, const int8_t *off, int band, int cmax) {
+  for (int i = 0; i < 4; i++) {
+    int a = off[i] < 0 ? -off[i] : off[i];
+    int nb = a < cmax ? a + 1 : cmax;
+    for (int k = 0; k < nb; k++) c.bypass(k < a ? 1 : 0);
+  }
+  if (band)
+    for (int i = 0; i < 4; i++)
+      if (off[i]) c.bypass(off[i] < 0 ? 1 : 0);
+}
+
+void encode_sao_ctu(Cabac &c, int bit_depth, int left_avail, int up_avail,
+                    int ty_y, int aux_y, const int8_t *off_y,
+                    int ty_c, int cls_c, int pos_cb, int pos_cr,
+                    const int8_t *off_cb, const int8_t *off_cr) {
+  int bd = bit_depth < 10 ? bit_depth : 10;
+  int cmax = (1 << (bd - 5)) - 1;
+  if (left_avail) c.bin(CTX_SAO_MERGE, 0);
+  if (up_avail) c.bin(CTX_SAO_MERGE, 0);
+  if (ty_y == 0) {
+    c.bin(CTX_SAO_TYPE, 0);
+  } else {
+    c.bin(CTX_SAO_TYPE, 1);
+    c.bypass(ty_y == 2 ? 1 : 0);
+    encode_sao_offsets(c, off_y, ty_y == 1, cmax);
+    c.bypass_bits((uint32_t)aux_y, ty_y == 1 ? 5 : 2);
+  }
+  if (ty_c == 0) {
+    c.bin(CTX_SAO_TYPE, 0);
+  } else {
+    c.bin(CTX_SAO_TYPE, 1);
+    c.bypass(ty_c == 2 ? 1 : 0);
+    encode_sao_offsets(c, off_cb, ty_c == 1, cmax);
+    c.bypass_bits((uint32_t)(ty_c == 1 ? pos_cb : cls_c),
+                  ty_c == 1 ? 5 : 2);
+    encode_sao_offsets(c, off_cr, ty_c == 1, cmax);
+    if (ty_c == 1) c.bypass_bits((uint32_t)pos_cr, 5);
+  }
+}
+
 void encode_eg1(Cabac &c, uint32_t v) {
   // 1st-order exp-Golomb bypass (abs_mvd_minus2)
   int len = 1;
@@ -514,6 +556,7 @@ extern "C" long hevc_entropy_encode_tile_v1(
     const uint8_t *inter, const uint8_t *merge, const int16_t *mvd,
     const uint8_t *mvp, const uint8_t *rqt, const uint8_t *cbf_yi,
     const uint8_t *cbf_cbi, const uint8_t *cbf_cri,
+    int bit_depth, const int8_t *sao,   // 18 x int8 per CTU (see binding)
     const uint8_t *part, const int32_t *modes4,
     const uint8_t *cbf_y4, const uint8_t *cbf_cb, const uint8_t *cbf_cr,
     const uint8_t *cbf_cb4, const uint8_t *cbf_cr4,
@@ -542,6 +585,12 @@ extern "C" long hevc_entropy_encode_tile_v1(
     for (int cx = 0; cx < nw; cx++) {
       long idx = (long)cy * nw + cx;
       const int32_t *m4 = modes4 + idx * 4;
+      if (sao) {
+        const int8_t *s = sao + idx * 18;
+        encode_sao_ctu(c, bit_depth, cx > 0, cy > 0,
+                       s[0], s[1], s + 2, s[6], s[7], s[8], s[9],
+                       s + 10, s + 14);
+      }
       int sk = (p_slice && skip) ? skip[idx] : 0;
       if (p_slice) {
         c.bin(CTX_CU_SKIP + (cx > 0 ? left_skip : 0) +

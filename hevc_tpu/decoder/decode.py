@@ -145,8 +145,19 @@ class IntraDecoder:
         self.syn = SliceSyntaxDecoder(payload, hdr.qp, hdr.init_type)
         ctbs_w = (self.W + self.ctb - 1) // self.ctb
         ctbs_h = (self.H + self.ctb - 1) // self.ctb
+        use_sao = self.sps.sao_enabled and (hdr.sao_luma or hdr.sao_chroma)
+        self.sao_y = [[None] * ctbs_w for _ in range(ctbs_h)]
+        self.sao_c = [[None] * ctbs_w for _ in range(ctbs_h)]
         for cy in range(ctbs_h):
             for cx in range(ctbs_w):
+                if use_sao:
+                    p = self.syn.decode_sao_ctu(cx > 0, cy > 0,
+                                                self.sps.bit_depth)
+                    if p == "merge_left":
+                        p = (self.sao_y[cy][cx - 1], self.sao_c[cy][cx - 1])
+                    elif p == "merge_up":
+                        p = (self.sao_y[cy - 1][cx], self.sao_c[cy - 1][cx])
+                    self.sao_y[cy][cx], self.sao_c[cy][cx] = p
                 self._coding_quadtree(cx * self.ctb, cy * self.ctb,
                                       self.sps.log2_ctb)
                 last = (cy == ctbs_h - 1) and (cx == ctbs_w - 1)
@@ -159,6 +170,7 @@ class IntraDecoder:
                         "missing end_of_subset_one_bit"
         return {"y": self.y, "cb": self.cb, "cr": self.cr, "qp": hdr.qp,
                 "part_map": self.part_map, "skip_map": self.skip_map,
+                "sao": (self.sao_y, self.sao_c),
                 "cu_maps": {"intra": ~self.inter_map, "cbf": self.cbf_map,
                             "mv": self.mv_map}}
 
@@ -464,6 +476,8 @@ def _decode_tiled_slice(payload: bytes, hdr, sps: Sps, pps: Pps,
     out_cr = np.zeros_like(out_cb)
     part_map = np.zeros((nh, nw), bool)
     skip_map = np.zeros((nh, nw), bool)
+    sao_y = [[None] * nw for _ in range(nh)]
+    sao_c = [[None] * nw for _ in range(nh)]
     cu_maps = {"intra": np.ones((nh, nw), bool),
                "cbf": np.zeros((nh, nw), bool),
                "mv": np.zeros((nh, nw, 2), np.int32)}
@@ -490,11 +504,16 @@ def _decode_tiled_slice(payload: bytes, hdr, sps: Sps, pps: Pps,
             skip_map[y0:y0 + th, x0:x0 + tw] = f["skip_map"]
             for kk in ("intra", "cbf", "mv"):
                 cu_maps[kk][y0:y0 + th, x0:x0 + tw] = f["cu_maps"][kk]
+            fy, fc = f["sao"]
+            for j in range(th):
+                sao_y[y0 + j][x0:x0 + tw] = fy[j]
+                sao_c[y0 + j][x0:x0 + tw] = fc[j]
             k += 1
             x0 += tw
         y0 += th
     return {"y": out_y, "cb": out_cb, "cr": out_cr, "qp": hdr.qp,
-            "part_map": part_map, "skip_map": skip_map, "cu_maps": cu_maps}
+            "part_map": part_map, "skip_map": skip_map, "cu_maps": cu_maps,
+            "sao": (sao_y, sao_c)}
 
 
 def decode_annexb(data: bytes, cfg=None) -> list[dict]:
@@ -524,9 +543,39 @@ def decode_annexb(data: bytes, cfg=None) -> list[dict]:
                 frame = dec.decode_slice(payload, hdr, ref=r)
             if not hdr.deblocking_disabled:
                 _apply_deblock(frame, hdr, sps, pps)
+            if sps.sao_enabled and (hdr.sao_luma or hdr.sao_chroma):
+                _apply_sao(frame, hdr, sps, pps)
             frames.append(frame)
             ref = {"y": frame["y"], "cb": frame["cb"], "cr": frame["cr"]}
     return frames
+
+
+def _apply_sao(frame: dict, hdr, sps: Sps, pps: Pps) -> None:
+    """SAO on the deblocked picture (spec 8.7.3; after deblocking)."""
+    from hevc_tpu.ops.sao import apply_sao_plane, _split_c
+    ctb = 1 << sps.log2_ctb
+    tile_x = tile_y = None
+    if pps.tiles_enabled:
+        nw = (sps.pic_width + ctb - 1) // ctb
+        nh = (sps.pic_height + ctb - 1) // ctb
+        tile_x = [((i + 1) * nw // pps.tile_cols) * ctb
+                  for i in range(pps.tile_cols - 1)]
+        tile_y = [((j + 1) * nh // pps.tile_rows) * ctb
+                  for j in range(pps.tile_rows - 1)]
+    sao_y, sao_c = frame["sao"]
+    bd = sps.bit_depth
+    if hdr.sao_luma:
+        frame["y"][:] = apply_sao_plane(frame["y"], sao_y, ctb, bd,
+                                        tile_x, tile_y)
+    if hdr.sao_chroma:
+        hx = [t // 2 for t in (tile_x or [])] or None
+        hy = [t // 2 for t in (tile_y or [])] or None
+        pc_cb = [[_split_c(p, 0) for p in row] for row in sao_c]
+        pc_cr = [[_split_c(p, 1) for p in row] for row in sao_c]
+        frame["cb"][:] = apply_sao_plane(frame["cb"], pc_cb, ctb // 2, bd,
+                                         hx, hy)
+        frame["cr"][:] = apply_sao_plane(frame["cr"], pc_cr, ctb // 2, bd,
+                                         hx, hy)
 
 
 def _apply_deblock(frame: dict, hdr, sps: Sps, pps: Pps) -> None:

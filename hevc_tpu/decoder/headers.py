@@ -240,7 +240,6 @@ def parse_slice_header(rbsp: bytes, nal_type: int, sps: Sps, pps: Pps) -> SliceH
     if sps.sao_enabled:
         h.sao_luma = bool(r.u(1))
         h.sao_chroma = bool(r.u(1))
-        assert not (h.sao_luma or h.sao_chroma), "SAO decode unsupported (v0)"
     if h.slice_type == 1:               # P: ref list + merge config
         assert not pps.weighted_pred, "weighted prediction unsupported"
         assert not pps.lists_modification, "ref list modification unsupported"

@@ -99,6 +99,61 @@ class SliceSyntaxDecoder:
     def decode_end_of_slice(self) -> int:
         return self.cabac.decode_terminate()
 
+    # ---- SAO (spec 7.3.8.3) ---------------------------------------------------
+    def decode_sao_ctu(self, left_avail: bool, up_avail: bool,
+                       bit_depth: int = 8):
+        """Returns ('merge_left'|'merge_up') or (p_y, p_c) — see the encoder
+        mirror for the parameter tuple layout."""
+        c = self.cabac
+        if left_avail and c.decode_bin(T.CTX_OFF["sao_merge"]):
+            return "merge_left"
+        if up_avail and c.decode_bin(T.CTX_OFF["sao_merge"]):
+            return "merge_up"
+        p_y = p_c = None
+        cmax = (1 << (min(bit_depth, 10) - 5)) - 1
+        ty = self._sao_type()
+        if ty:
+            offs = self._sao_offsets(band=ty == 1, cmax=cmax)
+            aux = c.decode_bypass_bits(5 if ty == 1 else 2)
+            if ty == 2:
+                offs = [offs[0], offs[1], -offs[2], -offs[3]]
+            p_y = (ty, aux, offs)
+        tc_ = self._sao_type()
+        if tc_:
+            band = tc_ == 1
+            offs_cb = self._sao_offsets(band=band, cmax=cmax)
+            if band:
+                pos_cb = c.decode_bypass_bits(5)
+            else:
+                cls = c.decode_bypass_bits(2)
+            offs_cr = self._sao_offsets(band=band, cmax=cmax)
+            if band:
+                pos_cr = c.decode_bypass_bits(5)
+                p_c = (tc_, (pos_cb, pos_cr), offs_cb, offs_cr)
+            else:
+                offs_cb = [offs_cb[0], offs_cb[1], -offs_cb[2], -offs_cb[3]]
+                offs_cr = [offs_cr[0], offs_cr[1], -offs_cr[2], -offs_cr[3]]
+                p_c = (tc_, cls, offs_cb, offs_cr)
+        return (p_y, p_c)
+
+    def _sao_type(self) -> int:
+        c = self.cabac
+        if not c.decode_bin(T.CTX_OFF["sao_type_idx"]):
+            return 0
+        return 2 if c.decode_bypass() else 1
+
+    def _sao_offsets(self, band: bool, cmax: int = 7) -> list[int]:
+        c = self.cabac
+        offs = []
+        for _ in range(4):
+            a = 0
+            while a < cmax and c.decode_bypass():
+                a += 1
+            offs.append(a)
+        if band:
+            offs = [(-a if a and c.decode_bypass() else a) for a in offs]
+        return offs
+
     # ---- residual coding ------------------------------------------------------
     def decode_residual(self, log2_size: int, scan_idx: int,
                         c_idx: int) -> np.ndarray:

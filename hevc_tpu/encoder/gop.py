@@ -31,15 +31,16 @@ from hevc_tpu.utils.bitio import annexb
 
 
 @partial(jax.jit, static_argnames=("tnh", "tnw", "tr", "tc_", "bit_depth",
-                                   "enable_nxn", "deblock", "idr"))
+                                   "enable_nxn", "deblock", "idr", "sao"))
 def _gop_step_jit(ya, cba, cra, pad_y, pad_cb, pad_cr, qp, lam_bits,
                   lam16, sl16, tnh, tnw, tr, tc_, bit_depth,
-                  enable_nxn, deblock, idr):
-    """One fused GOP step: encode kernel + deblock + ref padding.
+                  enable_nxn, deblock, idr, sao=False):
+    """One fused GOP step: encode kernel + deblock (+ SAO) + ref padding.
 
     A single device dispatch per frame — on hosts with high dispatch
     latency the split kernel/deblock graphs each pay a round trip.
-    Returns (kernel outputs..., dy, dcb, dcr, pad_y, pad_cb, pad_cr).
+    Returns (kernel outputs..., dy, dcb, dcr, pad_y, pad_cb, pad_cr
+    [, 9 SAO param arrays when sao]).
     """
     from hevc_tpu.ops.deblock_jax import assemble_deblock_pad_jit
     import jax.numpy as jnp
@@ -61,10 +62,44 @@ def _gop_step_jit(ya, cba, cra, pad_y, pad_cb, pad_cr, qp, lam_bits,
         cbf_s = outs[14] & outs[19]
         mv_s = outs[22]
         nxn_s = outs[0] & intra_s
+    sao_srcs = None
+    if sao:
+        def asm_src(a):
+            n = a.shape[-1]
+            x = a.reshape(tr, tc_, tnh, tnw, n, n)
+            return x.transpose(0, 2, 4, 1, 3, 5).reshape(tr * tnh * n,
+                                                         tc_ * tnw * n)
+        sao_srcs = (asm_src(ya), asm_src(cba), asm_src(cra))
     d = assemble_deblock_pad_jit.__wrapped__(
         outs[10], outs[11], outs[12], qp, intra_s, cbf_s, mv_s, nxn_s,
-        tnh, tnw, tr, tc_, bit_depth, deblock)
+        tnh, tnw, tr, tc_, bit_depth, deblock, sao_srcs=sao_srcs,
+        lam16=lam16)
     return tuple(outs) + tuple(d)
+
+
+def _sao_param_lists(arrs):
+    """Device SAO param arrays -> the entropy layer's per-CTU lists."""
+    ty_y, aux_y, off_y, ty_c, cls_c, pos_cb, pos_cr, off_cb, off_cr = arrs
+    nh, nw = ty_y.shape
+    py, pc = [], []
+    for cy in range(nh):
+        ry, rc = [], []
+        for cx in range(nw):
+            t = int(ty_y[cy, cx])
+            ry.append(None if t == 0 else
+                      (t, int(aux_y[cy, cx]),
+                       [int(v) for v in off_y[cy, cx]]))
+            t = int(ty_c[cy, cx])
+            if t == 0:
+                rc.append(None)
+            else:
+                aux = (int(pos_cb[cy, cx]), int(pos_cr[cy, cx])) \
+                    if t == 1 else int(cls_c[cy, cx])
+                rc.append((t, aux, [int(v) for v in off_cb[cy, cx]],
+                           [int(v) for v in off_cr[cy, cx]]))
+        py.append(ry)
+        pc.append(rc)
+    return py, pc
 
 
 class GopEncoder:
@@ -293,13 +328,16 @@ class GopEncoder:
             ya, cba, cra, *self._ref_blocks, jnp.asarray(qp), rs.lam_bits,
             jnp.asarray(lam16, jnp.int32), jnp.asarray(sl16, jnp.int32),
             tnh, tnw, tr, tc, cfg.bit_depth,
-            self.enable_nxn if is_idr else self.nxn_p, cfg.deblock, is_idr)
+            self.enable_nxn if is_idr else self.nxn_p, cfg.deblock, is_idr,
+            cfg.sao)
         nk = 13 if is_idr else 23
         self._ref_blocks = outs[nk + 3:nk + 6]
-        host = jax.device_get(list(outs[:nk]) + list(outs[nk:nk + 3]))
+        host = jax.device_get(list(outs[:nk]) + list(outs[nk:nk + 3])
+                              + list(outs[nk + 6:]))
         dec = self._dec_from_outs(host[:nk], p_mc=not is_idr)
+        sao_lists = _sao_param_lists(host[nk + 3:nk + 12]) if cfg.sao else None
         self._poc = 0 if is_idr else self._poc + 1
-        nal = entropy_encode_frame_v1(cfg_f, dec,
+        nal = entropy_encode_frame_v1(cfg_f, dec, sao=sao_lists,
                                       poc=None if is_idr else self._poc)
         self._last_dec = dec
         ref = {"y": host[nk], "cb": host[nk + 1], "cr": host[nk + 2]}

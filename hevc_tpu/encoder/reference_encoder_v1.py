@@ -371,28 +371,41 @@ class RefIntraEncoderV1:
                 ctus, recon = self.encode_frame_decisions(y, cb, cr)
                 cu_maps = None
                 poc = 0
-                nal = entropy_encode_frame_v1(cfg, ctus)
             else:
                 poc += 1
                 ctus, recon, cu_maps = self.encode_frame_p_decisions(
                     y, cb, cr, ref)
-                nal = entropy_encode_frame_v1(cfg, ctus, poc=poc)
-            out += b"\x00\x00\x00\x01" + nal
             nh, nw = len(ctus), len(ctus[0])
             nxn_map = np.array([[bool(c.get("part_nxn")) for c in row]
                                 for row in ctus])
             dy = recon["y"].copy()
             dcb = recon["cb"].copy()
             dcr = recon["cr"].copy()
-            if cfg.deblock:
+            tx = tyy = None
+            if cfg.tiles_enabled:
                 cols, rows_ = cfg.tile_grid()
-                tx = np.cumsum(cols)[:-1] * cfg.ctb if cfg.tiles_enabled else None
-                tyy = np.cumsum(rows_)[:-1] * cfg.ctb if cfg.tiles_enabled else None
+                tx = list(np.cumsum(cols)[:-1] * cfg.ctb)
+                tyy = list(np.cumsum(rows_)[:-1] * cfg.ctb)
+            if cfg.deblock:
                 deblock_frame(dy, dcb, dcr, cfg.qp, ctb=cfg.ctb,
                               bit_depth=cfg.bit_depth,
-                              tile_cols_px=list(tx) if tx is not None else None,
-                              tile_rows_px=list(tyy) if tyy is not None else None,
+                              tile_cols_px=tx, tile_rows_px=tyy,
                               nxn_map=nxn_map, cu_maps=cu_maps)
+            sao_params = None
+            if cfg.sao:
+                from hevc_tpu.ops.sao import estimate_and_apply_sao
+                qp_eff = cfg.qp + 6 * (cfg.bit_depth - 8)
+                src3 = (pad_to_ctb(np.asarray(y), cfg.ctb),
+                        pad_to_ctb(np.asarray(cb), cfg.ctb // 2),
+                        pad_to_ctb(np.asarray(cr), cfg.ctb // 2))
+                p_y, p_c, out3 = estimate_and_apply_sao(
+                    src3, (dy, dcb, dcr), cfg.ctb, cfg.bit_depth,
+                    skip_lambda16(qp_eff), tx, tyy)
+                dy, dcb, dcr = out3
+                sao_params = (p_y, p_c)
+            nal = entropy_encode_frame_v1(cfg, ctus, sao=sao_params,
+                                          poc=None if idr else poc)
+            out += b"\x00\x00\x00\x01" + nal
             ref = {"y": dy, "cb": dcb, "cr": dcr}
             recons.append(ref)
         return out, recons

@@ -48,6 +48,7 @@ def _load():
     lib.hevc_entropy_encode_tile_v1.restype = ctypes.c_long
     lib.hevc_entropy_encode_tile_v1.argtypes = (
         [ctypes.c_int] * 4 + [ctypes.c_int] + [ctypes.c_void_p] * 9
+        + [ctypes.c_int, ctypes.c_void_p]
         + [ctypes.c_void_p] * 10 + [ctypes.c_void_p, ctypes.c_long])
     _lib = lib
     return lib
@@ -55,7 +56,8 @@ def _load():
 
 def encode_tile_payload_v1(qp: int, dec: dict, y0: int, x0: int,
                            th: int, tw: int, last_tile: bool,
-                           p_slice: bool = False) -> bytes | None:
+                           p_slice: bool = False, sao=None,
+                           bit_depth: int = 8) -> bytes | None:
     """v1 tile substream from array-format decisions (device graph output)."""
     lib = _load()
     if not lib:
@@ -79,6 +81,11 @@ def encode_tile_payload_v1(qp: int, dec: dict, y0: int, x0: int,
     cbf_yi_ptr = ptr("cbf_yi", np.uint8) if p_slice else 0
     cbf_cbi_ptr = ptr("cbf_cbi", np.uint8) if p_slice else 0
     cbf_cri_ptr = ptr("cbf_cri", np.uint8) if p_slice else 0
+    sao_ptr = 0
+    if sao is not None:
+        s = np.ascontiguousarray(sao[y0:y0 + th, x0:x0 + tw], dtype=np.int8)
+        keep.append(s)
+        sao_ptr = s.ctypes.data
     part = np.ascontiguousarray(dec["part_nxn"][sl], dtype=np.uint8)
     modes4 = np.ascontiguousarray(dec["modes4"][sl], dtype=np.int32)
     cbf_y4 = np.ascontiguousarray(dec["cbf_y4"][sl], dtype=np.uint8)
@@ -95,6 +102,7 @@ def encode_tile_payload_v1(qp: int, dec: dict, y0: int, x0: int,
         qp, th, tw, 1 if last_tile else 0,
         1 if p_slice else 0, skip_ptr, inter_ptr, merge_ptr, mvd_ptr,
         mvp_ptr, rqt_ptr, cbf_yi_ptr, cbf_cbi_ptr, cbf_cri_ptr,
+        bit_depth, sao_ptr,
         part.ctypes.data, modes4.ctypes.data, cbf_y4.ctypes.data,
         cbf_cb.ctypes.data, cbf_cr.ctypes.data, cbf_cb4.ctypes.data,
         cbf_cr4.ctypes.data, lvl_y.ctypes.data, lvl_cb.ctypes.data,

@@ -47,6 +47,7 @@ class StreamConfig:
     tile_rows: int = 1
     deblock: bool = True           # in-loop deblocking filter
     inter: bool = False            # P slices (zero-MV skip GOP structure)
+    sao: bool = False              # sample-adaptive offset (luma + chroma)
     extra: dict = field(default_factory=dict)
 
     @property
@@ -159,7 +160,7 @@ def write_sps(cfg: StreamConfig) -> bytes:
     w.ue(cfg.max_transform_hierarchy_depth_intra)
     w.u(0, 1)                       # scaling_list_enabled_flag
     w.u(0, 1)                       # amp_enabled_flag
-    w.u(0, 1)                       # sample_adaptive_offset_enabled_flag
+    w.u(1 if cfg.sao else 0, 1)     # sample_adaptive_offset_enabled_flag
     w.u(0, 1)                       # pcm_enabled_flag
     if cfg.inter:
         # one RPS: the immediately preceding picture, used by current
@@ -264,6 +265,9 @@ def write_slice_header_idr(cfg: StreamConfig,
     w.u(0, 1)                       # no_output_of_prior_pics_flag (IRAP)
     w.ue(0)                         # slice_pic_parameter_set_id
     w.ue(2)                         # slice_type = I
+    if cfg.sao:
+        w.u(1, 1)                   # slice_sao_luma_flag
+        w.u(1, 1)                   # slice_sao_chroma_flag
     w.se(cfg.qp - 26)               # slice_qp_delta
     if cfg.deblock:                 # deblocking on: across-slices flag present
         w.u(1, 1)                   # slice_loop_filter_across_slices_enabled
@@ -295,6 +299,9 @@ def write_slice_header_p(cfg: StreamConfig, poc_lsb: int,
     w.ue(1)                         # slice_type = P
     w.u(poc_lsb & 0xFF, 8)          # slice_pic_order_cnt_lsb (log2 = 8)
     w.u(1, 1)                       # short_term_ref_pic_set_sps_flag (RPS 0)
+    if cfg.sao:
+        w.u(1, 1)                   # slice_sao_luma_flag
+        w.u(1, 1)                   # slice_sao_chroma_flag
     w.u(0, 1)                       # num_ref_idx_active_override_flag
     w.ue(4)                         # five_minus_max_num_merge_cand -> 1 cand
     w.se(cfg.qp - 26)               # slice_qp_delta

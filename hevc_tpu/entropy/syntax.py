@@ -130,6 +130,61 @@ class SliceSyntaxEncoder:
     def encode_end_of_slice(self, last: bool) -> None:
         self.cabac.encode_terminate(1 if last else 0)
 
+    # ---- SAO (spec 7.3.8.3) ---------------------------------------------------
+    def encode_sao_ctu(self, p_y, p_c, left_avail: bool, up_avail: bool,
+                       bit_depth: int = 8) -> None:
+        """One CTU's SAO params.  p_y: None | (type, aux, off[4]);
+        p_c: None | (type, aux, off_cb[4], off_cr[4]) with shared chroma
+        type/class (aux = eo_class or (pos_cb, pos_cr)).  This encoder never
+        uses merge (flags coded 0)."""
+        c = self.cabac
+        if left_avail:
+            c.encode_bin(T.CTX_OFF["sao_merge"], 0)
+        if up_avail:
+            c.encode_bin(T.CTX_OFF["sao_merge"], 0)
+        cmax = (1 << (min(bit_depth, 10) - 5)) - 1
+        self._sao_type(p_y)
+        if p_y is not None:
+            self._sao_offsets(p_y[2], band=p_y[0] == 1, cmax=cmax)
+            if p_y[0] == 1:
+                c.encode_bypass_bits(p_y[1], 5)     # sao_band_position
+            else:
+                c.encode_bypass_bits(p_y[1], 2)     # sao_eo_class_luma
+        self._sao_type(p_c)
+        if p_c is not None:
+            band = p_c[0] == 1
+            self._sao_offsets(p_c[2], band=band, cmax=cmax)
+            if band:
+                c.encode_bypass_bits(p_c[1][0], 5)
+            else:
+                c.encode_bypass_bits(p_c[1], 2)     # sao_eo_class_chroma
+            self._sao_offsets(p_c[3], band=band,    # cr (type/class inherited)
+                              cmax=cmax)
+            if band:
+                c.encode_bypass_bits(p_c[1][1], 5)
+        return
+
+    def _sao_type(self, p) -> None:
+        c = self.cabac
+        if p is None:
+            c.encode_bin(T.CTX_OFF["sao_type_idx"], 0)
+        else:
+            c.encode_bin(T.CTX_OFF["sao_type_idx"], 1)
+            c.encode_bypass(1 if p[0] == 2 else 0)  # TR: 1=band, 2=edge
+
+    def _sao_offsets(self, offs, band: bool, cmax: int = 7) -> None:
+        """4x sao_offset_abs (TR bypass, cMax bit-depth dependent) + signs
+        for band offsets."""
+        c = self.cabac
+        for o in offs:
+            a = abs(int(o))
+            for k in range(a + 1 if a < cmax else cmax):  # no stop bin at cMax
+                c.encode_bypass(1 if k < a else 0)
+        if band:
+            for o in offs:
+                if o:
+                    c.encode_bypass(1 if o < 0 else 0)
+
     # ---- residual coding (spec 7.3.8.11) -------------------------------------
     def encode_residual(self, coeffs: np.ndarray, log2_size: int,
                         scan_idx: int, c_idx: int) -> None:

@@ -16,12 +16,15 @@ from hevc_tpu.entropy.tiled import assemble_slice
 
 
 def encode_tile_payload_v1(cfg: StreamConfig, ctus: list[list[dict]],
-                           last_tile: bool, p_slice: bool = False) -> bytes:
+                           last_tile: bool, p_slice: bool = False,
+                           sao=None) -> bytes:
     """ctus: [row][col] decision dicts for one tile.
 
     p_slice: zero-MV-skip P slice — each CTU dict may carry skip=True
     (cu_skip_flag=1, no further syntax); non-skip CUs signal
     pred_mode_flag=1 then the usual intra syntax.  CABAC initType=1.
+    sao: (params_y, params_c) tile-local grids (spec 7.3.8.3, signaled
+    before the coding quadtree of every CTU).
     """
     syn = SliceSyntaxEncoder(cfg.qp, init_type=1 if p_slice else 0)
     nh = len(ctus)
@@ -31,6 +34,9 @@ def encode_tile_payload_v1(cfg: StreamConfig, ctus: list[list[dict]],
         left_modes = (INTRA_DC, INTRA_DC)
         left_skip = 0
         for cx in range(nw):
+            if sao is not None:
+                syn.encode_sao_ctu(sao[0][cy][cx], sao[1][cy][cx],
+                                   cx > 0, cy > 0, cfg.bit_depth)
             d = ctus[cy][cx]
             skip = bool(d.get("skip")) if p_slice else False
             if p_slice:
@@ -175,6 +181,33 @@ def _encode_ctu_v1(syn: SliceSyntaxEncoder, d: dict, left_modes, left_avail):
                                 T.intra_scan_idx(2, chroma_mode, 1), 2)
 
 
+def _pack_sao(sao, nh: int, nw: int) -> np.ndarray:
+    """Per-CTU SAO param lists -> (nh, nw, 18) int8 for the C++ fast path.
+
+    Layout: [ty_y, aux_y, off_y*4, ty_c, cls_c, pos_cb, pos_cr,
+             off_cb*4, off_cr*4].
+    """
+    arr = np.zeros((nh, nw, 18), np.int8)
+    for cy in range(nh):
+        for cx in range(nw):
+            p = sao[0][cy][cx]
+            if p is not None:
+                arr[cy, cx, 0] = p[0]
+                arr[cy, cx, 1] = p[1]
+                arr[cy, cx, 2:6] = p[2]
+            p = sao[1][cy][cx]
+            if p is not None:
+                arr[cy, cx, 6] = p[0]
+                if p[0] == 1:
+                    arr[cy, cx, 8] = p[1][0]
+                    arr[cy, cx, 9] = p[1][1]
+                else:
+                    arr[cy, cx, 7] = p[1]
+                arr[cy, cx, 10:14] = p[2]
+                arr[cy, cx, 14:18] = p[3]
+    return arr
+
+
 def _arrays_to_ctus(dec: dict, y0: int, x0: int, th: int, tw: int
                     ) -> list[list[dict]]:
     """Array-format decisions (from the device graph) -> per-CTU dicts."""
@@ -223,11 +256,13 @@ def _arrays_to_ctus(dec: dict, y0: int, x0: int, th: int, tw: int
 
 def entropy_encode_frame_v1(cfg: StreamConfig, ctus,
                             use_cpp: bool = True,
-                            poc: int | None = None) -> bytes:
+                            poc: int | None = None,
+                            sao=None) -> bytes:
     """Frame of decisions -> slice NAL. Accepts per-CTU dict grid (numpy
     reference encoder) or the device graph's array-dict format.
 
     poc=None -> IDR; poc=N -> P slice (TRAIL_R) with zero-MV-skip CUs.
+    sao: full-frame (params_y, params_c) grids when cfg.sao.
     """
     p_slice = poc is not None
     cpp = None
@@ -237,10 +272,13 @@ def entropy_encode_frame_v1(cfg: StreamConfig, ctus,
         if use_cpp:
             from hevc_tpu.entropy import binding
             if binding.available():
+                sao_arr = _pack_sao(sao, nh, nw) if sao is not None else None
+
                 def cpp(y0, x0, th, tw, last):
                     return binding.encode_tile_payload_v1(
                         cfg.qp, arrays, y0, x0, th, tw, last,
-                        p_slice=p_slice)
+                        p_slice=p_slice, sao=sao_arr,
+                        bit_depth=cfg.bit_depth)
         def tile(y0, x0, th, tw):
             return _arrays_to_ctus(arrays, y0, x0, th, tw)
     else:
@@ -249,10 +287,14 @@ def entropy_encode_frame_v1(cfg: StreamConfig, ctus,
         nh, nw = len(ctus), len(ctus[0])
 
     def payload(y0, x0, th, tw, last):
+        s = None
+        if sao is not None:
+            s = ([r[x0:x0 + tw] for r in sao[0][y0:y0 + th]],
+                 [r[x0:x0 + tw] for r in sao[1][y0:y0 + th]])
         if cpp is not None:
             return cpp(y0, x0, th, tw, last)
         return encode_tile_payload_v1(cfg, tile(y0, x0, th, tw), last,
-                                      p_slice=p_slice)
+                                      p_slice=p_slice, sao=s)
 
     if not cfg.tiles_enabled:
         return assemble_slice(cfg, [payload(0, 0, nh, nw, True)], poc=poc)

@@ -185,7 +185,8 @@ def _pad_tiles_j(plane, tr, tc_, m):
 
 
 def _deblock_pad_body(y, cb, cr, qp, intra, cbf, mv, nxn,
-                      tr, tc_, bit_depth, deblock, across_tiles):
+                      tr, tc_, bit_depth, deblock, across_tiles,
+                      sao_srcs=None, lam16=None):
     from hevc_tpu.encoder.rowscan_v1 import MARGIN, MARGIN_C
     H, W = y.shape
     nh, nw = intra.shape
@@ -202,10 +203,21 @@ def _deblock_pad_body(y, cb, cr, qp, intra, cbf, mv, nxn,
         cb = _chroma_pass_j(cb.T, qpc, intra.T, tile_rows, bit_depth).T
         cr = _chroma_pass_j(cr, qpc, intra, tile_cols, bit_depth)
         cr = _chroma_pass_j(cr.T, qpc, intra.T, tile_rows, bit_depth).T
+    sao_params = None
+    if sao_srcs is not None:
+        # SAO between deblocking and reference padding (spec order)
+        from hevc_tpu.ops.sao_jax import sao_frame_j
+        txp = tuple(m * 16 for m in tile_cols)
+        typ_ = tuple(m * 16 for m in tile_rows)
+        (y, cb, cr), sao_params = sao_frame_j(
+            sao_srcs, (y, cb, cr), 16, bit_depth, lam16, txp, typ_)
     pad_y = _pad_tiles_j(y, tr, tc_, MARGIN)
     pad_cb = _pad_tiles_j(cb, tr, tc_, MARGIN_C)
     pad_cr = _pad_tiles_j(cr, tr, tc_, MARGIN_C)
-    return y, cb, cr, pad_y, pad_cb, pad_cr
+    out = (y, cb, cr, pad_y, pad_cb, pad_cr)
+    if sao_srcs is not None:
+        out = out + sao_params
+    return out
 
 
 @partial(jax.jit, static_argnames=("tr", "tc_", "bit_depth", "deblock",
@@ -225,7 +237,8 @@ def deblock_pad_jit(y, cb, cr, qp, intra, cbf, mv, nxn,
                                    "deblock"))
 def assemble_deblock_pad_jit(rec_y, rec_cb, rec_cr, qp,
                              intra_s, cbf_s, mv_s, nxn_s,
-                             tnh, tnw, tr, tc_, bit_depth=8, deblock=True):
+                             tnh, tnw, tr, tc_, bit_depth=8, deblock=True,
+                             sao_srcs=None, lam16=None):
     """Step-major kernel outputs -> deblocked frame + padded refs, on device.
 
     rec_*: (steps, T, n, n) with steps = tnh*tnw (row-scan order) and
@@ -246,6 +259,8 @@ def assemble_deblock_pad_jit(rec_y, rec_cb, rec_cr, qp,
     y = asm(rec_y, rec_y.shape[-1])
     cb = asm(rec_cb, rec_cb.shape[-1])
     cr = asm(rec_cr, rec_cr.shape[-1])
+    # sao_srcs, when given, are already full-frame source planes
     return _deblock_pad_body(y, cb, cr, qp, asm_map(intra_s), asm_map(cbf_s),
                              asm_map(mv_s.astype(I32)), asm_map(nxn_s),
-                             tr, tc_, bit_depth, deblock, False)
+                             tr, tc_, bit_depth, deblock, False,
+                             sao_srcs=sao_srcs, lam16=lam16)

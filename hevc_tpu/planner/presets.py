@@ -15,13 +15,14 @@ class Preset:
     name: str
     nxn: bool              # PART_NxN 8x8 sub-partition search
     batch_frames: int = 8
-    inter: bool = True     # GOP with zero-MV-skip P frames (IDR-only if off)
+    inter: bool = True     # GOP with motion-compensated P frames
+    sao: bool = False      # sample-adaptive offset (GOP path)
 
 
 PRESETS = {
     "fast": Preset("fast", nxn=False, batch_frames=16),
-    "medium": Preset("medium", nxn=True, batch_frames=8),
-    "slow": Preset("slow", nxn=True, batch_frames=4),
+    "medium": Preset("medium", nxn=True, batch_frames=8, sao=True),
+    "slow": Preset("slow", nxn=True, batch_frames=4, sao=True),
 }
 
 
@@ -43,6 +44,8 @@ def degrade(preset: Preset, step: int) -> Preset:
         return preset
     if step == 1:
         return Preset(preset.name + "-d1", preset.nxn,
-                      max(preset.batch_frames // 2, 1), preset.inter)
+                      max(preset.batch_frames // 2, 1), preset.inter,
+                      preset.sao)
     return Preset(preset.name + f"-d{step}", False,
-                  max(preset.batch_frames >> step, 1), inter=step < 3)
+                  max(preset.batch_frames >> step, 1), inter=step < 3,
+                  sao=False)
