@@ -31,10 +31,11 @@ from hevc_tpu.utils.bitio import annexb
 
 
 @partial(jax.jit, static_argnames=("tnh", "tnw", "tr", "tc_", "bit_depth",
-                                   "enable_nxn", "deblock", "idr", "sao"))
+                                   "enable_nxn", "deblock", "idr", "sao",
+                                   "subpel"))
 def _gop_step_jit(ya, cba, cra, pad_y, pad_cb, pad_cr, qp, lam_bits,
                   lam16, sl16, tnh, tnw, tr, tc_, bit_depth,
-                  enable_nxn, deblock, idr, sao=False):
+                  enable_nxn, deblock, idr, sao=False, subpel=True):
     """One fused GOP step: encode kernel + deblock (+ SAO) + ref padding.
 
     A single device dispatch per frame — on hosts with high dispatch
@@ -56,7 +57,7 @@ def _gop_step_jit(ya, cba, cra, pad_y, pad_cb, pad_cr, qp, lam_bits,
         outs = _rowscan_v1_scan(ya, cba, cra, qp, lam_bits, tnh, tnw,
                                 bit_depth, lam16=lam16,
                                 ref_pads=(pad_y, pad_cb, pad_cr), sl16=sl16,
-                                enable_nxn=enable_nxn)
+                                enable_nxn=enable_nxn, subpel=subpel)
         inter_s = outs[13] | outs[14]
         intra_s = ~inter_s
         cbf_s = outs[14] & outs[19]
@@ -106,13 +107,15 @@ class GopEncoder:
     """Device (JAX) GOP encoder for one stream configuration."""
 
     def __init__(self, cfg: StreamConfig, enable_nxn: bool = True,
-                 mc: bool = True, nxn_p: bool | None = None):
+                 mc: bool = True, nxn_p: bool | None = None,
+                 subpel: bool = True):
         assert cfg.inter, "GopEncoder requires cfg.inter"
         self.cfg = cfg
         self.enable_nxn = enable_nxn
         self.mc = mc        # motion search (False: zero-MV skip only)
         # NxN intra in P frames: off by default in MC mode (I frames keep it)
         self.nxn_p = (False if mc else enable_nxn) if nxn_p is None else nxn_p
+        self.subpel = subpel
         self.reset()
 
     def reset(self) -> None:
@@ -177,7 +180,7 @@ class GopEncoder:
                 ya, cba, cra, *ref_blocks, jnp.asarray(qp),
                 rs.lam_bits, jnp.asarray(lam16, jnp.int32),
                 jnp.asarray(sl16, jnp.int32),
-                tnh, tnw, cfg.bit_depth, self.nxn_p)
+                tnh, tnw, cfg.bit_depth, self.nxn_p, self.subpel)
         else:
             outs = encode_tiles_rowscan_p_jit(
                 ya, cba, cra, *ref_blocks, jnp.asarray(qp),
@@ -329,7 +332,7 @@ class GopEncoder:
             jnp.asarray(lam16, jnp.int32), jnp.asarray(sl16, jnp.int32),
             tnh, tnw, tr, tc, cfg.bit_depth,
             self.enable_nxn if is_idr else self.nxn_p, cfg.deblock, is_idr,
-            cfg.sao)
+            cfg.sao, self.subpel)
         nk = 13 if is_idr else 23
         self._ref_blocks = outs[nk + 3:nk + 6]
         host = jax.device_get(list(outs[:nk]) + list(outs[nk:nk + 3])

@@ -154,39 +154,57 @@ def _mvd_bits_j(d):
     return jnp.where(a == 0, 1, jnp.where(a == 1, 3, 2 * ln + 3))
 
 
+# 4-tap chroma filters (spec Table 8-13) and 8-tap luma filters (Table 8-10)
+_FC_NP = np.array([[0, 64, 0, 0], [-2, 58, 10, -2], [-4, 54, 16, -2],
+                   [-6, 46, 28, -4], [-4, 36, 36, -4], [-4, 28, 46, -6],
+                   [-2, 16, 54, -4], [-2, 10, 58, -2]], np.int32)
+_FL_NP = np.array([[0, 0, 0, 64, 0, 0, 0, 0], [-1, 4, -10, 58, 17, -5, 1, 0],
+                   [-1, 4, -11, 40, 40, -11, 4, -1],
+                   [0, 1, -5, 17, 58, -10, 4, -1]], np.int32)
+
+
+def _sel_coeffs(table_np, frac, ntaps):
+    """Per-lane filter taps via one-hot select: frac (B,) -> (B, ntaps)."""
+    tbl = jnp.asarray(table_np)
+    return sum(jnp.where((frac == f)[:, None], tbl[f], 0)
+               for f in range(table_np.shape[0]))
+
+
 def _chroma_mc_j(win, mvx, mvy, bit_depth):
     """(B, 11, 11) gathered window -> (B, 8, 8) chroma MC prediction.
 
-    Integer-luma MVs only: fractional chroma position is 0 or 4 eighths per
-    axis (spec 8.5.4.2.3 with the {-4, 36, 36, -4} half filter).
-    """
+    Full eighth-pel support (spec 8.5.4.2.3): per-lane 4-tap coefficients
+    selected by one-hot from Table 8-13; exact uni-pred weighting."""
     shift1 = bit_depth - 8
     maxv = (1 << bit_depth) - 1
     off = 1 << (13 - bit_depth)
     sh = 14 - bit_depth
-    xf = ((mvx & 7) == 4)[:, None, None]
-    yf = ((mvy & 7) == 4)[:, None, None]
+    xf = mvx & 7
+    yf = mvy & 7
+    cx = _sel_coeffs(_FC_NP, xf, 4)                      # (B, 4)
+    cy = _sel_coeffs(_FC_NP, yf, 4)
 
-    def h4(a):                      # filter along x: (B, r, 11) -> (B, r, 8)
-        return (-4 * a[..., 0:8] + 36 * a[..., 1:9]
-                + 36 * a[..., 2:10] - 4 * a[..., 3:11])
+    def h4(a, c):                   # filter along x with per-lane taps
+        return sum(c[:, k, None, None] * a[..., k:k + 8] for k in range(4))
 
-    def v4(a):                      # filter along y: (B, 11, c) -> (B, 8, c)
-        return (-4 * a[:, 0:8] + 36 * a[:, 1:9]
-                + 36 * a[:, 2:10] - 4 * a[:, 3:11])
+    def v4(a, c):                   # filter along y
+        return sum(c[:, k, None, None] * a[:, k:k + 8] for k in range(4))
 
-    p00 = win[:, 1:9, 1:9]
-    ph = jnp.clip((((h4(win)[:, 1:9]) >> shift1) + off) >> sh, 0, maxv)
-    pv = jnp.clip((((v4(win)[:, :, 1:9]) >> shift1) + off) >> sh, 0, maxv)
-    tmp = h4(win) >> shift1                              # (B, 11, 8)
-    phv = jnp.clip(((v4(tmp) >> 6) + off) >> sh, 0, maxv)
-    return jnp.where(xf & yf, phv,
-                     jnp.where(xf, ph, jnp.where(yf, pv, p00)))
+    p00 = win[:, 1:9, 1:9] << (14 - bit_depth)
+    ph = h4(win, cx)[:, 1:9] >> shift1                   # (B, 8, 8)
+    pv = v4(win[:, :, 1:9], cy) >> shift1                # y-only path
+    tmp = h4(win, cx) >> shift1                          # (B, 11, 8)
+    phv = v4(tmp, cy) >> 6
+    xz = (xf == 0)[:, None, None]
+    yz = (yf == 0)[:, None, None]
+    val = jnp.where(xz & yz, p00,
+                    jnp.where(yz, ph, jnp.where(xz, pv, phv)))
+    return jnp.clip((val + off) >> sh, 0, maxv)
 
 
 def _rowscan_v1_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh, tnw, bit_depth,
                      refs=None, lam16=None, enable_nxn=True,
-                     ref_pads=None, sl16=None):
+                     ref_pads=None, sl16=None, subpel=True):
     """Shared row-scan body.
 
     refs=(ref_y, ref_cb, ref_cr) (block layout) enables the P-slice zero-MV
@@ -461,29 +479,173 @@ def _rowscan_v1_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh, tnw, bit_depth,
             cost = (sad << 4) + sl16 * jnp.minimum(mb0, mb1)
             bi = jnp.argmin(cost, axis=1).astype(I32)
             mv_e = jnp.stack([4 * (bi % 17 - 8), 4 * (bi // 17 - 8)], 1)
-            mb0b = jnp.take_along_axis(mb0, bi[:, None], 1).reshape(B)
-            mb1b = jnp.take_along_axis(mb1, bi[:, None], 1).reshape(B)
+
+            def mvd_pair(mvq):
+                m0 = _mvd_bits_j(mvq[:, 0] - c0mv[:, 0]) \
+                    + _mvd_bits_j(mvq[:, 1] - c0mv[:, 1])
+                m1 = _mvd_bits_j(mvq[:, 0] - c1mv[:, 0]) \
+                    + _mvd_bits_j(mvq[:, 1] - c1mv[:, 1])
+                return m0, m1
+
+            if subpel:
+                # --- half/quarter-pel refinement (mirror of the numpy
+                # 2-stage search).  After gathering a per-lane window
+                # centered on each lane's best integer MV, all candidate
+                # offsets are lane-uniform: interpolation needs no per-lane
+                # selects, only ONE gather.
+                shift1 = bit_depth - 8
+                off_w = 1 << (13 - bit_depth)
+                sh_w = 14 - bit_depth
+                # gather from a small shared window (offsets bounded by the
+                # search range) instead of the full padded plane: much
+                # cheaper TPU gathers
+                win40 = jax.lax.dynamic_slice(
+                    pad_y, (0, r * 16 + MARGIN - 12, c * 16 + MARGIN - 12),
+                    (B, 40, 40))
+                by = (mv_e[:, 1] >> 2) + 8
+                bx = (mv_e[:, 0] >> 2) + 8
+                w24 = jax.vmap(lambda p, yy, xx: jax.lax.dynamic_slice(
+                    p, (yy, xx), (24, 24)))(win40, by, bx)
+
+                def hpass(xf):      # (B, 24, 17): output cols x in [-1, 15]
+                    return sum(int(_FL_NP[xf][k]) * w24[:, :, k:k + 17]
+                               for k in range(8))
+                hp = [w24[:, :, 3:20] << (14 - bit_depth)] \
+                    + [hpass(f) for f in (1, 2, 3)]
+
+                def qpred(dqx, dqy):
+                    """(B,16,16) weighted prediction at quarter offset.
+
+                    W24 row/col 0 is integer offset -4 from the best-int MV;
+                    output pixel p at integer shift i reads taps p+i+1+k
+                    (k = 0..7 for tap offsets -3..+4), copies read p+i+4.
+                    """
+                    xf, ix = dqx & 3, dqx >> 2       # python ints
+                    yf, iy = dqy & 3, dqy >> 2
+                    if xf == 0 and yf == 0:
+                        val = w24[:, iy + 4:iy + 20, ix + 4:ix + 20] \
+                            << (14 - bit_depth)
+                    elif yf == 0:
+                        val = hp[xf][:, iy + 4:iy + 20,
+                                     ix + 1:ix + 17] >> shift1
+                    elif xf == 0:
+                        col = w24[:, :, ix + 4:ix + 20]
+                        val = sum(int(_FL_NP[yf][k])
+                                  * col[:, iy + 1 + k:iy + 17 + k]
+                                  for k in range(8)) >> shift1
+                    else:
+                        t = hp[xf] >> shift1
+                        val = sum(int(_FL_NP[yf][k])
+                                  * t[:, iy + 1 + k:iy + 17 + k,
+                                      ix + 1:ix + 17]
+                                  for k in range(8)) >> 6
+                    return jnp.clip((val + off_w) >> sh_w, 0, maxv)
+
+                preds_q, costs_q = {}, {}
+                cost_int = jnp.take_along_axis(cost, bi[:, None],
+                                               1).reshape(B)
+                for dqy in range(-3, 4):
+                    for dqx in range(-3, 4):
+                        if dqx == 0 and dqy == 0:
+                            p = qpred(0, 0)
+                            preds_q[(0, 0)] = p
+                            costs_q[(0, 0)] = cost_int
+                            continue
+                        p = qpred(dqx, dqy)
+                        sadq = jnp.sum(jnp.abs(src - p), axis=(1, 2))
+                        mvq = mv_e + jnp.asarray([dqx, dqy], I32)[None]
+                        m0, m1 = mvd_pair(mvq)
+                        costs_q[(dqx, dqy)] = (sadq << 4) \
+                            + sl16 * jnp.minimum(m0, m1)
+                        preds_q[(dqx, dqy)] = p
+
+
+                def cost_at(dx_arr, dy_arr):
+                    # offsets are always within the grid: exactly one term
+                    # matches per lane, the rest contribute 0
+                    return sum(jnp.where((dx_arr == px) & (dy_arr == py),
+                                         costs_q[(px, py)], 0)
+                               for px in range(-3, 4) for py in range(-3, 4))
+
+                def refine(base_dx, base_dy, step_):
+                    best_dx, best_dy = base_dx, base_dy
+                    best_c = cost_at(base_dx, base_dy)
+                    for dy in (-1, 0, 1):
+                        for dx in (-1, 0, 1):
+                            if (dx, dy) == (0, 0):
+                                continue
+                            ndx = base_dx + dx * step_
+                            ndy = base_dy + dy * step_
+                            nc = cost_at(ndx, ndy)
+                            better = nc < best_c
+                            best_dx = jnp.where(better, ndx, best_dx)
+                            best_dy = jnp.where(better, ndy, best_dy)
+                            best_c = jnp.where(better, nc, best_c)
+                    return best_dx, best_dy
+
+                z = jnp.zeros((B,), I32)
+                dx1, dy1 = refine(z, z, 2)
+                dx2, dy2 = refine(dx1, dy1, 1)
+                mv_e = mv_e + jnp.stack([dx2, dy2], 1)
+                pred_e = sum(jnp.where(((dx2 == px) & (dy2 == py))
+                                       [:, None, None],
+                                       preds_q[(px, py)], 0)
+                             for px in range(-3, 4) for py in range(-3, 4))
+            else:
+                pred_e = jnp.take_along_axis(
+                    cand, bi[:, None, None, None], 1).reshape(B, 16, 16)
+
+            mb0b, mb1b = mvd_pair(mv_e)
             mvp_e = (mb0b > mb1b).astype(I32)
             mbits_e = jnp.minimum(mb0b, mb1b)
-            pred_e = jnp.take_along_axis(
-                cand, bi[:, None, None, None], 1).reshape(B, 16, 16)
-            mi = (mg_mv[:, 1] // 4 + 8) * 17 + (mg_mv[:, 0] // 4 + 8)
-            pred_m = jnp.take_along_axis(
-                cand, mi[:, None, None, None], 1).reshape(B, 16, 16)
+
+            # --- merge luma prediction (fractional-capable) ---
+            if subpel:
+                bym = (mg_mv[:, 1] >> 2) + 9
+                bxm = (mg_mv[:, 0] >> 2) + 9
+                w23 = jax.vmap(lambda p, yy, xx: jax.lax.dynamic_slice(
+                    p, (yy, xx), (23, 23)))(win40, bym, bxm)
+                xfm = mg_mv[:, 0] & 3
+                yfm = mg_mv[:, 1] & 3
+                cxm = _sel_coeffs(_FL_NP, xfm, 8)
+                cym = _sel_coeffs(_FL_NP, yfm, 8)
+                shift1 = bit_depth - 8
+                hm = sum(cxm[:, k, None, None] * w23[:, :, k:k + 16]
+                         for k in range(8))               # (B, 23, 16)
+                p00m = w23[:, 3:19, 3:19] << (14 - bit_depth)
+                phm = hm[:, 3:19] >> shift1
+                pvm = sum(cym[:, k, None, None]
+                          * w23[:, k:k + 16, 3:19] for k in range(8)) \
+                    >> shift1
+                thm = hm >> shift1
+                phvm = sum(cym[:, k, None, None] * thm[:, k:k + 16]
+                           for k in range(8)) >> 6
+                xzm = (xfm == 0)[:, None, None]
+                yzm = (yfm == 0)[:, None, None]
+                valm = jnp.where(xzm & yzm, p00m,
+                                 jnp.where(yzm, phm,
+                                           jnp.where(xzm, pvm, phvm)))
+                pred_m = jnp.clip((valm + (1 << (13 - bit_depth)))
+                                  >> (14 - bit_depth), 0, maxv)
+            else:
+                mi = (mg_mv[:, 1] // 4 + 8) * 17 + (mg_mv[:, 0] // 4 + 8)
+                pred_m = jnp.take_along_axis(
+                    cand, mi[:, None, None, None], 1).reshape(B, 16, 16)
 
             def cstack(pad_c):
-                # all 81 integer chroma offsets as one stack (per-lane
+                # integer chroma offsets [-5..4] as one stack (per-lane
                 # gathers are pathological on TPU; take_along_axis on a
                 # stacked axis is not)
                 cwin = jax.lax.dynamic_slice(
-                    pad_c, (0, r * 8 + MARGIN_C - 5, c * 8 + MARGIN_C - 5),
-                    (B, 19, 19))
-                crows = jnp.stack([cwin[:, k:k + 11, :] for k in range(9)], 1)
-                return jnp.stack([crows[..., k:k + 11] for k in range(9)],
-                                 2).reshape(B, 81, 11, 11)
+                    pad_c, (0, r * 8 + MARGIN_C - 6, c * 8 + MARGIN_C - 6),
+                    (B, 21, 21))
+                crows = jnp.stack([cwin[:, k:k + 11, :] for k in range(10)],
+                                  1)
+                return jnp.stack([crows[..., k:k + 11] for k in range(10)],
+                                 2).reshape(B, 100, 11, 11)
 
             def cpred(stk, mv):
-                idx = ((mv[:, 1] >> 3) + 4) * 9 + (mv[:, 0] >> 3) + 4
+                idx = ((mv[:, 1] >> 3) + 5) * 10 + (mv[:, 0] >> 3) + 5
                 wins = jnp.take_along_axis(
                     stk, idx[:, None, None, None], 1).reshape(B, 11, 11)
                 return _chroma_mc_j(wins, mv[:, 0], mv[:, 1], bit_depth)
@@ -655,11 +817,13 @@ def encode_tiles_rowscan_p_jit(src_y, src_cb, src_cr, ref_y, ref_cb, ref_cr,
                             lam16=lam16, enable_nxn=enable_nxn)
 
 
-@partial(jax.jit, static_argnames=("tnh", "tnw", "bit_depth", "enable_nxn"))
+@partial(jax.jit, static_argnames=("tnh", "tnw", "bit_depth", "enable_nxn",
+                                   "subpel"))
 def encode_tiles_rowscan_pmc_jit(src_y, src_cb, src_cr,
                                  pad_y, pad_cb, pad_cr,
                                  qp, lam_bits, lam16, sl16,
-                                 tnh, tnw, bit_depth=8, enable_nxn=True):
+                                 tnh, tnw, bit_depth=8, enable_nxn=True,
+                                 subpel=True):
     """Motion-compensated P-frame row-scan (device mirror of the numpy
     reference encoder with mc=True, subpel=False).
 
@@ -671,7 +835,7 @@ def encode_tiles_rowscan_pmc_jit(src_y, src_cb, src_cr,
     return _rowscan_v1_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh, tnw,
                             bit_depth, lam16=lam16,
                             ref_pads=(pad_y, pad_cb, pad_cr), sl16=sl16,
-                            enable_nxn=enable_nxn)
+                            enable_nxn=enable_nxn, subpel=subpel)
 
 
 class RowScanEncoderV1:

@@ -21,7 +21,7 @@ class Preset:
 
 PRESETS = {
     "fast": Preset("fast", nxn=False, batch_frames=16),
-    "medium": Preset("medium", nxn=True, batch_frames=8, sao=True),
+    "medium": Preset("medium", nxn=True, batch_frames=8),
     "slow": Preset("slow", nxn=True, batch_frames=4, sao=True),
 }
 

@@ -200,7 +200,7 @@ def test_device_mc_gop_matches_reference(tmp_path):
     frames = _pan_sequence(W=96, H=64, F=3, step=(2, 3))
     cfg = StreamConfig(width=96, height=64, qp=32, inter=True,
                        tile_cols=2, tile_rows=2)
-    s_ref, r_ref = RefIntraEncoderV1(cfg, subpel=False).encode_video(frames)
+    s_ref, r_ref = RefIntraEncoderV1(cfg).encode_video(frames)
     s_jax, r_jax = GopEncoder(cfg).encode_video(frames)
     assert s_ref == s_jax
     for i in range(len(frames)):

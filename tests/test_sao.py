@@ -81,7 +81,7 @@ def test_device_sao_gop_matches_reference(tmp_path):
     frames = _edgy(96, 64, 3, 8, 7)
     cfg = StreamConfig(width=96, height=64, qp=36, inter=True, sao=True,
                        tile_cols=2, tile_rows=2)
-    s_ref, r_ref = RefIntraEncoderV1(cfg, subpel=False).encode_video(frames)
+    s_ref, r_ref = RefIntraEncoderV1(cfg).encode_video(frames)
     s_jax, r_jax = GopEncoder(cfg).encode_video(frames)
     assert s_ref == s_jax
     for i in range(3):
