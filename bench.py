@@ -46,7 +46,7 @@ def main():
     tc, tr = pick_tile_grid((H + 15) // 16, (W + 15) // 16)
     log(f"tile grid: {tc}x{tr}")
     cfg = StreamConfig(width=W, height=H, qp=QP, tile_cols=tc, tile_rows=tr,
-                       inter=True, sao=True)       # the medium preset
+                       inter=True)                 # the medium preset
     enc = GopEncoder(cfg)            # medium preset (NxN + MC), the default
 
     # ---- end-to-end GOP encode (compile + host entropy + transfers) ----
@@ -83,7 +83,7 @@ def main():
     def p_step(src3, pads):
         outs = _gop_step_jit(*src3, *pads, qpj, rs.lam_bits, lam16, sl16,
                              tnh, tnw, tr, tc, 8, enc.nxn_p, True, False,
-                             True)                  # sao on (medium preset)
+                             False, True)           # medium: subpel, no SAO
         return outs, outs[26:29]
 
     outs, pads = p_step(srcs[0], pads)   # warm (compiled already)

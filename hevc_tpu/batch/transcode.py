@@ -223,6 +223,10 @@ def _prepare_audio(file_path: Path):
             return None
         pcm, rate = dec
         plan = plan_audio(pcm.shape[1], rate)
+        if rate != plan.sample_rate:
+            from hevc_tpu.planner.audio import resample_pcm
+            pcm = resample_pcm(pcm, rate, plan.sample_rate)
+            rate = plan.sample_rate
         packets = avref.encode_aac(pcm, rate, plan.bitrate)
         if not packets:
             return None
@@ -253,7 +257,7 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
         nh = (h + CTB - 1) // CTB
         nw = (w + CTB - 1) // CTB
         tile_cols, tile_rows = pick_tile_grid(nh, nw)
-    bit_depth = 10 if (level.profile == "main10" and backend == "jax") else 8
+    bit_depth = 10 if level.profile == "main10" else 8
     if bit_depth == 10 and int(np.asarray(frames[0][0]).max()) <= 255:
         # 8-bit source flagged HDR: requantize code values to 10-bit
         # (the reference's p010le conversion, core/transcoder.py:205-208)

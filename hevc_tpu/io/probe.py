@@ -45,10 +45,12 @@ def _probe_y4m(path) -> VideoInfo:
     r = Y4MReader(path)
     nb = r.count_frames()
     r.close()
+    bd = r.bit_depth
     info = VideoInfo(
         width=r.width, height=r.height, fps=float(r.fps),
         nb_frames=nb, duration=nb / float(r.fps) if r.fps else 0.0,
-        pix_fmt="yuv420p", bit_depth=8, container="y4m",
+        pix_fmt="yuv420p10le" if bd == 10 else "yuv420p",
+        bit_depth=bd, container="y4m",
         codec_name="rawvideo",
     )
     _finalize_hdr(info)

@@ -42,7 +42,16 @@ class Y4MReader:
                 self.aspect = (int(a[0]), int(a[1]))
         if not self.colorspace.startswith("420"):
             raise NotImplementedError(f"Y4M colorspace {self.colorspace}")
-        self._fsz = self.width * self.height * 3 // 2
+        # bit depth from the colorspace tag: C420p10 / C420p12 (little-endian
+        # 16-bit samples); plain C420/C420mpeg2/C420jpeg are 8-bit
+        self.bit_depth = 8
+        if "p10" in self.colorspace:
+            self.bit_depth = 10
+        elif "p12" in self.colorspace:
+            self.bit_depth = 12
+        bpp = 1 if self.bit_depth == 8 else 2
+        self._bpp = bpp
+        self._fsz = self.width * self.height * 3 // 2 * bpp
 
     def __iter__(self):
         return self
@@ -57,7 +66,8 @@ class Y4MReader:
         if len(data) < self._fsz:
             raise StopIteration
         w, h = self.width, self.height
-        buf = np.frombuffer(data, dtype=np.uint8)
+        dt = np.uint8 if self._bpp == 1 else np.dtype("<u2")
+        buf = np.frombuffer(data, dtype=dt)
         y = buf[:w * h].reshape(h, w)
         cb = buf[w * h:w * h + w * h // 4].reshape(h // 2, w // 2)
         cr = buf[w * h + w * h // 4:].reshape(h // 2, w // 2)
@@ -87,13 +97,15 @@ class Y4MReader:
         self._f.close()
 
 
-def write_y4m(path, frames, fps=Fraction(30, 1)) -> None:
+def write_y4m(path, frames, fps=Fraction(30, 1), bit_depth: int = 8) -> None:
     h, w = frames[0][0].shape
+    cs = {8: "C420mpeg2", 10: "C420p10", 12: "C420p12"}[bit_depth]
+    dt = np.uint8 if bit_depth == 8 else np.dtype("<u2")
     with open(path, "wb") as f:
         f.write(f"YUV4MPEG2 W{w} H{h} F{fps.numerator}:{fps.denominator} "
-                f"Ip A1:1 C420mpeg2\n".encode())
+                f"Ip A1:1 {cs}\n".encode())
         for (y, cb, cr) in frames:
             f.write(b"FRAME\n")
-            f.write(np.asarray(y, dtype=np.uint8).tobytes())
-            f.write(np.asarray(cb, dtype=np.uint8).tobytes())
-            f.write(np.asarray(cr, dtype=np.uint8).tobytes())
+            f.write(np.asarray(y, dtype=dt).tobytes())
+            f.write(np.asarray(cb, dtype=dt).tobytes())
+            f.write(np.asarray(cr, dtype=dt).tobytes())

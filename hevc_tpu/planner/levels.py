@@ -82,8 +82,10 @@ def select_level(info: VideoInfo, fast: bool = False) -> LevelChoice:
         return calculate_fast_hevc_level(info.width, info.height, info.is_hdr)
     level, tier = calculate_apple_hevc_level(info.width, info.height,
                                              info.fps, info.is_hdr)
-    profile = "main10" if info.is_hdr else "main"
-    pix_fmt = "p010le" if info.is_hdr else "yuv420p"
+    # main10 for HDR (the reference's rule) and for any 10-bit source
+    deep = info.is_hdr or getattr(info, "bit_depth", 8) > 8
+    profile = "main10" if deep else "main"
+    pix_fmt = "p010le" if deep else "yuv420p"
     return LevelChoice(level, tier, profile, pix_fmt)
 
 

@@ -133,3 +133,40 @@ def test_decode_back_psnr(tmp_path):
         (d[0].astype(float) - s[0].astype(float))**2), 1e-9))
         for d, s in zip(dec, src)])
     assert psnr > 33, psnr
+
+
+def test_y4m_10bit_roundtrip(tmp_path):
+    from hevc_tpu.io.y4m import write_y4m, Y4MReader
+    rng = np.random.default_rng(0)
+    fr = [(rng.integers(0, 1024, (64, 96)).astype(np.uint16),
+           rng.integers(0, 1024, (32, 48)).astype(np.uint16),
+           rng.integers(0, 1024, (32, 48)).astype(np.uint16))
+          for _ in range(2)]
+    p = tmp_path / "t10.y4m"
+    write_y4m(p, fr, bit_depth=10)
+    r = Y4MReader(p)
+    assert r.bit_depth == 10
+    back = r.read_all()
+    for i in range(2):
+        for j in range(3):
+            assert np.array_equal(back[i][j], fr[i][j])
+    from hevc_tpu.io.probe import probe_media
+    info = probe_media(p)
+    assert info.bit_depth == 10 and info.pix_fmt == "yuv420p10le"
+
+
+def test_audio_resampler_quality():
+    from hevc_tpu.planner.audio import resample_pcm
+    t = np.arange(44100) / 44100.0
+    pcm = (np.sin(2 * np.pi * 1000 * t) * 20000).astype(np.int16)[:, None]
+    out = resample_pcm(pcm, 44100, 48000)
+    assert len(out) == 48000
+    ideal = np.sin(2 * np.pi * 1000 * np.arange(len(out)) / 48000.0) * 20000
+    best = min(np.mean((out[400:-400, 0]
+                        - np.roll(ideal, s)[400:-400]) ** 2)
+               for s in range(-40, 41))
+    snr = 10 * np.log10(np.mean(ideal ** 2) / best)
+    assert snr > 60, snr
+    # DC transparency
+    dc = resample_pcm(np.full((500, 2), 1234, np.int16), 44100, 48000)
+    assert dc[50:-50].min() == 1234 and dc[50:-50].max() == 1234
