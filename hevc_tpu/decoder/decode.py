@@ -118,7 +118,9 @@ class IntraDecoder:
     # ---- slice decode ---------------------------------------------------------
     def decode_slice(self, payload: bytes, hdr: SliceHeader,
                      expect_end: bool = True, ref: dict | None = None,
-                     off: tuple[int, int] = (0, 0)) -> dict:
+                     off: tuple[int, int] = (0, 0),
+                     ref1: dict | None = None,
+                     pocs: tuple | None = None) -> dict:
         qp_bd = 6 * (self.sps.bit_depth - 8)   # Qp' = Qp + QpBdOffset (8.6.3)
         self.qp = hdr.qp + qp_bd
         self.qpc_cb = R.chroma_qp(
@@ -137,11 +139,18 @@ class IntraDecoder:
         nh_ctu, nw_ctu = self.part_map.shape
         self.inter_map = np.zeros((nh_ctu, nw_ctu), bool)
         self.mv_map = np.zeros((nh_ctu, nw_ctu, 2), np.int32)
+        self.mv1_map = np.zeros((nh_ctu, nw_ctu, 2), np.int32)
+        self.pf_map = np.zeros((nh_ctu, nw_ctu, 2), np.int32)
         self.cbf_map = np.zeros((nh_ctu, nw_ctu), bool)
-        self.p_slice = hdr.slice_type == 1
-        self.ref = ref              # full reference picture (not tile-cropped)
+        self.p_slice = hdr.slice_type in (0, 1)
+        self.b_slice = hdr.slice_type == 0
+        self.ref = ref              # L0 reference picture (full, uncropped)
+        self.ref1 = ref1            # L1 reference picture (B slices)
+        self.pocs = pocs or (0, 0, None)   # (cur, poc_l0, poc_l1)
+        self.rec_map = [[None] * nw_ctu for _ in range(nh_ctu)]
         self.off = off              # this tile's (x, y) offset in the picture
         assert not self.p_slice or ref is not None, "P slice needs a ref pic"
+        assert not self.b_slice or ref1 is not None, "B slice needs L1 ref"
         self.syn = SliceSyntaxDecoder(payload, hdr.qp, hdr.init_type)
         ctbs_w = (self.W + self.ctb - 1) // self.ctb
         ctbs_h = (self.H + self.ctb - 1) // self.ctb
@@ -172,7 +181,8 @@ class IntraDecoder:
                 "part_map": self.part_map, "skip_map": self.skip_map,
                 "sao": (self.sao_y, self.sao_c),
                 "cu_maps": {"intra": ~self.inter_map, "cbf": self.cbf_map,
-                            "mv": self.mv_map}}
+                            "mv": self.mv_map, "mv1": self.mv1_map,
+                            "pf": self.pf_map}}
 
     def _coding_quadtree(self, x0: int, y0: int, log2size: int) -> None:
         size = 1 << log2size
@@ -275,38 +285,67 @@ class IntraDecoder:
 
     def _inter_cu(self, x0: int, y0: int, size: int, merge: bool,
                   residual: bool) -> None:
-        """Inter CU (CTU = CU = PU, single ref): motion derivation + MC + TU.
+        """Inter CU (CTU = CU = PU, one ref/list): motion + MC + TU.
 
         merge + residual=False is the skip path (rqt_root_cbf absent);
         merge + residual=True has rqt_root_cbf inferred 1 (7.4.9.5);
-        explicit MV signals mvd/mvp then rqt_root_cbf.
+        explicit signals [inter_pred_idc in B] + mvd/mvp per list, then
+        rqt_root_cbf.
         """
         from hevc_tpu.ops import inter as M
         syn = self.syn
+        bd = self.sps.bit_depth
         cy, cx = y0 >> self.sps.log2_ctb, x0 >> self.sps.log2_ctb
         nh, nw = self.inter_map.shape
+        nbrs = M.neighbor_records(self.rec_map, cy, cx, nh, nw)
+        cur_poc, poc0, poc1 = self.pocs
         if merge:
-            mv = M.merge_cand0(self.inter_map, self.mv_map, cy, cx, nh, nw)
+            rec_m = M.merge_cand0_b(nbrs, self.b_slice)
             rqt = 1 if residual else 0
         else:
-            mvd = syn.decode_mvd()
-            mvp_idx = syn.decode_mvp_flag()
-            cands = M.amvp_list(self.inter_map, self.mv_map, cy, cx, nh, nw)
-            mv = (cands[mvp_idx][0] + mvd[0], cands[mvp_idx][1] + mvd[1])
+            direction = syn.decode_inter_pred_idc() if self.b_slice else 0
+            mv0 = mv1 = (0, 0)
+            if direction in (0, 2):
+                mvd = syn.decode_mvd()
+                mvp_idx = syn.decode_mvp_flag()
+                cands = M.amvp_list_b(nbrs, 0, cur_poc, (poc0, poc1))
+                mv0 = (cands[mvp_idx][0] + mvd[0], cands[mvp_idx][1] + mvd[1])
+            if direction in (1, 2):
+                mvd = syn.decode_mvd()
+                mvp_idx = syn.decode_mvp_flag()
+                cands = M.amvp_list_b(nbrs, 1, cur_poc, (poc0, poc1))
+                mv1 = (cands[mvp_idx][0] + mvd[0], cands[mvp_idx][1] + mvd[1])
+            rec_m = (1 if direction in (0, 2) else 0,
+                     1 if direction in (1, 2) else 0, mv0, mv1)
             rqt = syn.decode_rqt_root_cbf()
+        pf0, pf1, mv0, mv1 = rec_m
         self.inter_map[cy, cx] = True
-        self.mv_map[cy, cx] = mv
+        self.rec_map[cy][cx] = rec_m
+        self.mv_map[cy, cx] = mv0 if pf0 else mv1
+        self.pf_map[cy, cx] = (pf0, pf1)
+        self.mv1_map[cy, cx] = mv1
 
-        # MC against the FULL reference picture (tiles don't bound MC)
+        # MC against the FULL reference picture(s) (tiles don't bound MC)
         ox, oy = self.off
-        py = M.mc_luma(self.ref["y"], ox + x0, oy + y0, size, mv[0], mv[1],
-                       self.sps.bit_depth)
         cs = size >> 1
         xc, yc = x0 >> 1, y0 >> 1
-        pcb = M.mc_chroma(self.ref["cb"], (ox >> 1) + xc, (oy >> 1) + yc, cs,
-                          mv[0], mv[1], self.sps.bit_depth)
-        pcr = M.mc_chroma(self.ref["cr"], (ox >> 1) + xc, (oy >> 1) + yc, cs,
-                          mv[0], mv[1], self.sps.bit_depth)
+
+        def mc_i(refp, mv):
+            vy = M.mc_luma_i(refp["y"], ox + x0, oy + y0, size,
+                             mv[0], mv[1], bd)
+            vcb = M.mc_chroma_i(refp["cb"], (ox >> 1) + xc, (oy >> 1) + yc,
+                                cs, mv[0], mv[1], bd)
+            vcr = M.mc_chroma_i(refp["cr"], (ox >> 1) + xc, (oy >> 1) + yc,
+                                cs, mv[0], mv[1], bd)
+            return vy, vcb, vcr
+
+        if pf0 and pf1:
+            v0 = mc_i(self.ref, mv0)
+            v1 = mc_i(self.ref1, mv1)
+            py, pcb, pcr = (M.weight_bi(v0[i], v1[i], bd) for i in range(3))
+        else:
+            v = mc_i(self.ref if pf0 else self.ref1, mv0 if pf0 else mv1)
+            py, pcb, pcr = (M.weight_uni(v[i], bd) for i in range(3))
 
         cbf_y = cbf_cb = cbf_cr = 0
         if rqt:
@@ -461,7 +500,8 @@ def split_substreams(payload: bytes, ebsp_sizes: list[int]) -> list[bytes]:
 
 
 def _decode_tiled_slice(payload: bytes, hdr, sps: Sps, pps: Pps,
-                        ref: dict | None = None) -> dict:
+                        ref: dict | None = None, ref1: dict | None = None,
+                        pocs: tuple | None = None) -> dict:
     from dataclasses import replace
     ctb = 1 << sps.log2_ctb
     nw = (sps.pic_width + ctb - 1) // ctb
@@ -480,7 +520,9 @@ def _decode_tiled_slice(payload: bytes, hdr, sps: Sps, pps: Pps,
     sao_c = [[None] * nw for _ in range(nh)]
     cu_maps = {"intra": np.ones((nh, nw), bool),
                "cbf": np.zeros((nh, nw), bool),
-               "mv": np.zeros((nh, nw, 2), np.int32)}
+               "mv": np.zeros((nh, nw, 2), np.int32),
+               "mv1": np.zeros((nh, nw, 2), np.int32),
+               "pf": np.zeros((nh, nw, 2), np.int32)}
     k = 0
     y0 = 0
     for th in rows:
@@ -494,7 +536,7 @@ def _decode_tiled_slice(payload: bytes, hdr, sps: Sps, pps: Pps,
             # sub-decoder's local coords addressing the right region
             f = dec.decode_slice(subs[k], hdr,
                                  expect_end=(k == t * r - 1), ref=ref,
-                                 off=(xs, ys))
+                                 off=(xs, ys), ref1=ref1, pocs=pocs)
             out_y[ys:ys + th * ctb, xs:xs + tw * ctb] = f["y"]
             out_cb[ys // 2:(ys + th * ctb) // 2,
                    xs // 2:(xs + tw * ctb) // 2] = f["cb"]
@@ -502,7 +544,7 @@ def _decode_tiled_slice(payload: bytes, hdr, sps: Sps, pps: Pps,
                    xs // 2:(xs + tw * ctb) // 2] = f["cr"]
             part_map[y0:y0 + th, x0:x0 + tw] = f["part_map"]
             skip_map[y0:y0 + th, x0:x0 + tw] = f["skip_map"]
-            for kk in ("intra", "cbf", "mv"):
+            for kk in ("intra", "cbf", "mv", "mv1", "pf"):
                 cu_maps[kk][y0:y0 + th, x0:x0 + tw] = f["cu_maps"][kk]
             fy, fc = f["sao"]
             for j in range(th):
@@ -517,13 +559,16 @@ def _decode_tiled_slice(payload: bytes, hdr, sps: Sps, pps: Pps,
 
 
 def decode_annexb(data: bytes, cfg=None) -> list[dict]:
-    """Decode an Annex-B stream: IDR (I) and TRAIL (zero-MV-skip P) frames.
+    """Decode an Annex-B stream: IDR (I), TRAIL_R (P) and non-reference
+    TRAIL_N (B) pictures.
 
-    The DPB is a single picture: the previous frame's deblocked output.
+    The DPB keys reference pictures by POC (reset at each IDR); frames are
+    returned in DISPLAY order (sorted by IDR epoch then POC).
     """
     sps = pps = None
-    frames = []
-    ref = None                  # previous deblocked picture (P reference)
+    out = []                    # (epoch, poc, frame)
+    dpb = {}                    # poc -> {"y","cb","cr"} (reference pics only)
+    epoch = 0
     for nal in split_annexb(data):
         nal_type = (nal[0] >> 1) & 0x3F
         if nal_type == 33:
@@ -535,19 +580,39 @@ def decode_annexb(data: bytes, cfg=None) -> list[dict]:
             rbsp = ebsp_to_rbsp(nal[2:])
             hdr = parse_slice_header(rbsp, nal_type, sps, pps)
             payload = rbsp[hdr.payload_offset:]
-            r = ref if hdr.slice_type == 1 else None
+            if nal_type in (19, 20, 21):
+                dpb = {}
+                epoch += 1
+            r0 = r1 = None
+            pocs = None
+            if hdr.slice_type in (0, 1):
+                neg, pos = hdr.rps
+                poc0 = hdr.poc - neg[0]
+                r0 = dpb[poc0]
+                poc1 = None
+                if hdr.slice_type == 0:
+                    poc1 = hdr.poc + pos[0]
+                    r1 = dpb[poc1]
+                pocs = (hdr.poc, poc0, poc1)
             if pps.tiles_enabled:
-                frame = _decode_tiled_slice(payload, hdr, sps, pps, ref=r)
+                frame = _decode_tiled_slice(payload, hdr, sps, pps, ref=r0,
+                                            ref1=r1, pocs=pocs)
             else:
                 dec = IntraDecoder(sps, pps)
-                frame = dec.decode_slice(payload, hdr, ref=r)
+                frame = dec.decode_slice(payload, hdr, ref=r0, ref1=r1,
+                                         pocs=pocs)
             if not hdr.deblocking_disabled:
                 _apply_deblock(frame, hdr, sps, pps)
             if sps.sao_enabled and (hdr.sao_luma or hdr.sao_chroma):
                 _apply_sao(frame, hdr, sps, pps)
-            frames.append(frame)
-            ref = {"y": frame["y"], "cb": frame["cb"], "cr": frame["cr"]}
-    return frames
+            out.append((epoch, hdr.poc, frame))
+            if nal_type != 0:   # TRAIL_N pictures are not references
+                dpb[hdr.poc] = {"y": frame["y"], "cb": frame["cb"],
+                                "cr": frame["cr"]}
+                if len(dpb) > 3:
+                    del dpb[min(dpb)]
+    out.sort(key=lambda t: (t[0], t[1]))
+    return [f for _, _, f in out]
 
 
 def _apply_sao(frame: dict, hdr, sps: Sps, pps: Pps) -> None:

@@ -55,6 +55,7 @@ class Sps:
     strong_intra_smoothing: bool = False
     temporal_mvp: bool = False
     num_st_rps: int = 0
+    rps: list = field(default_factory=list)
     log2_max_poc_lsb: int = 8
     crop: tuple = (0, 0, 0, 0)
     raw: dict = field(default_factory=dict)
@@ -102,15 +103,22 @@ def parse_sps(nal: bytes) -> Sps:
     s.pcm_enabled = bool(r.u(1))
     assert not s.pcm_enabled, "PCM unsupported"
     s.num_st_rps = r.ue()
-    assert s.num_st_rps <= 1, "multiple short-term RPS unsupported"
-    if s.num_st_rps == 1:
-        # st_ref_pic_set(0): zero-MV-skip profile needs exactly {prev pic}
+    assert s.num_st_rps <= 8, "too many short-term RPS"
+    s.rps = []
+    for idx in range(s.num_st_rps):
+        if idx > 0:
+            assert r.u(1) == 0, "inter-RPS prediction unsupported"
         num_neg = r.ue()
         num_pos = r.ue()
-        assert (num_neg, num_pos) == (1, 0), "only single-ref RPS supported"
-        delta = r.ue() + 1              # delta_poc_s0_minus1 + 1
-        used = r.u(1)
-        assert delta == 1 and used == 1, "RPS must be the previous picture"
+        assert num_neg <= 1 and num_pos <= 1, "one ref per list supported"
+        neg, pos = [], []
+        for _ in range(num_neg):
+            neg.append(r.ue() + 1)      # delta_poc_s0_minus1 + 1
+            assert r.u(1) == 1          # used_by_curr_pic
+        for _ in range(num_pos):
+            pos.append(r.ue() + 1)
+            assert r.u(1) == 1
+        s.rps.append((neg, pos))
     if r.u(1):                          # long_term_ref_pics_present
         raise NotImplementedError("long-term refs")
     s.temporal_mvp = bool(r.u(1))
@@ -205,6 +213,8 @@ class SliceHeader:
     poc: int = 0
     init_type: int = 0                  # CABAC initType (9.3.2.2)
     max_merge_cand: int = 1
+    mvd_l1_zero: bool = False
+    rps: tuple = ([], [])               # (neg POC deltas, pos POC deltas)
     qp: int = 26
     sao_luma: bool = False
     sao_chroma: bool = False
@@ -227,32 +237,41 @@ def parse_slice_header(rbsp: bytes, nal_type: int, sps: Sps, pps: Pps) -> SliceH
     for _ in range(pps.num_extra_slice_header_bits):
         r.u(1)
     h.slice_type = r.ue()
-    assert h.slice_type in (1, 2), "B slices unsupported"
+    assert h.slice_type in (0, 1, 2)
     if pps.output_flag_present:
         r.u(1)
     if nal_type not in (19, 20):        # not IDR: POC + RPS
         h.poc = r.u(sps.log2_max_poc_lsb)
         if not r.u(1):                  # short_term_ref_pic_set_sps_flag
             raise NotImplementedError("inline RPS")
-        assert sps.num_st_rps == 1      # idx absent when only one RPS
+        idx = 0
+        if sps.num_st_rps > 1:
+            nbits = max(1, (sps.num_st_rps - 1).bit_length())
+            idx = r.u(nbits)
+        h.rps = sps.rps[idx] if sps.rps else ([], [])
         if sps.temporal_mvp:
             r.u(1)                      # slice_temporal_mvp_enabled_flag
     if sps.sao_enabled:
         h.sao_luma = bool(r.u(1))
         h.sao_chroma = bool(r.u(1))
-    if h.slice_type == 1:               # P: ref list + merge config
+    if h.slice_type in (0, 1):          # P/B: ref lists + merge config
         assert not pps.weighted_pred, "weighted prediction unsupported"
         assert not pps.lists_modification, "ref list modification unsupported"
         if r.u(1):                      # num_ref_idx_active_override_flag
             r.ue()                      # num_ref_idx_l0_active_minus1
+            if h.slice_type == 0:
+                r.ue()                  # num_ref_idx_l1_active_minus1
+        if h.slice_type == 0:
+            h.mvd_l1_zero = bool(r.u(1))
         if pps.cabac_init_present:
             cabac_init = r.u(1)
-            h.init_type = 2 if cabac_init else 1
+            h.init_type = (1 if cabac_init else 2) if h.slice_type == 0 \
+                else (2 if cabac_init else 1)
         else:
-            h.init_type = 1
+            h.init_type = 2 if h.slice_type == 0 else 1
         h.max_merge_cand = 5 - r.ue()   # five_minus_max_num_merge_cand
         assert h.max_merge_cand == 1, \
-            "merge_idx signaling unsupported (zero-MV-skip profile)"
+            "merge_idx signaling unsupported (single-candidate profile)"
     h.qp = pps.init_qp + r.se()
     if pps.slice_chroma_qp_offsets_present:
         r.se(), r.se()

@@ -93,6 +93,12 @@ class SliceSyntaxDecoder:
     def decode_mvp_flag(self) -> int:
         return self.cabac.decode_bin(T.CTX_OFF["mvp_flag"])
 
+    def decode_inter_pred_idc(self) -> int:
+        """0 = PRED_L0, 1 = PRED_L1, 2 = PRED_BI (2Nx2N at depth 0)."""
+        if self.cabac.decode_bin(T.CTX_OFF["inter_pred_idc"] + 0):
+            return 2
+        return self.cabac.decode_bin(T.CTX_OFF["inter_pred_idc"] + 4)
+
     def decode_rqt_root_cbf(self) -> int:
         return self.cabac.decode_bin(T.CTX_OFF["rqt_root_cbf"])
 

@@ -350,6 +350,229 @@ class RefIntraEncoderV1:
                 cu_maps["mv"][gy, gx] = mv
                 ry[sl], rcb[slc], rcr[slc] = rec3[0], rec3[1], rec3[2]
 
+    # ---- B frames (bi-prediction, non-reference, IbPbP GOP) -------------------
+    def _mv_search(self, src, ref_y, gx0, gy0, amvp, sl16, bd, ctb):
+        """Full +-8 integer search + optional subpel refinement vs one ref."""
+        from hevc_tpu.ops import inter as M
+
+        def mv_cost(mv):
+            pred = M.mc_luma(ref_y, gx0, gy0, ctb, mv[0], mv[1], bd)
+            sad = int(np.abs(src.astype(np.int64)
+                             - pred.astype(np.int64)).sum())
+            mb0 = M.mvd_bits(mv[0] - amvp[0][0]) + \
+                M.mvd_bits(mv[1] - amvp[0][1])
+            mb1 = M.mvd_bits(mv[0] - amvp[1][0]) + \
+                M.mvd_bits(mv[1] - amvp[1][1])
+            mvp_idx = 0 if mb0 <= mb1 else 1
+            return ((sad << 4) + sl16 * min(mb0, mb1), mv, mvp_idx,
+                    min(mb0, mb1))
+
+        best = None
+        for dy in range(-8, 9):
+            for dx in range(-8, 9):
+                cand = mv_cost((4 * dx, 4 * dy))
+                if best is None or cand[0] < best[0]:
+                    best = cand
+        for step in (2, 1) if self.subpel else ():
+            base = best[1]
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if (dx, dy) == (0, 0):
+                        continue
+                    cand = mv_cost((base[0] + dx * step, base[1] + dy * step))
+                    if cand[0] < best[0]:
+                        best = cand
+        return best
+
+    B_QP_OFFSET = 2     # non-reference B pictures code at QP + 2
+
+    def encode_frame_b_decisions(self, y, cb, cr, ref0: dict, ref1: dict,
+                                 pocs: tuple):
+        """B-frame encode vs two refs (past, future); pocs=(cur, p0, p1).
+
+        Per CTU: skip / merge / explicit L0 / L1 / BI / intra under the
+        same integer RD as the P path.  Single tile grid walk (tiles
+        constrain entropy + availability, not MC)."""
+        from hevc_tpu.ops import inter as M
+        from hevc_tpu.encoder.ctu_modes import encode_tu
+        cfg = self.cfg
+        ctb = cfg.ctb
+        hc = ctb // 2
+        bd = cfg.bit_depth
+        qp_bd = 6 * (bd - 8)
+        qp_s = min(cfg.qp + self.B_QP_OFFSET, 51)
+        qp = qp_s + qp_bd
+        qpc = R.chroma_qp(qp_s) + qp_bd
+        ys = pad_to_ctb(np.asarray(y), ctb)
+        cbs = pad_to_ctb(np.asarray(cb), hc)
+        crs = pad_to_ctb(np.asarray(cr), hc)
+        H, W = ys.shape
+        nw, nh = W // ctb, H // ctb
+        rec_y = np.zeros_like(ys)
+        rec_cb = np.zeros((H // 2, W // 2), np.int32)
+        rec_cr = np.zeros((H // 2, W // 2), np.int32)
+        lam = 0.85 * 2.0 ** ((qp - 12) / 3.0)
+        sqrt_lam = float(np.sqrt(lam))
+        sl16 = int(sqrt_lam * 16)
+        lam16 = skip_lambda16(qp)
+        cur_poc, poc0, poc1 = pocs
+
+        cols, rows = cfg.tile_grid()
+        ctus = [[None] * nw for _ in range(nh)]
+        cu_maps = {"intra": np.zeros((nh, nw), bool),
+                   "cbf": np.zeros((nh, nw), bool),
+                   "mv": np.zeros((nh, nw, 2), np.int32),
+                   "mv1": np.zeros((nh, nw, 2), np.int32),
+                   "pf": np.zeros((nh, nw, 2), np.int32)}
+
+        def tu3(src3, pred3):
+            return [encode_tu(s, p, q, bd) for (s, p, q) in
+                    ((src3[0], pred3[0], qp), (src3[1], pred3[1], qpc),
+                     (src3[2], pred3[2], qpc))]
+
+        def mc_rec(rec):
+            pf0, pf1, mv0, mv1 = rec
+            if pf0 and pf1:
+                return M.mc_block_bi(ref0, ref1, gx0, gy0, ctb, mv0, mv1, bd)
+            refp, mv = (ref0, mv0) if pf0 else (ref1, mv1)
+            return M.mc_block(refp, gx0, gy0, ctb, mv, bd)
+
+        ty0 = 0
+        for th in rows:
+            tx0 = 0
+            for tw in cols:
+                vy = ys[ty0 * ctb:(ty0 + th) * ctb,
+                        tx0 * ctb:(tx0 + tw) * ctb]
+                vcb = cbs[ty0 * hc:(ty0 + th) * hc, tx0 * hc:(tx0 + tw) * hc]
+                vcr = crs[ty0 * hc:(ty0 + th) * hc, tx0 * hc:(tx0 + tw) * hc]
+                ry = rec_y[ty0 * ctb:(ty0 + th) * ctb,
+                           tx0 * ctb:(tx0 + tw) * ctb]
+                rcb = rec_cb[ty0 * hc:(ty0 + th) * hc,
+                             tx0 * hc:(tx0 + tw) * hc]
+                rcr = rec_cr[ty0 * hc:(ty0 + th) * hc,
+                             tx0 * hc:(tx0 + tw) * hc]
+                rec_map = [[None] * tw for _ in range(th)]
+                for cy in range(th):
+                    left_modes = (INTRA_DC, INTRA_DC)
+                    for cx in range(tw):
+                        x0, y0 = cx * ctb, cy * ctb
+                        xc, yc = cx * hc, cy * hc
+                        gx0, gy0 = (tx0 + cx) * ctb, (ty0 + cy) * ctb
+                        sl = np.s_[y0:y0 + ctb, x0:x0 + ctb]
+                        slc = np.s_[yc:yc + hc, xc:xc + hc]
+                        src3 = (vy[sl], vcb[slc], vcr[slc])
+                        nbrs = M.neighbor_records(rec_map, cy, cx, th, tw)
+                        mrec = M.merge_cand0_b(nbrs, True)
+                        amvp0 = M.amvp_list_b(nbrs, 0, cur_poc, (poc0, poc1))
+                        amvp1 = M.amvp_list_b(nbrs, 1, cur_poc, (poc0, poc1))
+
+                        # skip / merge
+                        pm3 = mc_rec(mrec)
+                        sse_skip = sum(_sse(s, p)
+                                       for s, p in zip(src3, pm3))
+                        choice = ("skip", sse_skip + ((lam16 * 2) >> 4))
+                        tm = tu3(src3, pm3)
+                        if any(t[1] for t in tm):
+                            sse_m = sum(_sse(s, t[2])
+                                        for s, t in zip(src3, tm))
+                            bits = min(12 + level_bits_estimate(
+                                [t[0] for t in tm]), 2048)
+                            j = sse_m + ((lam16 * bits) >> 4)
+                            if j < choice[1]:
+                                choice = ("merge", j)
+
+                        # explicit uni L0 / L1 / BI
+                        b0 = self._mv_search(src3[0], ref0["y"], gx0, gy0,
+                                             amvp0, sl16, bd, ctb)
+                        b1 = self._mv_search(src3[0], ref1["y"], gx0, gy0,
+                                             amvp1, sl16, bd, ctb)
+                        expl = {}
+                        for dirn, rec in ((0, (1, 0, b0[1], (0, 0))),
+                                          (1, (0, 1, (0, 0), b1[1])),
+                                          (2, (1, 1, b0[1], b1[1]))):
+                            p3 = mc_rec(rec)
+                            te = tu3(src3, p3)
+                            rqt = int(any(t[1] for t in te))
+                            sse_e = sum(_sse(s, t[2])
+                                        for s, t in zip(src3, te))
+                            mb = (b0[3] if dirn in (0, 2) else 0) \
+                                + (b1[3] if dirn in (1, 2) else 0)
+                            base_bits = 16 if dirn != 2 else 24
+                            bits = min(base_bits + mb + level_bits_estimate(
+                                [t[0] for t in te] if rqt else []), 2048)
+                            j = sse_e + ((lam16 * bits) >> 4)
+                            expl[dirn] = (j, rec, te, rqt)
+                            if j < choice[1]:
+                                choice = (("l0", "l1", "bi")[dirn], j)
+
+                        # intra (writes recon in place)
+                        dec, lm = encode_ctu_v1(
+                            vy, vcb, vcr, ry, rcb, rcr, cx, cy, ctb, qp, qpc,
+                            None, sqrt_lam, left_modes, bd, hadamard_satd,
+                            enable_nxn=self.nxn_p)
+                        sse_i = _sse(vy[sl], ry[sl]) \
+                            + _sse(vcb[slc], rcb[slc]) \
+                            + _sse(vcr[slc], rcr[slc])
+                        bits = min(8 + level_bits_estimate(
+                            (dec["lvl_y"], dec["lvl_cb"], dec["lvl_cr"])),
+                            2048)
+                        j = sse_i + ((lam16 * bits) >> 4)
+                        if j < choice[1]:
+                            choice = ("intra", j)
+
+                        gy, gx = ty0 + cy, tx0 + cx
+                        kind = choice[0]
+                        if kind == "intra":
+                            ctus[gy][gx] = dec
+                            cu_maps["intra"][gy, gx] = True
+                            cu_maps["cbf"][gy, gx] = bool(np.any(dec["lvl_y"]))
+                            left_modes = lm
+                            continue
+                        left_modes = (INTRA_DC, INTRA_DC)
+                        if kind == "skip":
+                            rec, rec3 = mrec, pm3
+                            ctus[gy][gx] = {"skip": True}
+                            cbf_l = False
+                        elif kind == "merge":
+                            rec = mrec
+                            rec3 = [t[2] for t in tm]
+                            ctus[gy][gx] = {
+                                "inter": True, "merge": True,
+                                "cbf_y": tm[0][1], "lvl_y": tm[0][0],
+                                "cbf_cb": tm[1][1], "lvl_cb": tm[1][0],
+                                "cbf_cr": tm[2][1], "lvl_cr": tm[2][0]}
+                            cbf_l = bool(tm[0][1])
+                        else:
+                            dirn = ("l0", "l1", "bi").index(kind)
+                            jv, rec, te, rqt = expl[dirn]
+                            rec3 = [t[2] for t in te]
+                            d = {"inter": True, "merge": False,
+                                 "dir": dirn, "rqt": rqt}
+                            if dirn in (0, 2):
+                                d["mvd"] = (b0[1][0] - amvp0[b0[2]][0],
+                                            b0[1][1] - amvp0[b0[2]][1])
+                                d["mvp"] = b0[2]
+                            if dirn in (1, 2):
+                                d["mvd1"] = (b1[1][0] - amvp1[b1[2]][0],
+                                             b1[1][1] - amvp1[b1[2]][1])
+                                d["mvp1"] = b1[2]
+                            if rqt:
+                                d.update(cbf_y=te[0][1], lvl_y=te[0][0],
+                                         cbf_cb=te[1][1], lvl_cb=te[1][0],
+                                         cbf_cr=te[2][1], lvl_cr=te[2][0])
+                            ctus[gy][gx] = d
+                            cbf_l = bool(rqt and te[0][1])
+                        rec_map[cy][cx] = rec
+                        cu_maps["cbf"][gy, gx] = cbf_l
+                        pf0, pf1, mv0, mv1 = rec
+                        cu_maps["pf"][gy, gx] = (pf0, pf1)
+                        cu_maps["mv"][gy, gx] = mv0 if pf0 else mv1
+                        cu_maps["mv1"][gy, gx] = mv1
+                        ry[sl], rcb[slc], rcr[slc] = rec3[0], rec3[1], rec3[2]
+                tx0 += tw
+            ty0 += th
+        return ctus, {"y": rec_y, "cb": rec_cb, "cr": rec_cr}, cu_maps
+
     def encode_video(self, frames, gop: int = 0):
         """Encode a GOP-structured sequence -> (annexb bytes, recons).
 
@@ -361,6 +584,8 @@ class RefIntraEncoderV1:
         from hevc_tpu.utils.bitio import annexb
         assert self.cfg.inter, "encode_video(P) requires cfg.inter"
         cfg = self.cfg
+        if cfg.bframes:
+            return self._encode_video_b(frames, gop)
         out = annexb(self.parameter_sets())
         ref = None
         recons = []
@@ -408,4 +633,96 @@ class RefIntraEncoderV1:
             out += b"\x00\x00\x00\x01" + nal
             ref = {"y": dy, "cb": dcb, "cr": dcr}
             recons.append(ref)
+        return out, recons
+
+    # ---- IbPbP GOP driver (decode order != display order) ---------------------
+    def _finish_pic(self, ctus, recon, cu_maps, y, cb, cr, qp=None):
+        """Deblock (+SAO) one picture; returns (display planes, sao params)."""
+        from hevc_tpu.ops.deblock import deblock_frame
+        cfg = self.cfg
+        qp = cfg.qp if qp is None else qp
+        nxn_map = np.array([[bool(c.get("part_nxn")) for c in row]
+                            for row in ctus])
+        dy = recon["y"].copy()
+        dcb = recon["cb"].copy()
+        dcr = recon["cr"].copy()
+        tx = tyy = None
+        if cfg.tiles_enabled:
+            cols, rows_ = cfg.tile_grid()
+            tx = list(np.cumsum(cols)[:-1] * cfg.ctb)
+            tyy = list(np.cumsum(rows_)[:-1] * cfg.ctb)
+        if cfg.deblock:
+            deblock_frame(dy, dcb, dcr, qp, ctb=cfg.ctb,
+                          bit_depth=cfg.bit_depth,
+                          tile_cols_px=tx, tile_rows_px=tyy,
+                          nxn_map=nxn_map, cu_maps=cu_maps)
+        sao_params = None
+        if cfg.sao:
+            from hevc_tpu.ops.sao import estimate_and_apply_sao
+            qp_eff = qp + 6 * (cfg.bit_depth - 8)
+            src3 = (pad_to_ctb(np.asarray(y), cfg.ctb),
+                    pad_to_ctb(np.asarray(cb), cfg.ctb // 2),
+                    pad_to_ctb(np.asarray(cr), cfg.ctb // 2))
+            p_y, p_c, out3 = estimate_and_apply_sao(
+                src3, (dy, dcb, dcr), cfg.ctb, cfg.bit_depth,
+                skip_lambda16(qp_eff), tx, tyy)
+            dy, dcb, dcr = out3
+            sao_params = (p_y, p_c)
+        return {"y": dy, "cb": dcb, "cr": dcr}, sao_params
+
+    def _encode_video_b(self, frames, gop: int = 0):
+        """IbPbP GOP: reference pictures at even display offsets, one
+        non-reference B between each pair.  Decode order: I P2 B1 P4 B3...
+        Returns (annexb bytes, recons in DISPLAY order)."""
+        from hevc_tpu.utils.bitio import annexb
+        cfg = self.cfg
+        out = annexb(self.parameter_sets())
+        n = len(frames)
+        recons = [None] * n
+        starts = [k for k in range(n)
+                  if k == 0 or (gop and k % gop == 0)]
+        segments = [(s, (starts + [n])[i + 1])
+                    for i, s in enumerate(starts)]
+        for (s, e) in segments:
+            refs = {}                  # display idx -> deblocked ref planes
+
+            def emit(nal):
+                nonlocal out
+                out += b"\x00\x00\x00\x01" + nal
+
+            # IDR at s
+            ctus, recon = self.encode_frame_decisions(*frames[s])
+            disp, sao_p = self._finish_pic(ctus, recon, None, *frames[s])
+            emit(entropy_encode_frame_v1(cfg, ctus, sao=sao_p))
+            refs[s] = disp
+            recons[s] = disp
+            prev_ref = s
+            k = s + 2
+            while prev_ref < e - 1:
+                r = min(k, e - 1)      # trailing odd segment -> lone P
+                poc_r = r - s
+                ctus, recon, maps = self.encode_frame_p_decisions(
+                    *frames[r], refs[prev_ref])
+                disp, sao_p = self._finish_pic(ctus, recon, maps, *frames[r])
+                emit(entropy_encode_frame_v1(
+                    cfg, ctus, poc=poc_r, sao=sao_p,
+                    rps_idx=0 if r - prev_ref == 2 else 2))
+                refs[r] = disp
+                recons[r] = disp
+                if r - prev_ref == 2:  # the B between the two refs
+                    import dataclasses
+                    bidx = prev_ref + 1
+                    cfg_b = dataclasses.replace(
+                        cfg, qp=min(cfg.qp + self.B_QP_OFFSET, 51))
+                    ctus, recon, maps = self.encode_frame_b_decisions(
+                        *frames[bidx], refs[prev_ref], refs[r],
+                        (bidx - s, prev_ref - s, r - s))
+                    disp, sao_p = self._finish_pic(ctus, recon, maps,
+                                                   *frames[bidx],
+                                                   qp=cfg_b.qp)
+                    emit(entropy_encode_frame_v1(cfg_b, ctus, poc=bidx - s,
+                                                 sao=sao_p, b_slice=True))
+                    recons[bidx] = disp
+                prev_ref = r
+                k = r + 2
         return out, recons

@@ -47,6 +47,7 @@ class StreamConfig:
     tile_rows: int = 1
     deblock: bool = True           # in-loop deblocking filter
     inter: bool = False            # P slices (zero-MV skip GOP structure)
+    bframes: bool = False          # IbPbP GOP (non-reference B pictures)
     sao: bool = False              # sample-adaptive offset (luma + chroma)
     extra: dict = field(default_factory=dict)
 
@@ -114,8 +115,8 @@ def write_vps(cfg: StreamConfig) -> bytes:
     w.u(0xFFFF, 16)                 # vps_reserved_0xffff_16bits
     _profile_tier_level(w, cfg)
     w.u(0, 1)                       # vps_sub_layer_ordering_info_present_flag
-    w.ue(1)                         # vps_max_dec_pic_buffering_minus1[0]
-    w.ue(0)                         # vps_max_num_reorder_pics[0]
+    w.ue(2 if cfg.bframes else 1)   # vps_max_dec_pic_buffering_minus1[0]
+    w.ue(1 if cfg.bframes else 0)   # vps_max_num_reorder_pics[0]
     w.ue(0)                         # vps_max_latency_increase_plus1[0]
     w.u(0, 6)                       # vps_max_layer_id
     w.ue(0)                         # vps_num_layer_sets_minus1
@@ -149,8 +150,8 @@ def write_sps(cfg: StreamConfig) -> bytes:
     w.ue(cfg.bit_depth - 8)         # bit_depth_chroma_minus8
     w.ue(4)                         # log2_max_pic_order_cnt_lsb_minus4 (=> 8 bits)
     w.u(0, 1)                       # sps_sub_layer_ordering_info_present_flag
-    w.ue(1)                         # sps_max_dec_pic_buffering_minus1
-    w.ue(0)                         # sps_max_num_reorder_pics
+    w.ue(2 if cfg.bframes else 1)   # sps_max_dec_pic_buffering_minus1
+    w.ue(1 if cfg.bframes else 0)   # sps_max_num_reorder_pics
     w.ue(0)                         # sps_max_latency_increase_plus1
     w.ue(cfg.log2_min_cb - 3)       # log2_min_luma_coding_block_size_minus3
     w.ue(cfg.log2_ctb - cfg.log2_min_cb)
@@ -162,7 +163,28 @@ def write_sps(cfg: StreamConfig) -> bytes:
     w.u(0, 1)                       # amp_enabled_flag
     w.u(1 if cfg.sao else 0, 1)     # sample_adaptive_offset_enabled_flag
     w.u(0, 1)                       # pcm_enabled_flag
-    if cfg.inter:
+    if cfg.inter and cfg.bframes:
+        # set 0 (P): the previous REFERENCE picture (POC distance 2);
+        # set 1 (B): nearest past + nearest future reference;
+        # set 2 (trailing P after an odd segment end): distance 1
+        w.ue(3)                     # num_short_term_ref_pic_sets
+        w.ue(1)                     # set0: num_negative_pics
+        w.ue(0)                     #       num_positive_pics
+        w.ue(1)                     #       delta_poc_s0_minus1[0] -> 2
+        w.u(1, 1)                   #       used_by_curr_pic_s0_flag[0]
+        w.u(0, 1)                   # set1: inter_ref_pic_set_prediction_flag
+        w.ue(1)                     #       num_negative_pics
+        w.ue(1)                     #       num_positive_pics
+        w.ue(0)                     #       delta_poc_s0_minus1[0] -> 1
+        w.u(1, 1)                   #       used_by_curr_pic_s0_flag[0]
+        w.ue(0)                     #       delta_poc_s1_minus1[0] -> 1
+        w.u(1, 1)                   #       used_by_curr_pic_s1_flag[0]
+        w.u(0, 1)                   # set2: inter_ref_pic_set_prediction_flag
+        w.ue(1)                     #       num_negative_pics
+        w.ue(0)                     #       num_positive_pics
+        w.ue(0)                     #       delta_poc_s0_minus1[0] -> 1
+        w.u(1, 1)                   #       used_by_curr_pic_s0_flag[0]
+    elif cfg.inter:
         # one RPS: the immediately preceding picture, used by current
         w.ue(1)                     # num_short_term_ref_pic_sets
         w.ue(1)                     # num_negative_pics     (st_ref_pic_set(0))
@@ -285,8 +307,8 @@ def write_slice_header_idr(cfg: StreamConfig,
 
 
 def write_slice_header_p(cfg: StreamConfig, poc_lsb: int,
-                         entry_point_offsets: list[int] | None = None
-                         ) -> BitWriter:
+                         entry_point_offsets: list[int] | None = None,
+                         rps_idx: int = 0) -> BitWriter:
     """P-slice (TRAIL_R) slice segment header (spec 7.3.6.1).
 
     Zero-MV-skip profile: one ref pic (the previous picture, RPS idx 0 from
@@ -298,7 +320,9 @@ def write_slice_header_p(cfg: StreamConfig, poc_lsb: int,
     w.ue(0)                         # slice_pic_parameter_set_id
     w.ue(1)                         # slice_type = P
     w.u(poc_lsb & 0xFF, 8)          # slice_pic_order_cnt_lsb (log2 = 8)
-    w.u(1, 1)                       # short_term_ref_pic_set_sps_flag (RPS 0)
+    w.u(1, 1)                       # short_term_ref_pic_set_sps_flag
+    if cfg.bframes:
+        w.u(rps_idx, 2)             # short_term_ref_pic_set_idx (3 sets)
     if cfg.sao:
         w.u(1, 1)                   # slice_sao_luma_flag
         w.u(1, 1)                   # slice_sao_chroma_flag
@@ -315,6 +339,43 @@ def write_slice_header_p(cfg: StreamConfig, poc_lsb: int,
             w.ue(blen - 1)          # offset_len_minus1
             for o in offs:
                 w.u(o - 1, blen)    # entry_point_offset_minus1
+    w.bit(1)                        # byte_alignment
+    w.byte_align(0)
+    return w
+
+
+def write_slice_header_b(cfg: StreamConfig, poc_lsb: int,
+                         entry_point_offsets: list[int] | None = None
+                         ) -> BitWriter:
+    """B-slice (TRAIL_N, non-reference) slice segment header.
+
+    RPS set 1 (nearest past + nearest future), one active ref per list,
+    MaxNumMergeCand = 1, mvd_l1_zero off, default weighting.
+    """
+    w = BitWriter()
+    w.u(1, 1)                       # first_slice_segment_in_pic_flag
+    w.ue(0)                         # slice_pic_parameter_set_id
+    w.ue(0)                         # slice_type = B
+    w.u(poc_lsb & 0xFF, 8)          # slice_pic_order_cnt_lsb
+    w.u(1, 1)                       # short_term_ref_pic_set_sps_flag
+    w.u(1, 2)                       # short_term_ref_pic_set_idx = 1 (B set)
+    if cfg.sao:
+        w.u(1, 1)                   # slice_sao_luma_flag
+        w.u(1, 1)                   # slice_sao_chroma_flag
+    w.u(0, 1)                       # num_ref_idx_active_override_flag
+    w.u(0, 1)                       # mvd_l1_zero_flag
+    w.ue(4)                         # five_minus_max_num_merge_cand -> 1 cand
+    w.se(cfg.qp - 26)               # slice_qp_delta
+    if cfg.deblock:
+        w.u(1, 1)                   # slice_loop_filter_across_slices_enabled
+    if cfg.tiles_enabled:
+        offs = entry_point_offsets or []
+        w.ue(len(offs))
+        if offs:
+            blen = max(1, max(o - 1 for o in offs).bit_length())
+            w.ue(blen - 1)
+            for o in offs:
+                w.u(o - 1, blen)
     w.bit(1)                        # byte_alignment
     w.byte_align(0)
     return w

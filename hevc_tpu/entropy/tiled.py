@@ -16,9 +16,9 @@ from __future__ import annotations
 import numpy as np
 
 from hevc_tpu.entropy.headers import StreamConfig, write_slice_header_idr, \
-    write_slice_header_p
+    write_slice_header_p, write_slice_header_b
 from hevc_tpu.utils.bitio import make_nal, rbsp_to_ebsp, NAL_IDR_W_RADL, \
-    NAL_TRAIL_R
+    NAL_TRAIL_R, NAL_TRAIL_N
 
 
 def _ebsp_len(payload: bytes) -> int:
@@ -90,16 +90,21 @@ def encode_tile_payload(cfg: StreamConfig, tile: dict, last_tile: bool,
 
 
 def assemble_slice(cfg: StreamConfig, payloads: list[bytes],
-                   poc: int | None = None) -> bytes:
+                   poc: int | None = None, b_slice: bool = False,
+                   rps_idx: int = 0) -> bytes:
     """Slice NAL from per-tile substreams (entry points in EBSP bytes).
 
-    poc=None -> IDR (I slice); poc=N -> TRAIL_R P slice referencing poc N-1.
+    poc=None -> IDR (I slice); poc=N -> TRAIL_R P slice (or, with b_slice,
+    a non-reference TRAIL_N B slice).
     """
     offs = [_ebsp_len(p) for p in payloads[:-1]] if len(payloads) > 1 else None
     if poc is None:
         hdr = write_slice_header_idr(cfg, offs).bytes()
         return make_nal(NAL_IDR_W_RADL, hdr + b"".join(payloads))
-    hdr = write_slice_header_p(cfg, poc, offs).bytes()
+    if b_slice:
+        hdr = write_slice_header_b(cfg, poc, offs).bytes()
+        return make_nal(NAL_TRAIL_N, hdr + b"".join(payloads))
+    hdr = write_slice_header_p(cfg, poc, offs, rps_idx=rps_idx).bytes()
     return make_nal(NAL_TRAIL_R, hdr + b"".join(payloads))
 
 

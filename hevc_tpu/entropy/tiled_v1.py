@@ -17,7 +17,7 @@ from hevc_tpu.entropy.tiled import assemble_slice
 
 def encode_tile_payload_v1(cfg: StreamConfig, ctus: list[list[dict]],
                            last_tile: bool, p_slice: bool = False,
-                           sao=None) -> bytes:
+                           sao=None, b_slice: bool = False) -> bytes:
     """ctus: [row][col] decision dicts for one tile.
 
     p_slice: zero-MV-skip P slice — each CTU dict may carry skip=True
@@ -26,7 +26,8 @@ def encode_tile_payload_v1(cfg: StreamConfig, ctus: list[list[dict]],
     sao: (params_y, params_c) tile-local grids (spec 7.3.8.3, signaled
     before the coding quadtree of every CTU).
     """
-    syn = SliceSyntaxEncoder(cfg.qp, init_type=1 if p_slice else 0)
+    init_type = 0 if not p_slice else (2 if b_slice else 1)
+    syn = SliceSyntaxEncoder(cfg.qp, init_type=init_type)
     nh = len(ctus)
     nw = len(ctus[0])
     above_skip = [0] * nw
@@ -48,7 +49,7 @@ def encode_tile_payload_v1(cfg: StreamConfig, ctus: list[list[dict]],
                 left_skip = 1
                 above_skip[cx] = 1
             elif p_slice and d.get("inter"):
-                _encode_inter_ctu(syn, d)
+                _encode_inter_ctu(syn, d, b_slice)
                 left_modes = (INTRA_DC, INTRA_DC)
                 left_skip = 0
                 above_skip[cx] = 0
@@ -68,13 +69,14 @@ def encode_tile_payload_v1(cfg: StreamConfig, ctus: list[list[dict]],
     return syn.cabac.bytes_aligned()
 
 
-def _encode_inter_ctu(syn: SliceSyntaxEncoder, d: dict) -> None:
-    """Non-skip inter CU (PART_2Nx2N, single ref): spec 7.3.8.5/7.3.8.6.
+def _encode_inter_ctu(syn: SliceSyntaxEncoder, d: dict,
+                      b_slice: bool = False) -> None:
+    """Non-skip inter CU (PART_2Nx2N, one ref/list): spec 7.3.8.5/7.3.8.6.
 
     merge: rqt_root_cbf absent (inferred 1, else the encoder emits skip).
-    explicit: mvd_coding + mvp flag, then rqt_root_cbf.
-    Inter residual always uses the diagonal scan; cbf_luma at depth 0 is
-    inferred 1 when both chroma cbfs are 0 (7.4.9.8).
+    explicit: [inter_pred_idc in B] + mvd_coding + mvp flag per used list,
+    then rqt_root_cbf.  Inter residual always uses the diagonal scan;
+    cbf_luma at depth 0 is inferred 1 when both chroma cbfs are 0 (7.4.9.8).
     """
     syn.encode_pred_mode(False)
     syn.encode_part_mode_inter_2nx2n()
@@ -83,8 +85,15 @@ def _encode_inter_ctu(syn: SliceSyntaxEncoder, d: dict) -> None:
         rqt = 1
     else:
         syn.encode_merge_flag(False)
-        syn.encode_mvd(int(d["mvd"][0]), int(d["mvd"][1]))
-        syn.encode_mvp_flag(int(d["mvp"]))
+        direction = int(d.get("dir", 0))
+        if b_slice:
+            syn.encode_inter_pred_idc(direction)
+        if direction in (0, 2):
+            syn.encode_mvd(int(d["mvd"][0]), int(d["mvd"][1]))
+            syn.encode_mvp_flag(int(d["mvp"]))
+        if direction in (1, 2):
+            syn.encode_mvd(int(d["mvd1"][0]), int(d["mvd1"][1]))
+            syn.encode_mvp_flag(int(d["mvp1"]))
         rqt = int(d["rqt"])
         syn.encode_rqt_root_cbf(rqt)
     if not rqt:
@@ -257,7 +266,8 @@ def _arrays_to_ctus(dec: dict, y0: int, x0: int, th: int, tw: int
 def entropy_encode_frame_v1(cfg: StreamConfig, ctus,
                             use_cpp: bool = True,
                             poc: int | None = None,
-                            sao=None) -> bytes:
+                            sao=None, b_slice: bool = False,
+                            rps_idx: int = 0) -> bytes:
     """Frame of decisions -> slice NAL. Accepts per-CTU dict grid (numpy
     reference encoder) or the device graph's array-dict format.
 
@@ -269,6 +279,8 @@ def entropy_encode_frame_v1(cfg: StreamConfig, ctus,
     if isinstance(ctus, dict):
         nh, nw = ctus["part_nxn"].shape
         arrays = ctus
+        if b_slice:
+            use_cpp = False      # C++ fast path: B syntax not yet ported
         if use_cpp:
             from hevc_tpu.entropy import binding
             if binding.available():
@@ -294,10 +306,12 @@ def entropy_encode_frame_v1(cfg: StreamConfig, ctus,
         if cpp is not None:
             return cpp(y0, x0, th, tw, last)
         return encode_tile_payload_v1(cfg, tile(y0, x0, th, tw), last,
-                                      p_slice=p_slice, sao=s)
+                                      p_slice=p_slice, sao=s,
+                                      b_slice=b_slice)
 
     if not cfg.tiles_enabled:
-        return assemble_slice(cfg, [payload(0, 0, nh, nw, True)], poc=poc)
+        return assemble_slice(cfg, [payload(0, 0, nh, nw, True)], poc=poc,
+                              b_slice=b_slice, rps_idx=rps_idx)
     cols, rows = cfg.tile_grid()
     jobs = []
     y0 = 0
@@ -319,4 +333,5 @@ def entropy_encode_frame_v1(cfg: StreamConfig, ctus,
             payloads = list(pool.map(lambda j: payload(*j), jobs))
     else:
         payloads = [payload(*j) for j in jobs]
-    return assemble_slice(cfg, payloads, poc=poc)
+    return assemble_slice(cfg, payloads, poc=poc, b_slice=b_slice,
+                          rps_idx=rps_idx)

@@ -184,8 +184,10 @@ def _inner_edge_masks(nxn_map, H: int, W: int, transposed: bool) -> dict:
 def _edge_bs(cu_maps: dict, transposed: bool) -> np.ndarray:
     """(nh, nw-1) per-CTU-edge boundary strength (spec 8.7.2.4, CTU=CU=PU).
 
-    2: either side intra; 1: either side has coded residual or the MVs
-    differ by >= 1 luma pel (4 quarter units); 0 otherwise.
+    2: either side intra; 1: either side has coded residual, the
+    prediction-flag sets differ (uni vs bi / different ref pictures — one
+    ref per list so the flag pair identifies the refs), or any used list's
+    MVs differ by >= 1 luma pel; 0 otherwise.
     """
     intra = np.asarray(cu_maps["intra"], bool)
     cbf = np.asarray(cu_maps["cbf"], bool)
@@ -194,8 +196,22 @@ def _edge_bs(cu_maps: dict, transposed: bool) -> np.ndarray:
         intra, cbf, mv = intra.T, cbf.T, mv.transpose(1, 0, 2)
     p, q = np.s_[:, :-1], np.s_[:, 1:]
     two = intra[p] | intra[q]
-    mvdiff = np.abs(mv[p] - mv[q]).max(-1) >= 4
-    one = ~two & (cbf[p] | cbf[q] | mvdiff)
+    if "pf" in cu_maps:
+        pf = np.asarray(cu_maps["pf"], np.int32)
+        mv1 = np.asarray(cu_maps["mv1"], np.int32)
+        if transposed:
+            pf = pf.transpose(1, 0, 2)
+            mv1 = mv1.transpose(1, 0, 2)
+        refs_differ = np.any(pf[p] != pf[q], axis=-1)
+        # mv holds the L0 MV when pf0 (else the L1 uni MV); mv1 holds L1
+        d0 = np.abs(mv[p] - mv[q]).max(-1) >= 4
+        d1 = np.abs(mv1[p] - mv1[q]).max(-1) >= 4
+        both_l1 = (pf[p][..., 1] & pf[q][..., 1]).astype(bool)
+        mvdiff = d0 | (both_l1 & d1)
+        one = ~two & (cbf[p] | cbf[q] | refs_differ | mvdiff)
+    else:
+        mvdiff = np.abs(mv[p] - mv[q]).max(-1) >= 4
+        one = ~two & (cbf[p] | cbf[q] | mvdiff)
     return np.where(two, 2, np.where(one, 1, 0)).astype(np.int32)
 
 

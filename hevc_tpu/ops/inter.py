@@ -40,9 +40,9 @@ def _fetch(plane: np.ndarray, y0: int, x0: int, h: int, w: int) -> np.ndarray:
     return plane[np.ix_(ys, xs)].astype(np.int64)
 
 
-def mc_luma(ref: np.ndarray, x0: int, y0: int, n: int, mvx: int, mvy: int,
-            bit_depth: int = 8) -> np.ndarray:
-    """Luma MC for an n x n block at (x0, y0), MV in quarter pels."""
+def mc_luma_i(ref: np.ndarray, x0: int, y0: int, n: int, mvx: int, mvy: int,
+              bit_depth: int = 8) -> np.ndarray:
+    """Luma MC intermediate (14-bit, pre-weighting) — spec 8.5.4.2.2."""
     shift1 = bit_depth - 8
     shift3 = 14 - bit_depth
     xi, yi = x0 + (mvx >> 2), y0 + (mvy >> 2)
@@ -59,15 +59,34 @@ def mc_luma(ref: np.ndarray, x0: int, y0: int, n: int, mvx: int, mvy: int,
         win = _fetch(ref, yi - 3, xi - 3, n + 7, n + 7)
         tmp = sum(FL[xf][k] * win[:, k:k + n] for k in range(8)) >> shift1
         val = sum(FL[yf][k] * tmp[k:k + n, :] for k in range(8)) >> 6
+    return val
+
+
+def weight_uni(val: np.ndarray, bit_depth: int) -> np.ndarray:
+    """Default uni-prediction weighting (spec 8.5.4.2.4)."""
     off = 1 << (13 - bit_depth)
     return np.clip((val + off) >> (14 - bit_depth),
                    0, (1 << bit_depth) - 1).astype(np.int32)
 
 
-def mc_chroma(ref: np.ndarray, xc: int, yc: int, nc: int, mvx: int, mvy: int,
-              bit_depth: int = 8) -> np.ndarray:
-    """Chroma MC (4:2:0): block at chroma coords, MV in LUMA quarter pels
-    (== chroma eighth pels, spec 8.5.3.2.9)."""
+def weight_bi(val0: np.ndarray, val1: np.ndarray,
+              bit_depth: int) -> np.ndarray:
+    """Default bi-prediction averaging (spec 8.5.4.2.4)."""
+    off = 1 << (14 - bit_depth)
+    return np.clip((val0 + val1 + off) >> (15 - bit_depth),
+                   0, (1 << bit_depth) - 1).astype(np.int32)
+
+
+def mc_luma(ref: np.ndarray, x0: int, y0: int, n: int, mvx: int, mvy: int,
+            bit_depth: int = 8) -> np.ndarray:
+    """Luma MC for an n x n block at (x0, y0), MV in quarter pels."""
+    return weight_uni(mc_luma_i(ref, x0, y0, n, mvx, mvy, bit_depth),
+                      bit_depth)
+
+
+def mc_chroma_i(ref: np.ndarray, xc: int, yc: int, nc: int, mvx: int,
+                mvy: int, bit_depth: int = 8) -> np.ndarray:
+    """Chroma MC intermediate (pre-weighting, spec 8.5.4.2.3)."""
     shift1 = bit_depth - 8
     xi, yi = xc + (mvx >> 3), yc + (mvy >> 3)
     xf, yf = mvx & 7, mvy & 7
@@ -83,9 +102,43 @@ def mc_chroma(ref: np.ndarray, xc: int, yc: int, nc: int, mvx: int, mvy: int,
         win = _fetch(ref, yi - 1, xi - 1, nc + 3, nc + 3)
         tmp = sum(FC[xf][k] * win[:, k:k + nc] for k in range(4)) >> shift1
         val = sum(FC[yf][k] * tmp[k:k + nc, :] for k in range(4)) >> 6
-    off = 1 << (13 - bit_depth)
-    return np.clip((val + off) >> (14 - bit_depth),
-                   0, (1 << bit_depth) - 1).astype(np.int32)
+    return val
+
+
+def mc_chroma(ref: np.ndarray, xc: int, yc: int, nc: int, mvx: int, mvy: int,
+              bit_depth: int = 8) -> np.ndarray:
+    """Chroma MC (4:2:0): block at chroma coords, MV in LUMA quarter pels
+    (== chroma eighth pels, spec 8.5.3.2.9)."""
+    return weight_uni(mc_chroma_i(ref, xc, yc, nc, mvx, mvy, bit_depth),
+                      bit_depth)
+
+
+def mc_block_bi(ref0: dict, ref1: dict, x0: int, y0: int, n: int,
+                mv0, mv1, bit_depth: int = 8):
+    """Bi-predicted (luma, cb, cr) for one square PU (default weighting)."""
+    a, b = (int(mv0[0]), int(mv0[1])), (int(mv1[0]), int(mv1[1]))
+    py = weight_bi(mc_luma_i(ref0["y"], x0, y0, n, a[0], a[1], bit_depth),
+                   mc_luma_i(ref1["y"], x0, y0, n, b[0], b[1], bit_depth),
+                   bit_depth)
+    xc, yc, nc = x0 // 2, y0 // 2, n // 2
+    pcb = weight_bi(mc_chroma_i(ref0["cb"], xc, yc, nc, a[0], a[1], bit_depth),
+                    mc_chroma_i(ref1["cb"], xc, yc, nc, b[0], b[1], bit_depth),
+                    bit_depth)
+    pcr = weight_bi(mc_chroma_i(ref0["cr"], xc, yc, nc, a[0], a[1], bit_depth),
+                    mc_chroma_i(ref1["cr"], xc, yc, nc, b[0], b[1], bit_depth),
+                    bit_depth)
+    return py, pcb, pcr
+
+
+def scale_mv(mv: int, tb: int, td: int) -> int:
+    """Temporal MV scaling (spec 8.5.3.2.8): tb/td are clipped POC deltas."""
+    tb = min(max(tb, -128), 127)
+    td = min(max(td, -128), 127)
+    tx = ((16384 + (abs(td) >> 1)) // abs(td)) * (1 if td > 0 else -1)
+    dsf = min(4095, max(-4096, (tb * tx + 32) >> 6))
+    s = dsf * mv
+    mag = (abs(s) + 127) >> 8
+    return min(max(mag if s >= 0 else -mag, -32768), 32767)
 
 
 def mc_block(ref: dict, x0: int, y0: int, n: int, mv, bit_depth: int = 8):
@@ -135,6 +188,103 @@ def amvp_list(inter_map, mv_map, cy: int, cx: int, nh: int, nw: int):
             break
     if b is not None and (not cands or b != cands[0]):
         cands.append(b)
+    while len(cands) < 2:
+        cands.append((0, 0))
+    return cands
+
+
+# ---- generalized motion records (B slices) -----------------------------------
+#
+# A motion record is (pf0, pf1, mv0, mv1): prediction flags per list and the
+# MV per list (each (x, y)).  Single ref per list, so refIdx is always 0 and
+# the reference PICTURE per list is fixed per slice.
+
+def neighbor_records(rec_map, cy, cx, nh, nw):
+    """{'a1','b1','b0','b2'}: motion record of each spatial neighbor or None.
+
+    rec_map[cy][cx] = motion record or None (intra / outside).
+    """
+    def at(dy, dx):
+        ny, nx = cy + dy, cx + dx
+        if 0 <= ny < nh and 0 <= nx < nw:
+            return rec_map[ny][nx]
+        return None
+    return {"a1": at(0, -1), "b1": at(-1, 0), "b0": at(-1, 1),
+            "b2": at(-1, -1)}
+
+
+def merge_cand0_b(nbrs, b_slice: bool):
+    """First merge candidate: full motion of the first available spatial
+    neighbor (A1, B1, B0, B2 order; A0 undecoded); else the zero candidate
+    (bi in B slices, L0-uni in P)."""
+    for key in ("a1", "b1", "b0", "b2"):
+        n = nbrs[key]
+        if n is not None:
+            return n
+    return (1, 1, (0, 0), (0, 0)) if b_slice else (1, 0, (0, 0), (0, 0))
+
+
+def amvp_list_b(nbrs, lx: int, cur_poc: int, poc_l: tuple):
+    """Two AMVP candidates for list lx (spec 8.5.3.2.6 with 1 ref/list).
+
+    poc_l = (poc of L0 ref, poc of L1 ref or None).  Spatial A = A1 (A0 is
+    undecoded); B = first of B0, B1, B2.  Cross-list candidates use POC
+    scaling (8.5.3.2.8); when no left neighbor is coded inter
+    (isScaledFlag == 0), the unscaled B candidate takes A's slot and the
+    scaled B search fills B — the spec's exact dance.
+    """
+    ly = 1 - lx
+    tgt = poc_l[lx]
+
+    def unscaled(n):
+        if n is None:
+            return None
+        pf = (n[0], n[1])
+        if pf[lx]:
+            return tuple(n[2 + lx])
+        if pf[ly] and poc_l[ly] == tgt:
+            return tuple(n[2 + ly])
+        return None
+
+    def scaled(n):
+        if n is None:
+            return None
+        pf = (n[0], n[1])
+        if pf[lx]:
+            mv = n[2 + lx]
+            td = cur_poc - poc_l[lx]
+        elif pf[ly]:
+            mv = n[2 + ly]
+            td = cur_poc - poc_l[ly]
+        else:
+            return None
+        tb = cur_poc - tgt
+        if td == tb:
+            return tuple(mv)
+        return (scale_mv(int(mv[0]), tb, td), scale_mv(int(mv[1]), tb, td))
+
+    a1 = nbrs["a1"]
+    is_scaled = a1 is not None          # A1 coded inter (A0 never available)
+    cand_a = unscaled(a1)
+    if cand_a is None and is_scaled:
+        cand_a = scaled(a1)
+    cand_b = None
+    for key in ("b0", "b1", "b2"):
+        cand_b = unscaled(nbrs[key])
+        if cand_b is not None:
+            break
+    if not is_scaled:
+        cand_a = cand_b                 # unscaled B takes A's slot
+        cand_b = None
+        for key in ("b0", "b1", "b2"):
+            cand_b = scaled(nbrs[key])
+            if cand_b is not None:
+                break
+    cands = []
+    if cand_a is not None:
+        cands.append(cand_a)
+    if cand_b is not None and (not cands or cand_b != cands[0]):
+        cands.append(cand_b)
     while len(cands) < 2:
         cands.append((0, 0))
     return cands
