@@ -98,6 +98,23 @@ def run(width, height, n_frames, qps, crfs):
             rows.append(dict(codec=name, q=f"qp{qp}", bytes=len(stream),
                              psnr_y=round(p, 2), ssim_y=round(s, 4),
                              fps=round(n_frames / enc_t, 2)))
+
+    # inter GOP modes (numpy reference encoder: MC + subpel; B adds IbPbP)
+    from hevc_tpu.encoder.reference_encoder_v1 import RefIntraEncoderV1
+    for name, bflag in (("ours-P(MC+subpel)", False), ("ours-B(IbPbP)", True)):
+        for qp in qps:
+            cfg = StreamConfig(width=width, height=height, qp=qp,
+                               tile_cols=tc, tile_rows=tr, deblock=True,
+                               inter=True, bframes=bflag)
+            t0 = time.time()
+            stream, recons = RefIntraEncoderV1(cfg).encode_video(frames)
+            enc_t = time.time() - t0
+            dec = avref.decode_hevc(stream)
+            p = np.mean([psnr(d[0], f[0]) for d, f in zip(dec, frames)])
+            s = np.mean([ssim_y(d[0], f[0]) for d, f in zip(dec, frames)])
+            rows.append(dict(codec=name, q=f"qp{qp}", bytes=len(stream),
+                             psnr_y=round(p, 2), ssim_y=round(s, 4),
+                             fps=round(n_frames / enc_t, 2)))
     return rows
 
 
