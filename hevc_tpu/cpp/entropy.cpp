@@ -557,12 +557,13 @@ extern "C" long hevc_entropy_encode_tile_v1(
     const uint8_t *mvp, const uint8_t *rqt, const uint8_t *cbf_yi,
     const uint8_t *cbf_cbi, const uint8_t *cbf_cri,
     int bit_depth, const int8_t *sao,   // 18 x int8 per CTU (see binding)
+    int b_slice, const uint8_t *dir, const int16_t *mvd1, const uint8_t *mvp1,
     const uint8_t *part, const int32_t *modes4,
     const uint8_t *cbf_y4, const uint8_t *cbf_cb, const uint8_t *cbf_cr,
     const uint8_t *cbf_cb4, const uint8_t *cbf_cr4,
     const int16_t *lvl_y, const int16_t *lvl_cb, const int16_t *lvl_cr,
     uint8_t *out, long cap) {
-  Cabac c(qp, p_slice ? 1 : 0);
+  Cabac c(qp, p_slice ? (b_slice ? 2 : 1) : 0);
   std::vector<uint8_t> above_skip(nw, 0);
   std::vector<uint16_t> scan16[3], scan8[3], scan4[3];
   std::vector<uint16_t> sb16[3], sb8[3], sb4[3];
@@ -612,17 +613,32 @@ extern "C" long hevc_entropy_encode_tile_v1(
           c.bin(CTX_MERGE_FLAG, mrg);
           int rqt_f = 1;
           if (!mrg) {
-            int mx = mvd[idx * 2], my = mvd[idx * 2 + 1];
-            int ax = mx < 0 ? -mx : mx, ay = my < 0 ? -my : my;
-            c.bin(CTX_MVD, ax ? 1 : 0);
-            c.bin(CTX_MVD, ay ? 1 : 0);
-            if (ax) c.bin(CTX_MVD + 1, ax > 1 ? 1 : 0);
-            if (ay) c.bin(CTX_MVD + 1, ay > 1 ? 1 : 0);
-            if (ax > 1) encode_eg1(c, (uint32_t)(ax - 2));
-            if (ax) c.bypass(mx < 0 ? 1 : 0);
-            if (ay > 1) encode_eg1(c, (uint32_t)(ay - 2));
-            if (ay) c.bypass(my < 0 ? 1 : 0);
-            c.bin(CTX_MVP, mvp[idx]);
+            int dr = (b_slice && dir) ? dir[idx] : 0;
+            if (b_slice) {
+              // inter_pred_idc (2Nx2N at depth 0): bin0 'bi?' ctx 0,
+              // if uni: bin1 'l1?' ctx 4
+              c.bin(CTX_INTER_PRED + 0, dr == 2 ? 1 : 0);
+              if (dr != 2) c.bin(CTX_INTER_PRED + 4, dr);
+            }
+            auto code_mvd = [&](int mx, int my) {
+              int ax = mx < 0 ? -mx : mx, ay = my < 0 ? -my : my;
+              c.bin(CTX_MVD, ax ? 1 : 0);
+              c.bin(CTX_MVD, ay ? 1 : 0);
+              if (ax) c.bin(CTX_MVD + 1, ax > 1 ? 1 : 0);
+              if (ay) c.bin(CTX_MVD + 1, ay > 1 ? 1 : 0);
+              if (ax > 1) encode_eg1(c, (uint32_t)(ax - 2));
+              if (ax) c.bypass(mx < 0 ? 1 : 0);
+              if (ay > 1) encode_eg1(c, (uint32_t)(ay - 2));
+              if (ay) c.bypass(my < 0 ? 1 : 0);
+            };
+            if (dr == 0 || dr == 2) {
+              code_mvd(mvd[idx * 2], mvd[idx * 2 + 1]);
+              c.bin(CTX_MVP, mvp[idx]);
+            }
+            if (dr == 1 || dr == 2) {
+              code_mvd(mvd1[idx * 2], mvd1[idx * 2 + 1]);
+              c.bin(CTX_MVP, mvp1[idx]);
+            }
             rqt_f = rqt[idx];
             c.bin(CTX_RQT_ROOT, rqt_f);
           }

@@ -49,6 +49,7 @@ def _load():
     lib.hevc_entropy_encode_tile_v1.argtypes = (
         [ctypes.c_int] * 4 + [ctypes.c_int] + [ctypes.c_void_p] * 9
         + [ctypes.c_int, ctypes.c_void_p]
+        + [ctypes.c_int] + [ctypes.c_void_p] * 3
         + [ctypes.c_void_p] * 10 + [ctypes.c_void_p, ctypes.c_long])
     _lib = lib
     return lib
@@ -57,7 +58,8 @@ def _load():
 def encode_tile_payload_v1(qp: int, dec: dict, y0: int, x0: int,
                            th: int, tw: int, last_tile: bool,
                            p_slice: bool = False, sao=None,
-                           bit_depth: int = 8) -> bytes | None:
+                           bit_depth: int = 8,
+                           b_slice: bool = False) -> bytes | None:
     """v1 tile substream from array-format decisions (device graph output)."""
     lib = _load()
     if not lib:
@@ -81,6 +83,9 @@ def encode_tile_payload_v1(qp: int, dec: dict, y0: int, x0: int,
     cbf_yi_ptr = ptr("cbf_yi", np.uint8) if p_slice else 0
     cbf_cbi_ptr = ptr("cbf_cbi", np.uint8) if p_slice else 0
     cbf_cri_ptr = ptr("cbf_cri", np.uint8) if p_slice else 0
+    dir_ptr = ptr("dir", np.uint8) if b_slice else 0
+    mvd1_ptr = ptr("mvd1", np.int16) if b_slice else 0
+    mvp1_ptr = ptr("mvp1", np.uint8) if b_slice else 0
     sao_ptr = 0
     if sao is not None:
         s = np.ascontiguousarray(sao[y0:y0 + th, x0:x0 + tw], dtype=np.int8)
@@ -103,6 +108,7 @@ def encode_tile_payload_v1(qp: int, dec: dict, y0: int, x0: int,
         1 if p_slice else 0, skip_ptr, inter_ptr, merge_ptr, mvd_ptr,
         mvp_ptr, rqt_ptr, cbf_yi_ptr, cbf_cbi_ptr, cbf_cri_ptr,
         bit_depth, sao_ptr,
+        1 if b_slice else 0, dir_ptr, mvd1_ptr, mvp1_ptr,
         part.ctypes.data, modes4.ctypes.data, cbf_y4.ctypes.data,
         cbf_cb.ctypes.data, cbf_cr.ctypes.data, cbf_cb4.ctypes.data,
         cbf_cr4.ctypes.data, lvl_y.ctypes.data, lvl_cb.ctypes.data,

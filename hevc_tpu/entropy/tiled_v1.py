@@ -234,9 +234,14 @@ def _arrays_to_ctus(dec: dict, y0: int, x0: int, th: int, tw: int
                 d = {"inter": True, "merge": merge}
                 rqt = 1 if merge else int(dec["rqt"][cy, cx])
                 if not merge:
+                    d["dir"] = int(dec["dir"][cy, cx]) if "dir" in dec else 0
                     d["mvd"] = (int(dec["mvd"][cy, cx, 0]),
                                 int(dec["mvd"][cy, cx, 1]))
                     d["mvp"] = int(dec["mvp"][cy, cx])
+                    if "mvd1" in dec:
+                        d["mvd1"] = (int(dec["mvd1"][cy, cx, 0]),
+                                     int(dec["mvd1"][cy, cx, 1]))
+                        d["mvp1"] = int(dec["mvp1"][cy, cx])
                     d["rqt"] = rqt
                 if rqt:
                     d.update(cbf_y=int(dec["cbf_yi"][cy, cx]),
@@ -279,8 +284,6 @@ def entropy_encode_frame_v1(cfg: StreamConfig, ctus,
     if isinstance(ctus, dict):
         nh, nw = ctus["part_nxn"].shape
         arrays = ctus
-        if b_slice:
-            use_cpp = False      # C++ fast path: B syntax not yet ported
         if use_cpp:
             from hevc_tpu.entropy import binding
             if binding.available():
@@ -290,7 +293,7 @@ def entropy_encode_frame_v1(cfg: StreamConfig, ctus,
                     return binding.encode_tile_payload_v1(
                         cfg.qp, arrays, y0, x0, th, tw, last,
                         p_slice=p_slice, sao=sao_arr,
-                        bit_depth=cfg.bit_depth)
+                        bit_depth=cfg.bit_depth, b_slice=b_slice)
         def tile(y0, x0, th, tw):
             return _arrays_to_ctus(arrays, y0, x0, th, tw)
     else:

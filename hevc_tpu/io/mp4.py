@@ -135,14 +135,17 @@ def _audio_trak(audio: dict, chunk_offset: int) -> bytes:
 def mux_mp4(path, samples: list[bytes], cfg, fps: Fraction | None = None,
             vps: bytes | None = None, sps: bytes | None = None,
             pps: bytes | None = None, sync_samples: list[int] | None = None,
-            hdr_metadata: dict | None = None, audio: dict | None = None
-            ) -> None:
+            hdr_metadata: dict | None = None, audio: dict | None = None,
+            composition_offsets: list[int] | None = None) -> None:
     """Write an .mp4 with one HEVC video track (+ optional AAC audio track).
 
-    samples: per-frame bitstream payloads, each a concatenation of
-    length-prefixed NAL units (utils.bitio.length_prefixed).
+    samples: per-frame bitstream payloads IN DECODE ORDER, each a
+    concatenation of length-prefixed NAL units (utils.bitio.length_prefixed).
     cfg: StreamConfig (dimensions, level, color description, bit depth).
     audio: {"packets": [bytes], "rate": int, "channels": int, "bitrate": int}.
+    composition_offsets: per-sample (display_idx - decode_idx) in FRAMES for
+    reordered (B-frame) streams; a ctts box (version 0, unsigned) is written
+    with a constant +1-frame shift so offsets stay non-negative.
     """
     fps = fps or cfg.fps
     timescale = fps.numerator
@@ -182,11 +185,17 @@ def mux_mp4(path, samples: list[bytes], cfg, fps: Fraction | None = None,
         sync_samples = list(range(1, n + 1))            # all-intra
     stss = _full(b"stss", 0, 0, struct.pack(">I", len(sync_samples)) +
                  b"".join(struct.pack(">I", i) for i in sync_samples))
+    ctts = b""
+    if composition_offsets is not None:
+        shift = max(0, -min(composition_offsets))       # keep v0 unsigned
+        entries = [(o + shift) * sample_delta for o in composition_offsets]
+        ctts = _full(b"ctts", 0, 0, struct.pack(">I", len(entries)) +
+                     b"".join(struct.pack(">II", 1, e) for e in entries))
 
     # stco needs the mdat payload offset: compute moov size iteratively
     def build_moov(chunk_offset: int) -> bytes:
         stco = _full(b"stco", 0, 0, struct.pack(">II", 1, chunk_offset))
-        stbl = _box(b"stbl", stsd + stts + stsc + stsz + stss + stco)
+        stbl = _box(b"stbl", stsd + stts + ctts + stsc + stsz + stss + stco)
         url = _full(b"url ", 0, 1, b"")
         dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + url)
         dinf = _box(b"dinf", dref)

@@ -66,3 +66,81 @@ def test_bframes_static_sequence(tmp_path):
     cfg = StreamConfig(width=64, height=48, qp=32, inter=True, bframes=True)
     stream, recons = _run(frames, cfg)
     assert _avref_exact(stream, recons, tmp_path)
+
+
+def test_cpp_b_entropy_identical():
+    """C++ B-slice tile entropy must be byte-identical to Python."""
+    from hevc_tpu.entropy import binding
+    from hevc_tpu.entropy.tiled_v1 import encode_tile_payload_v1, \
+        _arrays_to_ctus
+    if not binding.available():
+        pytest.skip("C++ entropy unavailable")
+    rng = np.random.default_rng(4)
+    nh, nw = 4, 5
+    inter = (rng.random((nh, nw)) < 0.6)
+    d = {
+        "skip": (rng.random((nh, nw)) < 0.3) & ~inter,
+        "inter": inter,
+        "merge": rng.random((nh, nw)) < 0.4,
+        "dir": rng.integers(0, 3, (nh, nw)).astype(np.uint8),
+        "mvd": rng.integers(-70, 71, (nh, nw, 2), np.int16),
+        "mvd1": rng.integers(-70, 71, (nh, nw, 2), np.int16),
+        "mvp": rng.integers(0, 2, (nh, nw), np.int32),
+        "mvp1": rng.integers(0, 2, (nh, nw), np.int32),
+        "rqt": (rng.random((nh, nw)) < 0.7).astype(np.int32),
+        "cbf_yi": np.ones((nh, nw), np.uint8),
+        "cbf_cbi": (rng.random((nh, nw)) < 0.5).astype(np.uint8),
+        "cbf_cri": (rng.random((nh, nw)) < 0.5).astype(np.uint8),
+        "part_nxn": rng.random((nh, nw)) < 0.4,
+        "modes4": rng.integers(0, 35, (nh, nw, 4), np.int32),
+        "cbf_y4": np.ones((nh, nw, 4), np.uint8),
+        "cbf_cb4": np.ones((nh, nw, 4), np.uint8),
+        "cbf_cr4": np.ones((nh, nw, 4), np.uint8),
+        "cbf_cb": np.ones((nh, nw), np.uint8),
+        "cbf_cr": np.ones((nh, nw), np.uint8),
+        "lvl_y": rng.integers(-30, 31, (nh, nw, 16, 16), np.int16),
+        "lvl_cb": rng.integers(-8, 9, (nh, nw, 8, 8), np.int16),
+        "lvl_cr": rng.integers(-8, 9, (nh, nw, 8, 8), np.int16),
+    }
+    for a, v in (("lvl_y", 3), ("lvl_cb", 2), ("lvl_cr", 2)):
+        h2, w2 = d[a].shape[-2] // 2, d[a].shape[-1] // 2
+        d[a][..., 0, 0] = v
+        d[a][..., h2, w2] = v
+        d[a][..., 0, w2] = v
+        d[a][..., h2, 0] = v
+    for last in (False, True):
+        for qp in (12, 30, 45):
+            cfg = StreamConfig(width=nw * 16, height=nh * 16, qp=qp)
+            py = encode_tile_payload_v1(
+                cfg, _arrays_to_ctus(d, 0, 0, nh, nw), last,
+                p_slice=True, b_slice=True)
+            cpp = binding.encode_tile_payload_v1(
+                qp, d, 0, 0, nh, nw, last, p_slice=True, b_slice=True)
+            assert py == cpp, (last, qp)
+
+
+def test_mp4_ctts_b_stream(tmp_path):
+    """B streams mux with ctts composition offsets; libavformat/libavcodec
+    return frames in display order, bit-exact."""
+    from hevc_tpu.io.mp4 import mux_mp4
+    from hevc_tpu.utils.bitio import split_annexb, length_prefixed
+    frames = _pan_sequence(W=96, H=64, F=6, step=(2, 3))
+    cfg = StreamConfig(width=96, height=64, qp=31, inter=True, bframes=True)
+    stream, recons = RefIntraEncoderV1(cfg).encode_video(frames)
+    nals = split_annexb(stream)
+    slices = [x for x in nals if ((x[0] >> 1) & 0x3F) < 32]
+    assert len(slices) == 6
+    # decode order I P2 B1 P4 B3 P5(trailing): display indices per sample
+    display = [0, 2, 1, 4, 3, 5]
+    comp = [d - i for i, d in enumerate(display)]
+    samples = [length_prefixed([s]) for s in slices]
+    from hevc_tpu.entropy.headers import write_vps, write_sps, write_pps
+    out = tmp_path / "b.mp4"
+    mux_mp4(out, samples, cfg, vps=write_vps(cfg), sps=write_sps(cfg),
+            pps=write_pps(cfg), sync_samples=[1],
+            composition_offsets=comp)
+    dec = avref.decode_file(str(out))
+    assert len(dec) == 6
+    for i in range(6):
+        for j, k in ((0, "y"), (1, "cb"), (2, "cr")):
+            assert np.array_equal(dec[i][j].astype(np.int32), recons[i][k]), i
