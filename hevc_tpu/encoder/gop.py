@@ -63,18 +63,12 @@ def _gop_step_jit(ya, cba, cra, pad_y, pad_cb, pad_cr, qp, lam_bits,
         cbf_s = outs[14] & outs[19]
         mv_s = outs[22]
         nxn_s = outs[0] & intra_s
-    sao_srcs = None
-    if sao:
-        def asm_src(a):
-            n = a.shape[-1]
-            x = a.reshape(tr, tc_, tnh, tnw, n, n)
-            return x.transpose(0, 2, 4, 1, 3, 5).reshape(tr * tnh * n,
-                                                         tc_ * tnw * n)
-        sao_srcs = (asm_src(ya), asm_src(cba), asm_src(cra))
+    # with SAO on, stop after deblocking: SAO + padding run as a SECOND
+    # dispatch (sao_pad_jit) — fusing them into this graph de-optimizes the
+    # encode scan by ~40 ms/frame at 1080p (XLA layout/scheduling)
     d = assemble_deblock_pad_jit.__wrapped__(
         outs[10], outs[11], outs[12], qp, intra_s, cbf_s, mv_s, nxn_s,
-        tnh, tnw, tr, tc_, bit_depth, deblock, sao_srcs=sao_srcs,
-        lam16=lam16)
+        tnh, tnw, tr, tc_, bit_depth, deblock, do_pad=not sao)
     return tuple(outs) + tuple(d)
 
 
@@ -334,6 +328,13 @@ class GopEncoder:
             self.enable_nxn if is_idr else self.nxn_p, cfg.deblock, is_idr,
             cfg.sao, self.subpel)
         nk = 13 if is_idr else 23
+        if cfg.sao:
+            from hevc_tpu.ops.deblock_jax import sao_pad_jit
+            souts = sao_pad_jit(outs[nk], outs[nk + 1], outs[nk + 2],
+                                ya, cba, cra, jnp.asarray(qp),
+                                jnp.asarray(lam16, jnp.int32),
+                                tnh, tnw, tr, tc, cfg.bit_depth)
+            outs = tuple(outs[:nk]) + tuple(souts)
         self._ref_blocks = outs[nk + 3:nk + 6]
         host = jax.device_get(list(outs[:nk]) + list(outs[nk:nk + 3])
                               + list(outs[nk + 6:]))

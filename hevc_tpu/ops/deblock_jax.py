@@ -186,7 +186,7 @@ def _pad_tiles_j(plane, tr, tc_, m):
 
 def _deblock_pad_body(y, cb, cr, qp, intra, cbf, mv, nxn,
                       tr, tc_, bit_depth, deblock, across_tiles,
-                      sao_srcs=None, lam16=None):
+                      sao_srcs=None, lam16=None, do_pad=True):
     from hevc_tpu.encoder.rowscan_v1 import MARGIN, MARGIN_C
     H, W = y.shape
     nh, nw = intra.shape
@@ -205,12 +205,17 @@ def _deblock_pad_body(y, cb, cr, qp, intra, cbf, mv, nxn,
         cr = _chroma_pass_j(cr.T, qpc, intra.T, tile_rows, bit_depth).T
     sao_params = None
     if sao_srcs is not None:
-        # SAO between deblocking and reference padding (spec order)
+        # SAO between deblocking and reference padding (spec order).
+        # The barrier stops XLA from interleaving/rematerializing the
+        # deblock outputs into the SAO stats (a 40 ms pathology at 1080p
+        # without it).
         from hevc_tpu.ops.sao_jax import sao_frame_j
         txp = tuple(m * 16 for m in tile_cols)
         typ_ = tuple(m * 16 for m in tile_rows)
         (y, cb, cr), sao_params = sao_frame_j(
             sao_srcs, (y, cb, cr), 16, bit_depth, lam16, txp, typ_)
+    if not do_pad:
+        return (y, cb, cr) + (sao_params if sao_params is not None else ())
     pad_y = _pad_tiles_j(y, tr, tc_, MARGIN)
     pad_cb = _pad_tiles_j(cb, tr, tc_, MARGIN_C)
     pad_cr = _pad_tiles_j(cr, tr, tc_, MARGIN_C)
@@ -234,11 +239,11 @@ def deblock_pad_jit(y, cb, cr, qp, intra, cbf, mv, nxn,
 
 
 @partial(jax.jit, static_argnames=("tnh", "tnw", "tr", "tc_", "bit_depth",
-                                   "deblock"))
+                                   "deblock", "do_pad"))
 def assemble_deblock_pad_jit(rec_y, rec_cb, rec_cr, qp,
                              intra_s, cbf_s, mv_s, nxn_s,
                              tnh, tnw, tr, tc_, bit_depth=8, deblock=True,
-                             sao_srcs=None, lam16=None):
+                             sao_srcs=None, lam16=None, do_pad=True):
     """Step-major kernel outputs -> deblocked frame + padded refs, on device.
 
     rec_*: (steps, T, n, n) with steps = tnh*tnw (row-scan order) and
@@ -263,4 +268,34 @@ def assemble_deblock_pad_jit(rec_y, rec_cb, rec_cr, qp,
     return _deblock_pad_body(y, cb, cr, qp, asm_map(intra_s), asm_map(cbf_s),
                              asm_map(mv_s.astype(I32)), asm_map(nxn_s),
                              tr, tc_, bit_depth, deblock, False,
-                             sao_srcs=sao_srcs, lam16=lam16)
+                             sao_srcs=sao_srcs, lam16=lam16, do_pad=do_pad)
+
+
+@partial(jax.jit, static_argnames=("tnh", "tnw", "tr", "tc_", "bit_depth"))
+def sao_pad_jit(dy, dcb, dcr, ya, cba, cra, qp, lam16,
+                tnh, tnw, tr, tc_, bit_depth=8):
+    """Second GOP dispatch when SAO is on: SAO on the deblocked planes, then
+    halo-padded reference construction.
+
+    Splitting this from the encode+deblock graph avoids an XLA scheduling
+    pathology where the shared source arrays de-optimize the scan (+40 ms
+    at 1080p when fused)."""
+    from hevc_tpu.encoder.rowscan_v1 import MARGIN, MARGIN_C
+    from hevc_tpu.ops.sao_jax import sao_frame_j
+
+    def asm_src(a):
+        n = a.shape[-1]
+        x = a.reshape(tr, tc_, tnh, tnw, n, n)
+        return x.transpose(0, 2, 4, 1, 3, 5).reshape(tr * tnh * n,
+                                                     tc_ * tnw * n)
+
+    nh, nw = tr * tnh, tc_ * tnw
+    tile_cols = tuple(((i + 1) * nw // tc_) * 16 for i in range(tc_ - 1))
+    tile_rows = tuple(((j + 1) * nh // tr) * 16 for j in range(tr - 1))
+    srcs = (asm_src(ya), asm_src(cba), asm_src(cra))
+    (y, cb, cr), params = sao_frame_j(srcs, (dy, dcb, dcr), 16, bit_depth,
+                                      lam16, tile_cols, tile_rows)
+    pad_y = _pad_tiles_j(y, tr, tc_, MARGIN)
+    pad_cb = _pad_tiles_j(cb, tr, tc_, MARGIN_C)
+    pad_cr = _pad_tiles_j(cr, tr, tc_, MARGIN_C)
+    return (y, cb, cr, pad_y, pad_cb, pad_cr) + params

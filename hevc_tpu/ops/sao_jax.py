@@ -36,9 +36,8 @@ def eo_cats_j(rec, tile_x=(), tile_y=()):
     estimator ignores tile boundaries (mirror of the numpy reference),
     the applier masks them.
     """
+    import numpy as _np
     H, W = rec.shape
-    xs = jnp.arange(W)[None, :]
-    ys = jnp.arange(H)[:, None]
     cats_est, cats_app = [], []
     for cls, ((dy0, dx0), (dy1, dx1)) in enumerate(_EO):
         n0, v0 = _shift2(rec, dy0, dx0)
@@ -48,20 +47,26 @@ def eo_cats_j(rec, tile_x=(), tile_y=()):
                       jnp.where(s == 1, 3, jnp.where(s == 2, 4, 0))))
         base = jnp.where(v0 & v1, k, 0)
         cats_est.append(base)
-        tm = jnp.ones((H, W), bool)
+        # tile-boundary neighbor masks are STATIC: build once in numpy
+        colm = _np.ones(W, bool)
+        rowm = _np.ones(H, bool)
         for xb in tile_x:
             for dx in (dx0, dx1):
-                if dx > 0:
-                    tm = tm & ~(xs == xb - 1)
-                elif dx < 0:
-                    tm = tm & ~(xs == xb)
+                if dx > 0 and 1 <= xb <= W:
+                    colm[xb - 1] = False
+                elif dx < 0 and 0 <= xb < W:
+                    colm[xb] = False
         for yb in tile_y:
             for dy in (dy0, dy1):
-                if dy > 0:
-                    tm = tm & ~(ys == yb - 1)
-                elif dy < 0:
-                    tm = tm & ~(ys == yb)
-        cats_app.append(jnp.where(tm, base, 0))
+                if dy > 0 and 1 <= yb <= H:
+                    rowm[yb - 1] = False
+                elif dy < 0 and 0 <= yb < H:
+                    rowm[yb] = False
+        if colm.all() and rowm.all():
+            cats_app.append(base)
+        else:
+            tm = jnp.asarray(_np.outer(rowm, colm))
+            cats_app.append(jnp.where(tm, base, 0))
     return cats_est, cats_app
 
 
