@@ -1,13 +1,15 @@
 """Benchmark: 1080p GOP (MC inter) encode throughput per chip vs libx265.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-value  = frames/second of the production encode path: the on-chip P-frame
-         loop (MC search + TU + deblock + ref padding, no host pixel
-         round-trips) pipelined against host CABAC (C++, tile-parallel) —
-         conservative serial accounting of max(device, entropy).
+value  = frames/second of the REAL production encode loop — the same
+         pipelined path convert_video runs: fused on-chip P-frame step
+         (MC search + TU + deblock + ref padding) dispatched for frame N+1
+         while frame N's decision fetch + host CABAC (C++, tile-parallel)
+         run on the GopEncoder worker thread.  Wall-clock measured around
+         the whole loop; no per-stage max() accounting.
 vs_baseline = value / libx265-medium fps (inter, same GOP) on this host's
          CPU — the reference's CPU encode path (BASELINE.md).
-Detail lines go to stderr.
+Detail lines (device-only, entropy-only, 4K row) go to stderr.
 """
 from __future__ import annotations
 
@@ -22,46 +24,59 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
+def pipeline_fps(enc, frames, iters=2):
+    """Sustained fps of the production pipelined loop (steady-state P)."""
+    from collections import deque
+    F = len(frames)
+    # warm: one pass (compiles cached by caller's warmup)
+    t0 = time.time()
+    n = 0
+    for _ in range(iters):
+        pending = deque()
+        for i, f in enumerate(frames):
+            fut = enc.encode_next_async(*f, idr=False)
+            pending.append(fut)
+            n += 1
+            while len(pending) > 2:
+                pending.popleft().result()
+        while pending:
+            pending.popleft().result()
+    return n / (time.time() - t0)
+
+
+def bench_res(W, H, F, QP, label, synth_frame, baseline=False):
     import jax
     import jax.numpy as jnp
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          "/root/.cache/jax_comp")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
-    except Exception:
-        pass
-    log("devices:", jax.devices())
-
-    sys.path.insert(0, "tests")
-    from generate_test_videos import synth_frame
     from hevc_tpu.encoder.frame_jax import pick_tile_grid
     from hevc_tpu.encoder.gop import GopEncoder
     from hevc_tpu.entropy.headers import StreamConfig
     from hevc_tpu.entropy.tiled_v1 import entropy_encode_frame_v1
 
-    W, H, F, QP, GOP = 1920, 1080, 8, 27, 30
     frames = [tuple(np.asarray(p, np.int32) for p in synth_frame(W, H, t))
               for t in range(F)]
     tc, tr = pick_tile_grid((H + 15) // 16, (W + 15) // 16)
-    log(f"tile grid: {tc}x{tr}")
+    log(f"[{label}] tile grid: {tc}x{tr}")
     cfg = StreamConfig(width=W, height=H, qp=QP, tile_cols=tc, tile_rows=tr,
                        inter=True)                 # the medium preset
     enc = GopEncoder(cfg)            # medium preset (NxN + MC), the default
 
-    # ---- end-to-end GOP encode (compile + host entropy + transfers) ----
+    # ---- warm up / compile + collect real decisions ----
     t0 = time.time()
-    nals = []
-    decs = []
+    nals, decs = [], []
     for i, f in enumerate(frames):
         nal, _ = enc.encode_next(*f, idr=(i == 0))
         nals.append(nal)
         decs.append(enc._last_dec)
-    log(f"compile+first GOP: {time.time()-t0:.1f}s, "
+    log(f"[{label}] compile+first GOP: {time.time()-t0:.1f}s, "
         f"{sum(len(n) for n in nals)} bytes "
         f"({sum(len(n) for n in nals)*8*30/F/1e6:.2f} Mbps @30fps)")
 
-    # ---- device-only steady-state P loop (sources preloaded on device) ----
+    # ---- the canonical number: the real pipelined loop ----
+    fps = pipeline_fps(enc, frames)
+    log(f"[{label}] pipelined end-to-end: {1000/fps:.1f} ms/frame "
+        f"= {fps:.2f} fps")
+
+    # ---- diagnostics: device-only steady-state P loop ----
     from hevc_tpu.encoder.gop import _gop_step_jit
     from hevc_tpu.encoder.rowscan_v1 import RowScanEncoderV1
     from hevc_tpu.encoder.ctu_modes import skip_lambda16
@@ -86,6 +101,7 @@ def main():
                              False, True)           # medium: subpel, no SAO
         return outs, outs[26:29]
 
+    import jax
     outs, pads = p_step(srcs[0], pads)   # warm (compiled already)
     jax.block_until_ready(pads)
     iters = 2
@@ -95,40 +111,60 @@ def main():
             outs, pads = p_step(s, pads)
         jax.block_until_ready(pads)
     dev_only = (time.time() - t0) / (iters * F)
-    log(f"device-only P loop (MC+TU+deblock+pad): {dev_only*1000:.1f} "
-        f"ms/frame = {1/dev_only:.1f} fps")
+    log(f"[{label}] device-only P loop: {dev_only*1000:.1f} ms/frame "
+        f"= {1/dev_only:.1f} fps")
 
-    # ---- host entropy on the real decisions (C++ fast path) ----
+    # ---- diagnostics: host entropy on the real decisions ----
     t0 = time.time()
     for i, d in enumerate(decs):
         entropy_encode_frame_v1(cfg, d, poc=None if i == 0 else i)
     entropy_s = (time.time() - t0) / F
-    log(f"host entropy: {entropy_s*1000:.1f} ms/frame")
+    log(f"[{label}] host entropy: {entropy_s*1000:.1f} ms/frame")
 
-    ours_fps = 1.0 / max(dev_only, entropy_s)
-    log(f"ours: {ours_fps:.2f} fps 1080p GOP")
-
-    # ---- baseline: libx265-medium (inter), same GOP length ----
     base_fps = 0.0
+    if baseline:
+        try:
+            from hevc_tpu.validate import avref
+            if avref.available():
+                u8 = [tuple(np.asarray(p, np.uint8) for p in f)
+                      for f in frames]
+                t0 = time.time()
+                bs = avref.encode(u8, "libx265", crf=23, preset="medium",
+                                  opts="x265-params=keyint=30:no-scenecut=1")
+                base_s = time.time() - t0
+                base_fps = F / base_s
+                log(f"[{label}] libx265-medium baseline: {base_fps:.2f} fps "
+                    f"({len(bs)} bytes)")
+        except Exception as e:
+            log("baseline failed:", e)
+    return fps, base_fps
+
+
+def main():
+    import jax
     try:
-        from hevc_tpu.validate import avref
-        if avref.available():
-            u8 = [tuple(np.asarray(p, np.uint8) for p in f) for f in frames]
-            t0 = time.time()
-            bs = avref.encode(u8, "libx265", crf=23, preset="medium",
-                              opts=f"x265-params=keyint={GOP}:no-scenecut=1")
-            base_s = time.time() - t0
-            base_fps = F / base_s
-            log(f"libx265-medium baseline: {base_fps:.2f} fps "
-                f"({len(bs)} bytes)")
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/.cache/jax_comp")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
+    log("devices:", jax.devices())
+    sys.path.insert(0, "tests")
+    from generate_test_videos import synth_frame
+
+    fps, base_fps = bench_res(1920, 1080, 8, 27, "1080p", synth_frame,
+                              baseline=True)
+    try:
+        fps4k, _ = bench_res(3840, 2160, 4, 27, "4k", synth_frame)
+        log(f"[4k] {fps4k:.2f} fps (north star: 30)")
     except Exception as e:
-        log("baseline failed:", e)
+        log("4k bench failed:", e)
 
     print(json.dumps({
         "metric": "1080p_gop_encode_fps_per_chip_vs_x265_medium",
-        "value": round(ours_fps, 3),
+        "value": round(fps, 3),
         "unit": "fps",
-        "vs_baseline": round(ours_fps / base_fps, 3) if base_fps else 0.0,
+        "vs_baseline": round(fps / base_fps, 3) if base_fps else 0.0,
     }))
 
 

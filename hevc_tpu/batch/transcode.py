@@ -36,9 +36,14 @@ log = logging.getLogger(__name__)
 RETRY_LADDER = [0, 1, 2, 3]
 
 
-def decide_encoder(force_cpu: bool, force_gpu: bool) -> bool:
-    """True -> TPU fast path (reference decide_encoder, transcoder.py:70-75)."""
+def decide_encoder(force_cpu: bool, force_gpu: bool,
+                   nvenc_hdr_mode: str = "auto") -> bool:
+    """True -> TPU fast path.  Exact reference precedence (monolith
+    decide_encoder, apple_hevc_batch.py:278-285): force_cpu first, then
+    nvenc_hdr_mode == 'disable' forces the robust path, then availability."""
     if force_cpu:
+        return False
+    if nvenc_hdr_mode == "disable":
         return False
     if force_gpu:
         return True
@@ -99,7 +104,7 @@ def convert_video(file_path, out_dir, progress_callback=None, debug=False,
         log.info("plan for %s: %s level=%s tier=%s", file_path.name,
                  plan.as_dict(), level.level, level.tier_high)
 
-    use_fast = decide_encoder(force_cpu, force_gpu)
+    use_fast = decide_encoder(force_cpu, force_gpu, nvenc_hdr_mode)
     from hevc_tpu.planner.presets import select_preset, degrade, PRESETS
     base_preset = (PRESETS[preset] if preset else
                    select_preset(info.width, info.height, info.is_hdr))
@@ -247,7 +252,8 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
     from hevc_tpu.encoder.toplevel import VideoEncoder, entropy_encode_frame
     from hevc_tpu.io.mp4 import mux_mp4
     from hevc_tpu.utils.bitio import length_prefixed
-    from hevc_tpu.entropy.headers import write_vps, write_sps, write_pps
+    from hevc_tpu.entropy.headers import write_vps, write_sps, write_pps, \
+        write_aud
 
     h, w = frames[0][0].shape
     fps = Fraction(info.fps).limit_denominator(1001) if info.fps else Fraction(30)
@@ -299,35 +305,60 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
         # picture), tiles stay the device batch.  Resume restarts at the
         # last IDR-aligned checkpoint so the DPB can be rebuilt.
         from hevc_tpu.encoder.gop import GopEncoder
+        from hevc_tpu.utils.metrics import EncodeStats
+        from collections import deque
         # truncating to a GOP boundary makes the next frame an IDR, which
         # needs no DPB state
         samples = samples[:(len(samples) // gop) * gop]
         i = len(samples)
         last_ckpt = i
         genc = GopEncoder(cfg, enable_nxn=nxn)
+        stats = EncodeStats(w, h, float(fps))
+        # device/host pipeline: frame N+1's device step is dispatched while
+        # frame N's decision fetch + CABAC run on the GopEncoder worker
+        # thread.  The rate controller sees frame bits with one frame of lag.
+        pending: deque = deque()
+
+        def drain_one():
+            nonlocal last_ckpt
+            j, is_idr_j, fut = pending.popleft()
+            nal = fut.result()
+            samples.append(length_prefixed(
+                [write_aud(0 if is_idr_j else 1), nal]))
+            stats.frame_done(len(nal))
+            if rc is not None:
+                rc.update(len(nal) * 8)
+            done = j + 1
+            if fp is not None and done - last_ckpt >= 32 and done % gop == 0:
+                from hevc_tpu.batch import resume as RZ
+                RZ.save_checkpoint(out_path, fp, samples)
+                last_ckpt = done
+            if progress_callback:
+                try:
+                    progress_callback(file_name, done, total)
+                except Exception:
+                    pass
+
         while i < total:
             if stop_event is not None and stop_event.is_set():
+                for _, _, fut in pending:
+                    fut.cancel()
                 return "CANCELLED"
             if time.time() > deadline:
                 raise TimeoutError("per-file encode timeout")
             f = frames[i]
             cur_qp = rc.qp if rc is not None else cfg.qp
-            nal, _ = genc.encode_next(
+            is_idr = i % gop == 0
+            fut = genc.encode_next_async(
                 np.asarray(f[0], np.int32), np.asarray(f[1], np.int32),
-                np.asarray(f[2], np.int32), idr=(i % gop == 0), qp=cur_qp)
-            samples.append(length_prefixed([nal]))
-            if rc is not None:
-                rc.update(len(nal) * 8)
+                np.asarray(f[2], np.int32), idr=is_idr, qp=cur_qp)
+            pending.append((i, is_idr, fut))
             i += 1
-            if fp is not None and i - last_ckpt >= 32 and i % gop == 0:
-                from hevc_tpu.batch import resume as RZ
-                RZ.save_checkpoint(out_path, fp, samples)
-                last_ckpt = i
-            if progress_callback:
-                try:
-                    progress_callback(file_name, i, total)
-                except Exception:
-                    pass
+            while len(pending) > 2:
+                drain_one()
+        while pending:
+            drain_one()
+        log.info("encode stats %s: %s", file_name, stats.summary())
         hdr_md = build_hdr_metadata(info)
         mux_mp4(out_path, samples, cfg, fps=fps,
                 vps=write_vps(cfg), sps=write_sps(cfg), pps=write_pps(cfg),
@@ -368,7 +399,7 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
                 ent = entropy_encode_frame_tiled
             for r in results:
                 nal = ent(bcfg, r)
-                samples.append(length_prefixed([nal]))
+                samples.append(length_prefixed([write_aud(0), nal]))
                 if rc is not None:
                     rc.update(len(nal) * 8)
         else:
@@ -376,7 +407,7 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
                 nal, _ = enc.encode_frame(np.asarray(f[0], np.int32),
                                           np.asarray(f[1], np.int32),
                                           np.asarray(f[2], np.int32))
-                samples.append(length_prefixed([nal]))
+                samples.append(length_prefixed([write_aud(0), nal]))
         i += len(chunk)
         if fp is not None and i - last_ckpt >= 32:
             from hevc_tpu.batch import resume as RZ

@@ -104,6 +104,8 @@ class GopEncoder:
                  mc: bool = True, nxn_p: bool | None = None,
                  subpel: bool = True):
         assert cfg.inter, "GopEncoder requires cfg.inter"
+        from hevc_tpu.utils.jaxcfg import ensure_compile_cache
+        ensure_compile_cache()
         self.cfg = cfg
         self.enable_nxn = enable_nxn
         self.mc = mc        # motion search (False: zero-MV skip only)
@@ -116,6 +118,8 @@ class GopEncoder:
         """Drop DPB state; the next frame must be an IDR."""
         self._ref_blocks = None
         self._poc = 0
+        self._pool = None
+        self._last_host = None
 
     def parameter_sets(self) -> list[bytes]:
         return [write_vps(self.cfg), write_sps(self.cfg), write_pps(self.cfg)]
@@ -273,30 +277,60 @@ class GopEncoder:
         idr forces an IDR; otherwise P against the previous picture.  qp
         overrides cfg.qp for this frame (per-slice rate control).
         """
+        fut = self.encode_next_async(y, cb, cr, idr=idr, qp=qp)
+        if fut is None:
+            return self._encode_next_sync(y, cb, cr, idr=idr, qp=qp)
+        nal = fut.result()
+        ref = {"y": self._last_host[0], "cb": self._last_host[1],
+               "cr": self._last_host[2]}
+        return nal, ref
+
+    def encode_next_async(self, y, cb, cr, idr: bool = False,
+                          qp: int | None = None):
+        """Pipelined encode: dispatches this frame's fused device step NOW and
+        returns a Future of the slice NAL; the host stage (decision fetch +
+        CABAC) runs on a worker thread, overlapping the device encode of the
+        NEXT frame (SURVEY §2: 'CABAC host stage overlaps with on-chip
+        encode').  Returns None in non-MC mode (the robust path is serial).
+
+        The dependency chain stays correct: the next dispatch consumes
+        `self._ref_blocks`, which are device arrays produced by THIS dispatch
+        (XLA queues them in order); only decision arrays cross to the host.
+        """
+        if not self.mc:
+            return None
         import dataclasses
         qp = self.cfg.qp if qp is None else qp
         cfg_f = dataclasses.replace(self.cfg, qp=qp) \
             if qp != self.cfg.qp else self.cfg
-        if not self.mc:
-            if idr or self._ref_blocks is None:
-                dec, recon, dev = self._frame_decisions(y, cb, cr, None, qp)
-                self._poc = 0
-                nal = entropy_encode_frame_v1(cfg_f, dec)
-            else:
-                dec, recon, dev = self._frame_decisions(
-                    y, cb, cr, self._ref_blocks, qp)
-                self._poc += 1
-                nal = entropy_encode_frame_v1(cfg_f, dec, poc=self._poc)
-            self._last_dec = dec
-            ref = self._deblocked(recon, dec, qp)
-            yb, cbb, crb = self._to_blocks(ref["y"], ref["cb"], ref["cr"])
-            self._ref_blocks = (jnp.asarray(self._tsplit(yb, 16)),
-                                jnp.asarray(self._tsplit(cbb, 8)),
-                                jnp.asarray(self._tsplit(crb, 8)))
-            return nal, ref
+        outs, nk, is_idr = self._dispatch_frame(y, cb, cr, idr, qp)
+        self._poc = 0 if is_idr else self._poc + 1
+        poc = None if is_idr else self._poc
+        if self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(1, "gop-entropy")
 
-        # MC mode: ONE fused device dispatch per frame (kernel + deblock +
-        # ref padding), one batched host fetch of the decision arrays.
+        def host_stage():
+            from hevc_tpu.utils.metrics import GLOBAL_TIMERS
+            with GLOBAL_TIMERS.stage("host_fetch"):
+                host = jax.device_get(list(outs[:nk])
+                                      + list(outs[nk:nk + 3])
+                                      + list(outs[nk + 6:]))
+            dec = self._dec_from_outs(host[:nk], p_mc=not is_idr)
+            sao_lists = _sao_param_lists(host[nk + 3:nk + 12]) \
+                if self.cfg.sao else None
+            with GLOBAL_TIMERS.stage("entropy"):
+                nal = entropy_encode_frame_v1(cfg_f, dec, sao=sao_lists,
+                                              poc=poc)
+            self._last_dec = dec
+            self._last_host = (host[nk], host[nk + 1], host[nk + 2])
+            return nal
+
+        return self._pool.submit(host_stage)
+
+    def _dispatch_frame(self, y, cb, cr, idr: bool, qp: int):
+        """One fused device dispatch (kernel + deblock [+ SAO] + ref pad);
+        updates the device-side DPB and returns (outs, nk, is_idr)."""
         cfg = self.cfg
         yb, cbb, crb = self._to_blocks(np.asarray(y, np.int32),
                                        np.asarray(cb, np.int32),
@@ -336,16 +370,32 @@ class GopEncoder:
                                 tnh, tnw, tr, tc, cfg.bit_depth)
             outs = tuple(outs[:nk]) + tuple(souts)
         self._ref_blocks = outs[nk + 3:nk + 6]
-        host = jax.device_get(list(outs[:nk]) + list(outs[nk:nk + 3])
-                              + list(outs[nk + 6:]))
-        dec = self._dec_from_outs(host[:nk], p_mc=not is_idr)
-        sao_lists = _sao_param_lists(host[nk + 3:nk + 12]) if cfg.sao else None
-        self._poc = 0 if is_idr else self._poc + 1
-        nal = entropy_encode_frame_v1(cfg_f, dec, sao=sao_lists,
-                                      poc=None if is_idr else self._poc)
-        self._last_dec = dec
-        ref = {"y": host[nk], "cb": host[nk + 1], "cr": host[nk + 2]}
-        return nal, ref
+        return outs, nk, is_idr
+
+    def _encode_next_sync(self, y, cb, cr, idr: bool = False,
+                          qp: int | None = None) -> tuple[bytes, dict]:
+        import dataclasses
+        qp = self.cfg.qp if qp is None else qp
+        cfg_f = dataclasses.replace(self.cfg, qp=qp) \
+            if qp != self.cfg.qp else self.cfg
+        if not self.mc:
+            if idr or self._ref_blocks is None:
+                dec, recon, dev = self._frame_decisions(y, cb, cr, None, qp)
+                self._poc = 0
+                nal = entropy_encode_frame_v1(cfg_f, dec)
+            else:
+                dec, recon, dev = self._frame_decisions(
+                    y, cb, cr, self._ref_blocks, qp)
+                self._poc += 1
+                nal = entropy_encode_frame_v1(cfg_f, dec, poc=self._poc)
+            self._last_dec = dec
+            ref = self._deblocked(recon, dec, qp)
+            yb, cbb, crb = self._to_blocks(ref["y"], ref["cb"], ref["cr"])
+            self._ref_blocks = (jnp.asarray(self._tsplit(yb, 16)),
+                                jnp.asarray(self._tsplit(cbb, 8)),
+                                jnp.asarray(self._tsplit(crb, 8)))
+            return nal, ref
+        raise AssertionError("MC mode is handled by encode_next_async")
 
     def encode_video(self, frames, gop: int = 0):
         """frames: [(y, cb, cr)] -> (annexb bytes, deblocked recons)."""

@@ -842,6 +842,8 @@ class RowScanEncoderV1:
     """Host wrapper for the v1 (NxN-capable) row-scan graph."""
 
     def __init__(self, qp: int, bit_depth: int = 8):
+        from hevc_tpu.utils.jaxcfg import ensure_compile_cache
+        ensure_compile_cache()
         self.qp = qp
         self.bit_depth = bit_depth
         qp_eff = qp + 6 * (bit_depth - 8)

@@ -10,7 +10,21 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from fractions import Fraction
 
-from hevc_tpu.utils.bitio import BitWriter, make_nal, NAL_VPS, NAL_SPS, NAL_PPS
+from hevc_tpu.utils.bitio import BitWriter, make_nal, NAL_VPS, NAL_SPS, \
+    NAL_PPS, NAL_AUD
+
+
+def write_aud(pic_type: int = 2) -> bytes:
+    """Access-unit delimiter NAL (spec 7.3.2.5): pic_type 0=I, 1=P+I, 2=B+P+I.
+
+    The reference forces `-aud 1` into every encode command for Apple
+    compliance (reference core/transcoder.py:148-153); every MP4 sample this
+    framework muxes starts with one.
+    """
+    w = BitWriter()
+    w.u(pic_type, 3)
+    w.rbsp_trailing_bits()
+    return make_nal(NAL_AUD, w.bytes())
 
 # color description name -> code (spec Table E.3/E.4/E.5 subsets)
 PRIMARIES = {"bt709": 1, "unknown": 2, "bt470bg": 5, "smpte170m": 6,

@@ -11,23 +11,28 @@ from dataclasses import dataclass
 
 from hevc_tpu.io.videoinfo import VideoInfo
 
-# level -> (max luma samples/frame, max luma samples/sec, max bitrate bps
-#           (main tier), max CPB bits (main tier), main-tier kbps,
-#           high-tier kbps) -- reference core/transcoder.py:158-172
+# level -> (max luma samples/frame, max luma samples/sec,
+#           conservative max bitrate bps, conservative max CPB bits,
+#           main-tier kbps, high-tier kbps)
+# Exact values from the reference planner (reference core/transcoder.py:
+# 158-172 == apple_hevc_batch.py:288-302): the bitrate/CPB columns are the
+# reference's deliberately conservative VBV envelope, NOT the spec maxima —
+# preserved verbatim per SURVEY §7's behavior checklist (C4).
 HEVC_LEVEL_LIMITS: dict[float, tuple] = {
-    1.0: (36864, 552960, 128_000, 350_000, 128, 128),
-    2.0: (122880, 3_686_400, 1_500_000, 1_500_000, 1500, 1500),
-    2.1: (245760, 7_372_800, 3_000_000, 3_000_000, 3000, 3000),
-    3.0: (552960, 16_588_800, 6_000_000, 6_000_000, 6000, 6000),
-    3.1: (983040, 33_177_600, 10_000_000, 10_000_000, 10000, 10000),
-    4.0: (2_228_224, 66_846_720, 12_000_000, 30_000_000, 12000, 30000),
-    4.1: (2_228_224, 133_693_440, 20_000_000, 50_000_000, 20000, 50000),
-    5.0: (8_912_896, 267_386_880, 25_000_000, 100_000_000, 25000, 100000),
-    5.1: (8_912_896, 534_773_760, 40_000_000, 160_000_000, 40000, 160000),
-    5.2: (8_912_896, 1_069_547_520, 60_000_000, 240_000_000, 60000, 240000),
-    6.0: (35_651_584, 1_069_547_520, 60_000_000, 240_000_000, 60000, 240000),
-    6.1: (35_651_584, 2_139_095_040, 120_000_000, 480_000_000, 120000, 480000),
-    6.2: (35_651_584, 4_278_190_080, 240_000_000, 800_000_000, 240000, 800000),
+    1.0: (36864, 552960, 64_000, 4608 * 8, 128, 128),
+    2.0: (122880, 3_686_400, 150_000, 18432 * 8, 1500, 3000),
+    2.1: (245760, 7_372_800, 300_000, 36864 * 8, 3000, 6000),
+    3.0: (552960, 16_588_800, 600_000, 61440 * 8, 6000, 12000),
+    3.1: (983040, 33_177_600, 1_200_000, 122880 * 8, 10000, 20000),
+    4.0: (2_228_224, 66_846_720, 3_000_000, 245760 * 8, 12000, 30000),
+    4.1: (2_228_224, 133_693_440, 6_000_000, 491520 * 8, 20000, 50000),
+    5.0: (8_912_896, 267_386_880, 12_000_000, 983040 * 8, 25000, 100000),
+    5.1: (8_912_896, 534_773_760, 24_000_000, 1966080 * 8, 40000, 160000),
+    5.2: (8_912_896, 1_069_547_520, 48_000_000, 3932160 * 8, 60000, 240000),
+    6.0: (35_651_584, 1_069_547_520, 48_000_000, 3932160 * 8, 60000, 240000),
+    6.1: (35_651_584, 2_139_095_040, 96_000_000, 7864320 * 8, 120000, 480000),
+    6.2: (35_651_584, 4_278_190_080, 192_000_000, 15728640 * 8, 240000,
+          800000),
 }
 
 
@@ -45,36 +50,40 @@ class LevelChoice:
 
 def calculate_apple_hevc_level(width: int, height: int, fps: float,
                                is_hdr: bool) -> tuple[float, bool]:
-    """First level whose sample limits fit; high tier iff (HDR or >=4K or
-    fps > 60) and within high-tier rate (reference core/transcoder.py:174-187).
-    """
+    """First level whose sample limits fit; the reference's exact tier gate
+    (reference core/transcoder.py:174-187): tier wants high iff HDR or
+    max(w, h) >= 3840 or fps > 60, and is granted only when samples/sec
+    <= the high-tier kbps number (the reference compares those raw values;
+    preserved verbatim for parity)."""
     samples = width * height
-    sps = samples * max(fps, 1.0)
+    sps = round(samples * fps)
+    max_dim = max(width, height)
     for level, (max_s, max_sps, _, _, main_kbps, high_kbps) in \
             sorted(HEVC_LEVEL_LIMITS.items()):
         if samples <= max_s and sps <= max_sps:
-            wants_high = is_hdr or samples >= 3840 * 2160 or fps > 60
-            tier_high = wants_high and high_kbps > main_kbps
+            wants_high = is_hdr or max_dim >= 3840 or fps > 60
+            tier_high = wants_high and sps <= high_kbps
             return level, tier_high
-    return 6.2, True
+    return 6.2, False
 
 
 def calculate_fast_hevc_level(width: int, height: int,
                               is_hdr: bool) -> LevelChoice:
     """Resolution-bucketed quick path (reference calculate_nvenc_hevc_level,
-    core/transcoder.py:189-209): the 'fast preset' analogue of the NVENC
-    level buckets; profile main10 + 10-bit iff HDR."""
-    if width <= 1920:
+    core/transcoder.py:189-209 == apple_hevc_batch.py:320-333): level by
+    max dimension, tier high iff HDR, profile main10 + 10-bit iff HDR."""
+    max_dim = max(width, height)
+    if max_dim <= 1920:
         level = 4.0
-    elif width <= 2560:
+    elif max_dim <= 2560:
         level = 4.1
-    elif width <= 3840:
+    elif max_dim <= 3840:
         level = 5.1
     else:
         level = 5.2
     profile = "main10" if is_hdr else "main"
     pix_fmt = "p010le" if is_hdr else "yuv420p"
-    return LevelChoice(level, False, profile, pix_fmt)
+    return LevelChoice(level, is_hdr, profile, pix_fmt)
 
 
 def select_level(info: VideoInfo, fast: bool = False) -> LevelChoice:

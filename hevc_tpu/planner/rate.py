@@ -12,7 +12,7 @@ from fractions import Fraction
 
 from hevc_tpu.io.videoinfo import VideoInfo
 from hevc_tpu.planner.levels import HEVC_LEVEL_LIMITS, \
-    calculate_apple_hevc_level, max_bitrate_bps, max_cpb_bits
+    calculate_apple_hevc_level, max_cpb_bits
 
 
 @dataclass
@@ -104,9 +104,14 @@ def calculate_dynamic_values(info: VideoInfo) -> RatePlan:
     target = target_bitrate_kbps(info)
     level, tier = calculate_apple_hevc_level(info.width, info.height,
                                              info.fps, info.is_hdr)
-    max_rate = max_bitrate_bps(level, tier) // 1000
-    vbv_max = min(target, int(max_rate * 0.98))
-    vbv_buf = min(int(vbv_max * 1.5), int(max_cpb_bits(level) * 0.9) // 1000)
+    # exact reference clamps (core/transcoder.py:322-333): maxrate to 98%
+    # of the level's conservative max bitrate; bufsize to
+    # min(maxrate*1.5, max(maxrate*1.2, 90% of CPB))
+    max_allowed_kbps = HEVC_LEVEL_LIMITS[level][2] // 1000
+    max_allowed_kbits = max_cpb_bits(level) // 1000
+    vbv_max = min(target, int(max_allowed_kbps * 0.98))
+    vbv_buf = min(int(target * 1.5),
+                  max(int(vbv_max * 1.2), int(max_allowed_kbits * 0.9)))
     gop = compute_aligned_gop(info.fps, info.is_hdr, info.height)
     qp = crf_to_qp(crf, info)
     return RatePlan(crf=crf, cq=cq, vbv_maxrate_kbps=vbv_max,

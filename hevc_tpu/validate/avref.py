@@ -24,7 +24,7 @@ def _load():
     so = _LIB_DIR / "libavref.so"
     if not so.exists():
         try:
-            subprocess.run(["make", "-C", str(_LIB_DIR), str(so)],
+            subprocess.run(["make", "-C", str(_LIB_DIR), so.name],
                            check=True, capture_output=True, timeout=120)
         except Exception:
             _lib = False

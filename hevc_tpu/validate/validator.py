@@ -23,6 +23,11 @@ from hevc_tpu.planner.levels import HEVC_LEVEL_LIMITS
 
 log = logging.getLogger(__name__)
 
+# production validate runs the exact-but-slow pure-Python normative decoder
+# on this many leading samples (libavcodec still decodes the WHOLE stream);
+# tests that want a full self-decode use decode_annexb directly
+DEEP_SELF_DECODE = 32
+
 
 def validate_mp4(path, expect_hdr: bool = False, deep: bool = True,
                  cross_check: bool = True) -> tuple[bool, list[str]]:
@@ -89,30 +94,60 @@ def _deep_decode(path, cross_check: bool) -> tuple[bool, list[str]]:
     ps = [hvcc["nals"][t][0] for t in (32, 33, 34) if t in hvcc["nals"]]
     ln = hvcc.get("length_size", 4)
     nals = list(ps)
+    missing_aud = 0
     for s in samples:
         off = 0
+        first = True
         while off + ln <= len(s):
             sz = int.from_bytes(s[off:off + ln], "big")
-            nals.append(s[off + ln:off + ln + sz])
+            nal = s[off + ln:off + ln + sz]
+            if first:
+                # Apple compliance: every access unit starts with an AUD
+                # (reference forces `-aud 1`, core/transcoder.py:148-153)
+                if not nal or (nal[0] >> 1) & 0x3F != 35:
+                    missing_aud += 1
+                first = False
+            nals.append(nal)
             off += ln + sz
-    stream = annexb(nals)
-    frames = decode_annexb(stream)
+    if missing_aud:
+        return False, [f"{missing_aud} samples missing leading AUD NAL"]
     msgs = []
-    if len(frames) != len(samples):
-        return False, [f"decoded {len(frames)} frames, expected {len(samples)}"]
+
+    # Full-stream decode with the independent libavcodec decoder (linked C,
+    # fast): every sample of every output is independently decodable.
+    ref = None
     if cross_check:
         from hevc_tpu.validate import avref
         if avref.available():
             ref = avref.decode_file(str(path), max_frames=len(samples))
-            if ref is None or len(ref) != len(frames):
-                msgs.append("libavcodec frame count mismatch")
-                return False, msgs
-            for i, ((ry, rcb, rcr), mine) in enumerate(zip(ref, frames)):
-                for a, k in ((ry, "y"), (rcb, "cb"), (rcr, "cr")):
-                    m = mine[k][:a.shape[0], :a.shape[1]]
-                    if not np.array_equal(a.astype(np.int32), m):
-                        msgs.append(f"frame {i} plane {k}: decoder mismatch")
-                        return False, msgs
+            if ref is None or len(ref) != len(samples):
+                return False, ["libavcodec frame count mismatch "
+                               f"({0 if ref is None else len(ref)} vs "
+                               f"{len(samples)})"]
         else:
-            msgs.append("libavcodec unavailable; self-decode only")
+            # cross-checker missing => warn and pass through (the reference's
+            # validator-missing semantics, core/transcoder.py:52-54)
+            log.warning("libavcodec unavailable; self-decode only")
+
+    # Normative decode with the in-framework (pure-Python) decoder: exact but
+    # slow, so bounded to the first DEEP_SELF_DECODE samples in production
+    # (inter frames need the DPB chain from the IDR, so it is a prefix).
+    n_self = min(len(samples), DEEP_SELF_DECODE)
+    prefix = list(ps)
+    for s in samples[:n_self]:
+        off = 0
+        while off + ln <= len(s):
+            sz = int.from_bytes(s[off:off + ln], "big")
+            prefix.append(s[off + ln:off + ln + sz])
+            off += ln + sz
+    frames = decode_annexb(annexb(prefix))
+    if len(frames) != n_self:
+        return False, [f"decoded {len(frames)} frames, expected {n_self}"]
+    if ref is not None:
+        for i, ((ry, rcb, rcr), mine) in enumerate(zip(ref, frames)):
+            for a, k in ((ry, "y"), (rcb, "cb"), (rcr, "cr")):
+                m = mine[k][:a.shape[0], :a.shape[1]]
+                if not np.array_equal(a.astype(np.int32), m):
+                    msgs.append(f"frame {i} plane {k}: decoder mismatch")
+                    return False, msgs
     return True, msgs

@@ -15,5 +15,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 try:
     import jax
     jax.config.update("jax_platforms", "cpu")
+    # persistent compilation cache: repeat runs skip the expensive CPU
+    # compiles of the fused GOP/rowscan graphs
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 except ImportError:
     pass
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: compile-heavy tests (run with -m slow or no -m)")

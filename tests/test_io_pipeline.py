@@ -83,6 +83,27 @@ def test_validator_accepts_output(tmp_path):
     assert ok, msgs
 
 
+def test_samples_start_with_aud(tmp_path):
+    """Every access unit leads with an AUD NAL (reference `-aud 1`,
+    core/transcoder.py:148-153)."""
+    _, out = _convert(tmp_path, skip_validator=True)
+    from hevc_tpu.io.mp4parse import extract_samples
+    _, samples = extract_samples(out)
+    assert samples
+    for s in samples:
+        sz = int.from_bytes(s[:4], "big")
+        assert (s[4] >> 1) & 0x3F == 35 and sz >= 2
+
+
+def test_nvenc_hdr_mode_disable_gates_fast_path():
+    """`disable` forces the robust path (reference apple_hevc_batch.py:
+    278-285); force_cpu has precedence over everything."""
+    from hevc_tpu.batch.transcode import decide_encoder
+    assert decide_encoder(False, True, "disable") is False
+    assert decide_encoder(True, True, "auto") is False
+    assert decide_encoder(False, True, "prefer") is True
+
+
 def test_convert_cancellation(tmp_path):
     ev = threading.Event()
     calls = []

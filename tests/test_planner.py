@@ -21,11 +21,22 @@ def info(w=1920, h=1080, fps=30.0, hdr=False, **kw):
 def test_level_selection():
     assert calculate_apple_hevc_level(1920, 1080, 30, False)[0] <= 4.1
     lvl, tier = calculate_apple_hevc_level(3840, 2160, 60, True)
-    assert lvl >= 5.1 and tier
+    # reference tier gate compares samples/sec to the high-tier kbps value
+    # raw (core/transcoder.py:183-186), so real 4K never passes it
+    assert lvl >= 5.1 and not tier
     lvl, tier = calculate_apple_hevc_level(1280, 720, 30, False)
     assert lvl <= 4.0 and not tier
     lvl, tier = calculate_apple_hevc_level(7680, 4320, 60, False)
     assert lvl >= 6.0
+
+
+def test_level_table_matches_reference():
+    # the conservative bitrate/CPB columns are the reference's exact values
+    from hevc_tpu.planner.levels import HEVC_LEVEL_LIMITS
+    assert HEVC_LEVEL_LIMITS[4.0][2] == 3_000_000
+    assert HEVC_LEVEL_LIMITS[4.0][3] == 245760 * 8
+    assert HEVC_LEVEL_LIMITS[2.0][5] == 3000
+    assert HEVC_LEVEL_LIMITS[5.1][2] == 24_000_000
 
 
 def test_fast_level_buckets():
