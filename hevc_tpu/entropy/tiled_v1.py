@@ -15,6 +15,21 @@ from hevc_tpu.entropy.syntax import SliceSyntaxEncoder, mpm_candidates, INTRA_DC
 from hevc_tpu.entropy.tiled import assemble_slice
 
 
+_POOL = None
+
+
+def _tile_pool():
+    """Persistent tile-CABAC thread pool (creating/joining a pool per frame
+    costs more than the CABAC itself at 1080p)."""
+    global _POOL
+    if _POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+        import os
+        _POOL = ThreadPoolExecutor(min(os.cpu_count() or 4, 16),
+                                   "tile-cabac")
+    return _POOL
+
+
 def encode_tile_payload_v1(cfg: StreamConfig, ctus: list[list[dict]],
                            last_tile: bool, p_slice: bool = False,
                            sao=None, b_slice: bool = False) -> bytes:
@@ -330,10 +345,7 @@ def entropy_encode_frame_v1(cfg: StreamConfig, ctus,
     if cpp is not None and len(jobs) > 3:
         # per-tile substreams are independent; the C++ encoder releases the
         # GIL, so thread across tiles (the CABAC-parallelism payoff of tiles)
-        from concurrent.futures import ThreadPoolExecutor
-        import os
-        with ThreadPoolExecutor(min(os.cpu_count() or 4, 16)) as pool:
-            payloads = list(pool.map(lambda j: payload(*j), jobs))
+        payloads = list(_tile_pool().map(lambda j: payload(*j), jobs))
     else:
         payloads = [payload(*j) for j in jobs]
     return assemble_slice(cfg, payloads, poc=poc, b_slice=b_slice,

@@ -111,8 +111,25 @@ def rbsp_to_ebsp(rbsp: bytes) -> bytes:
     """Insert emulation-prevention bytes (0x03 after 00 00 before 00/01/02/03).
 
     HEVC spec 7.4.2 / reference behavior of every NAL the reference's ffmpeg
-    emitted.
+    emitted.  Vectorized for large payloads: candidate positions come from a
+    numpy scan of the original bytes; an accepted escape at i resets the
+    zero run, so the next escapable position is >= i + 2 (greedy left-to-
+    right matches the scalar state machine exactly).
     """
+    n = len(rbsp)
+    if n >= 256:
+        import numpy as np
+        d = np.frombuffer(rbsp, np.uint8)
+        cand = np.nonzero((d[2:] <= 3) & (d[1:-1] == 0) & (d[:-2] == 0))[0]
+        if not len(cand):
+            return rbsp
+        accepted = []
+        last = -2
+        for i in cand:
+            if i >= last + 2:
+                accepted.append(i + 2)
+                last = i
+        return np.insert(d, accepted, 3).tobytes()
     out = bytearray()
     zeros = 0
     for b in rbsp:
