@@ -24,19 +24,21 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def pipeline_fps(enc, frames, iters=2):
-    """Sustained fps of the production pipelined loop (steady-state P)."""
+def pipeline_fps(enc, frames, iters=2, gop=30, chunk=8):
+    """Sustained fps of the production chunked loop (convert_video's path):
+    one fused device dispatch per chunk, host CABAC overlapped."""
     from collections import deque
     F = len(frames)
-    # warm: one pass (compiles cached by caller's warmup)
     t0 = time.time()
     n = 0
-    for _ in range(iters):
+    for it in range(iters):
         pending = deque()
-        for i, f in enumerate(frames):
-            fut = enc.encode_next_async(*f, idr=False)
+        for s in range(0, F, chunk):
+            grp = frames[s:s + chunk]
+            idrs = [(it * F + s + j) % gop == 0 for j in range(len(grp))]
+            fut = enc.encode_chunk_async(grp, idrs, chunk=chunk)
             pending.append(fut)
-            n += 1
+            n += len(grp)
             while len(pending) > 2:
                 pending.popleft().result()
         while pending:
@@ -63,9 +65,10 @@ def bench_res(W, H, F, QP, label, synth_frame, baseline=False):
     # ---- warm up / compile + collect real decisions ----
     t0 = time.time()
     nals, decs = [], []
-    for i, f in enumerate(frames):
-        nal, _ = enc.encode_next(*f, idr=(i == 0))
-        nals.append(nal)
+    for s in range(0, F, 8):
+        grp = frames[s:s + 8]
+        idrs = [s + j == 0 for j in range(len(grp))]
+        nals += enc.encode_chunk_async(grp, idrs, chunk=8).result()
         decs.append(enc._last_dec)
     log(f"[{label}] compile+first GOP: {time.time()-t0:.1f}s, "
         f"{sum(len(n) for n in nals)} bytes "
@@ -117,8 +120,8 @@ def bench_res(W, H, F, QP, label, synth_frame, baseline=False):
     # ---- diagnostics: host entropy on the real decisions ----
     t0 = time.time()
     for i, d in enumerate(decs):
-        entropy_encode_frame_v1(cfg, d, poc=None if i == 0 else i)
-    entropy_s = (time.time() - t0) / F
+        entropy_encode_frame_v1(cfg, d, poc=i + 1)
+    entropy_s = (time.time() - t0) / max(len(decs), 1)
     log(f"[{label}] host entropy: {entropy_s*1000:.1f} ms/frame")
 
     base_fps = 0.0
@@ -152,10 +155,10 @@ def main():
     sys.path.insert(0, "tests")
     from generate_test_videos import synth_frame
 
-    fps, base_fps = bench_res(1920, 1080, 8, 27, "1080p", synth_frame,
+    fps, base_fps = bench_res(1920, 1080, 16, 27, "1080p", synth_frame,
                               baseline=True)
     try:
-        fps4k, _ = bench_res(3840, 2160, 4, 27, "4k", synth_frame)
+        fps4k, _ = bench_res(3840, 2160, 8, 27, "4k", synth_frame)
         log(f"[4k] {fps4k:.2f} fps (north star: 30)")
     except Exception as e:
         log("4k bench failed:", e)

@@ -319,10 +319,8 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
         # thread.  The rate controller sees frame bits with one frame of lag.
         pending: deque = deque()
 
-        def drain_one():
+        def finish_frame(j, is_idr_j, nal):
             nonlocal last_ckpt
-            j, is_idr_j, fut = pending.popleft()
-            nal = fut.result()
             samples.append(length_prefixed(
                 [write_aud(0 if is_idr_j else 1), nal]))
             stats.frame_done(len(nal))
@@ -339,6 +337,18 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
                 except Exception:
                     pass
 
+        def drain_one():
+            j0, idrs_j, fut = pending.popleft()
+            nals = fut.result()
+            if isinstance(nals, bytes):       # per-frame (SAO) path
+                nals, idrs_j = [nals], [idrs_j]
+            for k, nal in enumerate(nals):
+                finish_frame(j0 + k, idrs_j[k], nal)
+
+        # chunked GOP-segment path (one device dispatch + 2 packed fetches
+        # per chunk; SAO streams use the per-frame pipeline instead)
+        chunked = not cfg.sao
+        CH = 8
         while i < total:
             if stop_event is not None and stop_event.is_set():
                 for _, _, fut in pending:
@@ -346,14 +356,22 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
                 return "CANCELLED"
             if time.time() > deadline:
                 raise TimeoutError("per-file encode timeout")
-            f = frames[i]
             cur_qp = rc.qp if rc is not None else cfg.qp
-            is_idr = i % gop == 0
-            fut = genc.encode_next_async(
-                np.asarray(f[0], np.int32), np.asarray(f[1], np.int32),
-                np.asarray(f[2], np.int32), idr=is_idr, qp=cur_qp)
-            pending.append((i, is_idr, fut))
-            i += 1
+            if chunked:
+                grp = frames[i:i + CH]
+                idrs = [(i + j) % gop == 0 for j in range(len(grp))]
+                fut = genc.encode_chunk_async(
+                    grp, idrs, qp=cur_qp, chunk=CH)
+                pending.append((i, idrs, fut))
+                i += len(grp)
+            else:
+                f = frames[i]
+                is_idr = i % gop == 0
+                fut = genc.encode_next_async(
+                    np.asarray(f[0], np.int32), np.asarray(f[1], np.int32),
+                    np.asarray(f[2], np.int32), idr=is_idr, qp=cur_qp)
+                pending.append((i, is_idr, fut))
+                i += 1
             while len(pending) > 2:
                 drain_one()
         while pending:

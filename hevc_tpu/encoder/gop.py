@@ -72,6 +72,91 @@ def _gop_step_jit(ya, cba, cra, pad_y, pad_cb, pad_cr, qp, lam_bits,
     return tuple(outs) + tuple(d)
 
 
+@partial(jax.jit, static_argnames=("tnh", "tnw", "tr", "tc_", "bit_depth",
+                                   "enable_nxn", "nxn_p", "deblock",
+                                   "subpel"))
+def _gop_chunk_jit(ya, cba, cra, idr_f, active, pad_y, pad_cb, pad_cr,
+                   qp, lam_bits, lam16, sl16, tnh, tnw, tr, tc_,
+                   bit_depth, enable_nxn, nxn_p, deblock, subpel):
+    """Encode a K-frame chunk in ONE device dispatch.
+
+    lax.scan over frames (the DPB feedback — deblocked, padded reference
+    tiles — is the scan carry, so P-frame dependencies never leave the
+    chip); each step lax.cond's between the IDR and P encode graphs, so
+    chunks may cross GOP boundaries.  Host-bound syntax is packed on
+    device (see encoder/pack.py): returns (heads (K, Ph) uint8,
+    coef (K, Ntot) int16 dense levels for the coef-stream compactor,
+    final ref pads).
+
+    This is SURVEY §2's temporal/GOP-segment pipelining: the host CABAC
+    stage consumes chunk g while chunk g+1 encodes on chip, and the
+    host link carries two packed fetches per chunk instead of ~26
+    arrays per frame.
+    """
+    from hevc_tpu.encoder.pack import FramePackSpec
+    from hevc_tpu.ops.deblock_jax import assemble_deblock_pad_jit
+    spec = FramePackSpec(tnh, tnw, tr * tc_)
+    S, T = tnh * tnw, tr * tc_
+
+    def body(pads, xs):
+        sy, scb, scr, is_idr, act = xs
+        fy, fcb, fcr = (sy.astype(jnp.int32), scb.astype(jnp.int32),
+                        scr.astype(jnp.int32))
+
+        def z1(dt):
+            return jnp.zeros((S, T), dt)
+
+        def idr_branch(pads):
+            outs = _rowscan_v1_scan(fy, fcb, fcr, qp, lam_bits, tnh, tnw,
+                                    bit_depth, enable_nxn=enable_nxn)
+            st = outs[0].shape
+            d = assemble_deblock_pad_jit.__wrapped__(
+                outs[10], outs[11], outs[12], qp, jnp.ones(st, bool),
+                jnp.zeros(st, bool), jnp.zeros(st + (2,), jnp.int16),
+                outs[0], tnh, tnw, tr, tc_, bit_depth, deblock, do_pad=True)
+            fields = dict(
+                part=outs[0], modes4=outs[1], cbf_y4=outs[2],
+                cbf_cb=outs[3], cbf_cr=outs[4], cbf_cb4=outs[5],
+                cbf_cr4=outs[6], skip=z1(bool), inter=z1(bool),
+                merge=z1(bool), mvd=jnp.zeros((S, T, 2), jnp.int16),
+                mvp=z1(jnp.int8), rqt=z1(jnp.int8), cbf_yi=z1(bool),
+                cbf_cbi=z1(bool), cbf_cri=z1(bool),
+                mv=jnp.zeros((S, T, 2), jnp.int16))
+            return fields, (outs[7], outs[8], outs[9]), tuple(d[3:6])
+
+        def p_branch(pads):
+            outs = _rowscan_v1_scan(fy, fcb, fcr, qp, lam_bits, tnh, tnw,
+                                    bit_depth, lam16=lam16, ref_pads=pads,
+                                    sl16=sl16, enable_nxn=nxn_p,
+                                    subpel=subpel)
+            inter_s = outs[13] | outs[14]
+            d = assemble_deblock_pad_jit.__wrapped__(
+                outs[10], outs[11], outs[12], qp, ~inter_s,
+                outs[14] & outs[19], outs[22], outs[0] & ~inter_s,
+                tnh, tnw, tr, tc_, bit_depth, deblock, do_pad=True)
+            fields = dict(
+                part=outs[0], modes4=outs[1], cbf_y4=outs[2],
+                cbf_cb=outs[3], cbf_cr=outs[4], cbf_cb4=outs[5],
+                cbf_cr4=outs[6], skip=outs[13], inter=outs[14],
+                merge=outs[15], mvd=outs[16], mvp=outs[17], rqt=outs[18],
+                cbf_yi=outs[19], cbf_cbi=outs[20], cbf_cri=outs[21],
+                mv=outs[22])
+            return fields, (outs[7], outs[8], outs[9]), tuple(d[3:6])
+
+        fields, lvls, new_pads = jax.lax.cond(is_idr, idr_branch, p_branch,
+                                              pads)
+        flat = jnp.where(act, FramePackSpec.coef_flat(*lvls), 0)
+        nnz = (flat != 0).sum(dtype=jnp.int32)
+        head = spec.pack_head(fields, nnz)
+        pads = jax.tree.map(lambda n, o: jnp.where(act, n, o),
+                            new_pads, pads)
+        return pads, (head, flat)
+
+    pads, (heads, coefs) = jax.lax.scan(
+        body, (pad_y, pad_cb, pad_cr), (ya, cba, cra, idr_f, active))
+    return heads, coefs, pads
+
+
 def _sao_param_lists(arrs):
     """Device SAO param arrays -> the entropy layer's per-CTU lists."""
     ty_y, aux_y, off_y, ty_c, cls_c, pos_cb, pos_cr, off_cb, off_cr = arrs
@@ -327,6 +412,143 @@ class GopEncoder:
             return nal
 
         return self._pool.submit(host_stage)
+
+    def encode_chunk_async(self, frames, idrs, qp: int | None = None,
+                           chunk: int = 8):
+        """Encode up to `chunk` frames in one device dispatch (see
+        _gop_chunk_jit).  frames: [(y, cb, cr)] host planes; idrs: [bool]
+        per frame.  Returns a Future of the list of slice NALs.
+
+        One fixed chunk size per stream config keeps a single compiled
+        graph; short tails are padded with the last frame and masked out
+        (their device work is wasted, their outputs dropped).  QP is
+        per-chunk (rate control quantizes to chunk granularity).
+        """
+        assert self.mc and not self.cfg.sao, \
+            "chunked path: MC mode, SAO handled by the per-frame pipeline"
+        assert 0 < len(frames) <= chunk
+        import dataclasses
+        cfg = self.cfg
+        qp = cfg.qp if qp is None else qp
+        cfg_f = dataclasses.replace(cfg, qp=qp) if qp != cfg.qp else cfg
+        n = len(frames)
+        sdt = np.uint8 if cfg.bit_depth == 8 else np.uint16
+        ys, cbs, crs = [], [], []
+        for (y, cb, cr) in frames:
+            yb, cbb, crb = self._to_blocks(np.asarray(y, np.int32),
+                                           np.asarray(cb, np.int32),
+                                           np.asarray(cr, np.int32))
+            ys.append(self._tsplit(yb, 16).astype(sdt))
+            cbs.append(self._tsplit(cbb, 8).astype(sdt))
+            crs.append(self._tsplit(crb, 8).astype(sdt))
+        for _ in range(chunk - n):            # pad the tail, masked inactive
+            ys.append(ys[-1]); cbs.append(cbs[-1]); crs.append(crs[-1])
+        idr_f = np.zeros(chunk, bool)
+        idr_f[:n] = [bool(b) for b in idrs]
+        if self._ref_blocks is None:
+            idr_f[0] = True
+        active = np.arange(chunk) < n
+        nh, nw, H, W = self._geom
+        tc, tr = cfg.tile_cols, cfg.tile_rows
+        tnh, tnw = nh // tr, nw // tc
+        if self._ref_blocks is None:
+            T = tr * tc
+            self._ref_blocks = (
+                jnp.zeros((T, tnh * 16 + 2 * MARGIN,
+                           tnw * 16 + 2 * MARGIN), jnp.int32),
+                jnp.zeros((T, tnh * 8 + 2 * MARGIN_C,
+                           tnw * 8 + 2 * MARGIN_C), jnp.int32),
+                jnp.zeros((T, tnh * 8 + 2 * MARGIN_C,
+                           tnw * 8 + 2 * MARGIN_C), jnp.int32))
+        rs = RowScanEncoderV1(qp, cfg.bit_depth)
+        lam16 = skip_lambda16(qp + 6 * (cfg.bit_depth - 8))
+        sl16 = int(np.sqrt(0.85 * 2.0 ** (
+            (qp + 6 * (cfg.bit_depth - 8) - 12) / 3.0)) * 16)
+        heads, coefs, pads = _gop_chunk_jit(
+            jnp.asarray(np.stack(ys)), jnp.asarray(np.stack(cbs)),
+            jnp.asarray(np.stack(crs)), jnp.asarray(idr_f),
+            jnp.asarray(active), *self._ref_blocks,
+            jnp.asarray(qp), rs.lam_bits, jnp.asarray(lam16, jnp.int32),
+            jnp.asarray(sl16, jnp.int32), tnh, tnw, tr, tc, cfg.bit_depth,
+            self.enable_nxn, self.nxn_p, cfg.deblock, self.subpel)
+        self._ref_blocks = pads
+        from hevc_tpu.encoder.pack import (FramePackSpec, coef_stream_jit,
+                                           split_coef_stream)
+        buf6, _ = coef_stream_jit(coefs)
+        spec = FramePackSpec(tnh, tnw, tr * tc)
+        # start the host copies NOW, in stream order right behind this
+        # chunk's compute — a plain device_get in the worker thread would
+        # queue behind the NEXT chunk's dispatch and serialize the
+        # pipeline (measured 2.7 s/chunk of spurious wait).  The
+        # coefficient-stream length isn't known host-side yet, so copy a
+        # running-capacity prefix and fall back to a second fetch on
+        # rare growth.
+        cap_hint = min(getattr(self, "_cap_hint", 262144), buf6.shape[0])
+        buf_pre = buf6[:cap_hint]
+        try:
+            heads.copy_to_host_async()
+            buf_pre.copy_to_host_async()
+        except Exception:
+            pass
+        pocs = []
+        for k in range(n):
+            self._poc = 0 if idr_f[k] else self._poc + 1
+            pocs.append(None if idr_f[k] else self._poc)
+        if self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(1, "gop-entropy")
+
+        def host_stage():
+            from hevc_tpu.utils.metrics import GLOBAL_TIMERS
+            with GLOBAL_TIMERS.stage("host_fetch"):
+                hn = np.asarray(jax.device_get(heads))
+                fields, nnz = zip(*(spec.unpack_head(hn[k])
+                                    for k in range(chunk)))
+                total = int(sum(nnz))
+                if total <= cap_hint:
+                    recs = np.asarray(buf_pre)[:total]
+                else:
+                    # capacity miss: fetch the tail (slow path — it queues
+                    # behind the next chunk's compute; bucket the length so
+                    # the slice program cache stays small)
+                    cap = min(-(-total // 131072) * 131072, buf6.shape[0])
+                    recs = np.concatenate(
+                        [np.asarray(buf_pre),
+                         np.asarray(jax.device_get(buf6[cap_hint:cap]))],
+                        axis=0)[:total]
+                # leave ~25% headroom for the next chunk's stream
+                self._cap_hint = min(
+                    max(-(-total * 5 // (4 * 65536)) * 65536, 131072),
+                    buf6.shape[0])
+            coef = split_coef_stream(recs, spec.coef_elems, nnz)
+            nals = []
+            with GLOBAL_TIMERS.stage("entropy"):
+                for k in range(n):
+                    lvls = spec.unpack_coefs(*coef[k])
+                    dec = self._dec_from_outs(
+                        spec.outs_list(fields[k], lvls),
+                        p_mc=not idr_f[k])
+                    nals.append(entropy_encode_frame_v1(cfg_f, dec,
+                                                        poc=pocs[k]))
+                    self._last_dec = dec
+            return nals
+
+        return self._pool.submit(host_stage)
+
+    def encode_video_chunked(self, frames, gop: int = 0, chunk: int = 8):
+        """Chunked-path counterpart of encode_video (no recons returned)."""
+        self.reset()
+        out = annexb(self.parameter_sets())
+        futs = []
+        for s in range(0, len(frames), chunk):
+            grp = frames[s:s + chunk]
+            idrs = [bool(gop and (s + j) % gop == 0) or s + j == 0
+                    for j in range(len(grp))]
+            futs.append(self.encode_chunk_async(grp, idrs, chunk=chunk))
+        for fut in futs:
+            for nal in fut.result():
+                out += b"\x00\x00\x00\x01" + nal
+        return out
 
     def _dispatch_frame(self, y, cb, cr, idr: bool, qp: int):
         """One fused device dispatch (kernel + deblock [+ SAO] + ref pad);

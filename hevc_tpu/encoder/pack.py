@@ -1,0 +1,186 @@
+"""Device-side packing of per-frame syntax decisions for host transfer.
+
+The encode graph's host-bound outputs (mode/partition maps, CBFs, MVs,
+quantized coefficient levels) are packed ON DEVICE into two compact
+buffers per GOP chunk:
+
+  1. a fixed-size "head" per frame — small integer arrays byte-packed,
+     boolean maps bit-packed, plus the frame's nonzero-coefficient count;
+  2. a variable-length coefficient stream for the whole chunk — 6-byte
+     (position:int32, level:int16) records for nonzero levels only,
+     compacted with a cumsum/scatter; the host slices the first
+     6*total_nnz bytes.
+
+Rationale: the transfer link between host and TPU can be latency- and
+bandwidth-bound (25 ms + ~46 MB/s per fetch was measured through the
+dev tunnel; PCIe is better but the decisions are still ~22 MB/frame of
+int32 at 1080p if fetched naively).  Packing turns ~26 fetches/frame
+into 2 fetches per K-frame chunk and ~1.5 MB of payload.
+
+Replaces nothing in the reference (its encoder was an ffmpeg subprocess;
+reference core/transcoder.py:497-535 streamed *text* progress instead).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+# host-bound arrays in pack order (name, dtype, per-CTU element count)
+_INT_FIELDS = (
+    ("modes4", np.int8, 4),
+    ("mvp", np.int8, 1),
+    ("rqt", np.int8, 1),
+    ("mvd", np.int16, 2),
+    ("mv", np.int16, 2),
+)
+_BOOL_FIELDS = (
+    ("part", 1), ("cbf_y4", 4), ("cbf_cb", 1), ("cbf_cr", 1),
+    ("cbf_cb4", 4), ("cbf_cr4", 4), ("skip", 1), ("inter", 1),
+    ("merge", 1), ("cbf_yi", 1), ("cbf_cbi", 1), ("cbf_cri", 1),
+)
+# coefficient planes: elements per CTU16 (luma 16x16, chroma 8x8 each)
+_COEF_ELEMS = 256 + 64 + 64
+
+
+def _bitpack_j(b):
+    """bool (N,) with N % 8 == 0 -> uint8 (N/8,), little-endian bits."""
+    x = b.reshape(-1, 8).astype(jnp.uint8)
+    w = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
+    return (x * w).sum(axis=1, dtype=jnp.uint8)
+
+
+def _u8(a):
+    """Bitcast any array to a flat uint8 vector."""
+    if a.dtype == jnp.bool_:
+        a = a.astype(jnp.uint8)
+    if a.dtype != jnp.uint8:
+        a = jax.lax.bitcast_convert_type(a, jnp.uint8)
+    return a.reshape(-1)
+
+
+class FramePackSpec:
+    """Static layout of one frame's packed head + coefficient stream."""
+
+    def __init__(self, tnh: int, tnw: int, T: int):
+        self.S, self.T = tnh * tnw, T
+        n = self.S * self.T
+        self.n_ctu = n
+        self.int_bytes = sum(np.dtype(d).itemsize * k
+                             for _, d, k in _INT_FIELDS) * n
+        nbool = sum(k for _, k in _BOOL_FIELDS) * n
+        self.bool_pad = (-nbool) % 8
+        self.bool_bytes = (nbool + self.bool_pad) // 8
+        self.coef_elems = _COEF_ELEMS * n        # per-frame flat coef count
+        self.head_bytes = self.int_bytes + self.bool_bytes + 4  # + nnz int32
+
+    # ---- device side -------------------------------------------------------
+    def pack_head(self, fields: dict, nnz):
+        """fields: name -> (S, T, ...) device arrays. Returns uint8 head."""
+        parts = [_u8(fields[nm]) for nm, _, _ in _INT_FIELDS]
+        bools = jnp.concatenate([fields[nm].reshape(-1)
+                                 for nm, _ in _BOOL_FIELDS])
+        if self.bool_pad:
+            bools = jnp.concatenate(
+                [bools, jnp.zeros(self.bool_pad, bool)])
+        parts.append(_bitpack_j(bools))
+        parts.append(_u8(nnz.astype(jnp.int32).reshape(1)))
+        return jnp.concatenate(parts)
+
+    @staticmethod
+    def coef_flat(lvl_y, lvl_cb, lvl_cr):
+        """Per-frame flat int16 coefficient vector, pack order."""
+        return jnp.concatenate([lvl_y.astype(jnp.int16).reshape(-1),
+                                lvl_cb.astype(jnp.int16).reshape(-1),
+                                lvl_cr.astype(jnp.int16).reshape(-1)])
+
+    # ---- host side ---------------------------------------------------------
+    def unpack_head(self, buf: np.ndarray):
+        """uint8 (head_bytes,) -> (fields dict of (S,T,...) arrays, nnz)."""
+        S, T, n = self.S, self.T, self.n_ctu
+        off = 0
+        out = {}
+        for nm, dt, k in _INT_FIELDS:
+            nb = np.dtype(dt).itemsize * k * n
+            a = buf[off:off + nb].view(dt)
+            out[nm] = a.reshape((S, T) if k == 1 else (S, T, k))
+            off += nb
+        bits = np.unpackbits(buf[off:off + self.bool_bytes],
+                             bitorder="little")
+        off += self.bool_bytes
+        boff = 0
+        for nm, k in _BOOL_FIELDS:
+            cnt = k * n
+            out[nm] = bits[boff:boff + cnt].astype(bool).reshape(
+                (S, T) if k == 1 else (S, T, k))
+            boff += cnt
+        nnz = int(buf[off:off + 4].view(np.int32)[0])
+        return out, nnz
+
+    def unpack_coefs(self, pos: np.ndarray, val: np.ndarray):
+        """Frame-local (pos, val) -> dense (lvl_y, lvl_cb, lvl_cr) int16."""
+        S, T = self.S, self.T
+        dense = np.zeros(self.coef_elems, np.int16)
+        dense[pos] = val
+        ny = S * T * 256
+        nc = S * T * 64
+        return (dense[:ny].reshape(S, T, 16, 16),
+                dense[ny:ny + nc].reshape(S, T, 8, 8),
+                dense[ny + nc:].reshape(S, T, 8, 8))
+
+    def outs_list(self, fields: dict, lvls):
+        """Rebuild the kernel-output list consumed by GopEncoder's
+        _dec_from_outs (positions 10-12, the recon planes, stay host-free)."""
+        lvl_y, lvl_cb, lvl_cr = lvls
+        f = fields
+        return [f["part"], f["modes4"], f["cbf_y4"], f["cbf_cb"],
+                f["cbf_cr"], f["cbf_cb4"], f["cbf_cr4"],
+                lvl_y, lvl_cb, lvl_cr, None, None, None,
+                f["skip"], f["inter"], f["merge"], f["mvd"], f["mvp"],
+                f["rqt"], f["cbf_yi"], f["cbf_cbi"], f["cbf_cri"], f["mv"]]
+
+
+@jax.jit
+def coef_stream_jit(dense):
+    """(K, coef_elems) int16 -> ((K*N, 6) uint8 record buffer, total nnz).
+
+    Records are (global position:int32 LE, level:int16 LE) for each
+    nonzero, compacted to the front; the host fetches buf[:total*6] only.
+    """
+    flat = dense.reshape(-1)
+    mask = flat != 0
+    idx = jnp.cumsum(mask) - 1
+    n = flat.shape[0]
+    pos8 = jax.lax.bitcast_convert_type(
+        jnp.arange(n, dtype=jnp.int32), jnp.uint8)
+    val8 = jax.lax.bitcast_convert_type(flat, jnp.uint8)
+    rec = jnp.concatenate([pos8, val8], axis=1)              # (n, 6)
+    # route zero-coefficient rows to unique out-of-range slots: with
+    # unique_indices XLA vectorizes the scatter (a plain dup-dropping
+    # scatter serializes and costs ~2 s for a 25M-row buffer on TPU)
+    tgt = jnp.where(mask, idx, n + jnp.arange(n, dtype=jnp.int32))
+    buf = jnp.zeros((n, 6), jnp.uint8).at[tgt].set(
+        rec, mode="drop", unique_indices=True)
+    return buf, mask.sum(dtype=jnp.int32)
+
+
+def split_coef_stream(arr: np.ndarray, coef_elems: int, nnz_per_frame):
+    """Host: (total, 6) record array -> per-frame (pos, val) arrays.
+
+    nnz_per_frame (from the packed heads) gives the split points; records
+    are globally ordered so each frame's run is contiguous.
+    """
+    arr = np.ascontiguousarray(arr, np.uint8)
+    pos = arr[:, :4].copy().view(np.int32).reshape(-1)
+    val = arr[:, 4:].copy().view(np.int16).reshape(-1)
+    out = []
+    off = 0
+    for k, nz in enumerate(nnz_per_frame):
+        p = pos[off:off + nz] - k * coef_elems
+        out.append((p, val[off:off + nz]))
+        off += nz
+    return out
