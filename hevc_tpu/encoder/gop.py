@@ -72,10 +72,23 @@ def _gop_step_jit(ya, cba, cra, pad_y, pad_cb, pad_cr, qp, lam_bits,
     return tuple(outs) + tuple(d)
 
 
+def _split_tiles_j(p, tr, tc_, tnh, tnw, bs):
+    """(K, Hp, Wp) planes -> (K, T, tnh, tnw, bs, bs) tile blocks.
+
+    Equivalent to the host _to_blocks + _tsplit composition; done on
+    device so the host->device copy is a plain dense plane (TPU pads a
+    16x16-minor block layout during transfer — measured ~8x inflation
+    through the dev tunnel)."""
+    K = p.shape[0]
+    x = p.reshape(K, tr, tnh, bs, tc_, tnw, bs)
+    x = x.transpose(0, 1, 4, 2, 5, 3, 6)
+    return x.reshape(K, tr * tc_, tnh, tnw, bs, bs)
+
+
 @partial(jax.jit, static_argnames=("tnh", "tnw", "tr", "tc_", "bit_depth",
                                    "enable_nxn", "nxn_p", "deblock",
                                    "subpel"))
-def _gop_chunk_jit(ya, cba, cra, idr_f, active, pad_y, pad_cb, pad_cr,
+def _gop_chunk_jit(yp, cbp, crp, idr_f, active, pad_y, pad_cb, pad_cr,
                    qp, lam_bits, lam16, sl16, tnh, tnw, tr, tc_,
                    bit_depth, enable_nxn, nxn_p, deblock, subpel):
     """Encode a K-frame chunk in ONE device dispatch.
@@ -97,6 +110,9 @@ def _gop_chunk_jit(ya, cba, cra, idr_f, active, pad_y, pad_cb, pad_cr,
     from hevc_tpu.ops.deblock_jax import assemble_deblock_pad_jit
     spec = FramePackSpec(tnh, tnw, tr * tc_)
     S, T = tnh * tnw, tr * tc_
+    ya = _split_tiles_j(yp, tr, tc_, tnh, tnw, 16)
+    cba = _split_tiles_j(cbp, tr, tc_, tnh, tnw, 8)
+    cra = _split_tiles_j(crp, tr, tc_, tnh, tnw, 8)
 
     def body(pads, xs):
         sy, scb, scr, is_idr, act = xs
@@ -154,7 +170,8 @@ def _gop_chunk_jit(ya, cba, cra, idr_f, active, pad_y, pad_cb, pad_cr,
 
     pads, (heads, coefs) = jax.lax.scan(
         body, (pad_y, pad_cb, pad_cr), (ya, cba, cra, idr_f, active))
-    return heads, coefs, pads
+    # flatten the head stack: 1-D outputs transfer at full link speed
+    return heads.reshape(-1), coefs, pads
 
 
 def _sao_param_lists(arrs):
@@ -433,14 +450,16 @@ class GopEncoder:
         cfg_f = dataclasses.replace(cfg, qp=qp) if qp != cfg.qp else cfg
         n = len(frames)
         sdt = np.uint8 if cfg.bit_depth == 8 else np.uint16
+        from hevc_tpu.encoder.reference_encoder import pad_to_ctb
         ys, cbs, crs = [], [], []
         for (y, cb, cr) in frames:
-            yb, cbb, crb = self._to_blocks(np.asarray(y, np.int32),
-                                           np.asarray(cb, np.int32),
-                                           np.asarray(cr, np.int32))
-            ys.append(self._tsplit(yb, 16).astype(sdt))
-            cbs.append(self._tsplit(cbb, 8).astype(sdt))
-            crs.append(self._tsplit(crb, 8).astype(sdt))
+            # dense edge-padded planes; tile/block split happens on device
+            # (block-layout host arrays transfer ~8x slower: TPU tiling)
+            ys.append(pad_to_ctb(np.asarray(y), 16).astype(sdt))
+            cbs.append(pad_to_ctb(np.asarray(cb), 8).astype(sdt))
+            crs.append(pad_to_ctb(np.asarray(cr), 8).astype(sdt))
+        H, W = ys[0].shape
+        self._geom = (H // 16, W // 16, H, W)
         for _ in range(chunk - n):            # pad the tail, masked inactive
             ys.append(ys[-1]); cbs.append(cbs[-1]); crs.append(crs[-1])
         idr_f = np.zeros(chunk, bool)
@@ -483,8 +502,9 @@ class GopEncoder:
         # coefficient-stream length isn't known host-side yet, so copy a
         # running-capacity prefix and fall back to a second fetch on
         # rare growth.
-        cap_hint = min(getattr(self, "_cap_hint", 262144), buf6.shape[0])
-        buf_pre = buf6[:cap_hint]
+        cap_hint = min(getattr(self, "_cap_hint", 262144),
+                       buf6.shape[0] // 6)
+        buf_pre = buf6[:cap_hint * 6]
         try:
             heads.copy_to_host_async()
             buf_pre.copy_to_host_async()
@@ -501,25 +521,28 @@ class GopEncoder:
         def host_stage():
             from hevc_tpu.utils.metrics import GLOBAL_TIMERS
             with GLOBAL_TIMERS.stage("host_fetch"):
-                hn = np.asarray(jax.device_get(heads))
+                hn = np.asarray(jax.device_get(heads)).reshape(
+                    chunk, spec.head_bytes)
                 fields, nnz = zip(*(spec.unpack_head(hn[k])
                                     for k in range(chunk)))
                 total = int(sum(nnz))
                 if total <= cap_hint:
-                    recs = np.asarray(buf_pre)[:total]
+                    recs = np.asarray(buf_pre)[:total * 6]
                 else:
                     # capacity miss: fetch the tail (slow path — it queues
                     # behind the next chunk's compute; bucket the length so
                     # the slice program cache stays small)
-                    cap = min(-(-total // 131072) * 131072, buf6.shape[0])
+                    cap = min(-(-total // 131072) * 131072,
+                              buf6.shape[0] // 6)
                     recs = np.concatenate(
                         [np.asarray(buf_pre),
-                         np.asarray(jax.device_get(buf6[cap_hint:cap]))],
-                        axis=0)[:total]
+                         np.asarray(jax.device_get(
+                             buf6[cap_hint * 6:cap * 6]))])[:total * 6]
+                recs = recs.reshape(total, 6)
                 # leave ~25% headroom for the next chunk's stream
                 self._cap_hint = min(
                     max(-(-total * 5 // (4 * 65536)) * 65536, 131072),
-                    buf6.shape[0])
+                    buf6.shape[0] // 6)
             coef = split_coef_stream(recs, spec.coef_elems, nnz)
             nals = []
             with GLOBAL_TIMERS.stage("entropy"):

@@ -146,10 +146,12 @@ class FramePackSpec:
 
 @jax.jit
 def coef_stream_jit(dense):
-    """(K, coef_elems) int16 -> ((K*N, 6) uint8 record buffer, total nnz).
+    """(K, coef_elems) int16 -> (flat uint8 record buffer, total nnz).
 
-    Records are (global position:int32 LE, level:int16 LE) for each
-    nonzero, compacted to the front; the host fetches buf[:total*6] only.
+    Records are 6 bytes — (global position:int32 LE, level:int16 LE) —
+    for each nonzero, compacted to the front; the host fetches
+    buf[:total*6] only.  The buffer is returned 1-D: a (n, 6) minor dim
+    would get a padded TPU tile layout and transfer ~20x slower.
     """
     flat = dense.reshape(-1)
     mask = flat != 0
@@ -165,7 +167,7 @@ def coef_stream_jit(dense):
     tgt = jnp.where(mask, idx, n + jnp.arange(n, dtype=jnp.int32))
     buf = jnp.zeros((n, 6), jnp.uint8).at[tgt].set(
         rec, mode="drop", unique_indices=True)
-    return buf, mask.sum(dtype=jnp.int32)
+    return buf.reshape(-1), mask.sum(dtype=jnp.int32)
 
 
 def split_coef_stream(arr: np.ndarray, coef_elems: int, nnz_per_frame):

@@ -56,7 +56,7 @@ def test_coef_stream_roundtrip():
     total = int(total)
     nnz = [(dense[k] != 0).sum() for k in range(K)]
     assert total == sum(nnz)
-    recs = np.asarray(buf[:total])
+    recs = np.asarray(buf[:total * 6]).reshape(total, 6)
     per = split_coef_stream(recs, spec.coef_elems, nnz)
     for k in range(K):
         ly, lcb, lcr = spec.unpack_coefs(*per[k])

@@ -14,6 +14,7 @@ def test_virtual_mesh_present():
     assert len(jax.devices()) == 8, jax.devices()
 
 
+@pytest.mark.slow
 def test_graft_entry():
     import __graft_entry__ as G
     fn, args = G.entry()
@@ -22,6 +23,7 @@ def test_graft_entry():
     assert len(out) == 13          # v1 step outputs
 
 
+@pytest.mark.slow
 def test_dryrun_multichip():
     import __graft_entry__ as G
     G.dryrun_multichip(8)
@@ -48,6 +50,7 @@ def test_sharded_equals_local():
         assert np.array_equal(np.asarray(s), np.asarray(l))
 
 
+@pytest.mark.slow
 def test_sharded_p_equals_local():
     import jax.numpy as jnp
     from hevc_tpu.parallel.streams import make_stream_mesh, \

@@ -125,6 +125,7 @@ def test_all_static_sequence_codes_inter(tmp_path):
     assert _avref_exact(stream, recons, tmp_path)
 
 
+@pytest.mark.slow
 def test_device_gop_matches_reference(tmp_path):
     """Device graph parity for the zero-MV-skip profile (mc=False)."""
     from hevc_tpu.encoder.gop import GopEncoder
@@ -194,6 +195,7 @@ def test_cpp_p_entropy_identical():
             assert py == cpp
 
 
+@pytest.mark.slow
 def test_device_mc_gop_matches_reference(tmp_path):
     """Device MC kernel == numpy reference (mc=True, subpel=False)."""
     from hevc_tpu.encoder.gop import GopEncoder

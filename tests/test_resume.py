@@ -13,6 +13,7 @@ from hevc_tpu.batch.transcode import convert_video  # noqa: E402
 from hevc_tpu.batch import resume as RZ  # noqa: E402
 
 
+@pytest.mark.slow
 def test_file_level_resume_skip(tmp_path):
     src = generate_clip(tmp_path / "in" / "c.y4m", 176, 144, 4)
     r1 = convert_video(src, tmp_path / "out", resume=True)

@@ -21,6 +21,7 @@ def _frames(n=2, W=128, H=96, seed=0):
     return out
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("tc,tr", [(2, 2), (4, 3), (1, 1)])
 @pytest.mark.parametrize("qp", [22, 35])
 def test_rowscan_matches_wavefront(tc, tr, qp):

@@ -75,6 +75,7 @@ def test_sao_improves_edge_content(tmp_path):
     assert n_on > 0
 
 
+@pytest.mark.slow
 def test_device_sao_gop_matches_reference(tmp_path):
     """Device SAO (fused deblock+SAO+pad graph) == numpy reference."""
     from hevc_tpu.encoder.gop import GopEncoder
