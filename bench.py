@@ -35,8 +35,10 @@ def pipeline_fps(enc, frames, iters=2, gop=30, chunk=8):
         pending = deque()
         for s in range(0, F, chunk):
             grp = frames[s:s + chunk]
-            idrs = [(it * F + s + j) % gop == 0 for j in range(len(grp))]
-            fut = enc.encode_chunk_async(grp, idrs, chunk=chunk)
+            metas = [((0, None, 0) if (it * F + s + j) % gop == 0
+                      else (1, (it * F + s + j) % gop, 0))
+                     for j in range(len(grp))]
+            fut = enc.encode_chunk_async(grp, metas, chunk=chunk)
             pending.append(fut)
             n += len(grp)
             while len(pending) > 2:
@@ -67,8 +69,9 @@ def bench_res(W, H, F, QP, label, synth_frame, baseline=False):
     nals, decs = [], []
     for s in range(0, F, 8):
         grp = frames[s:s + 8]
-        idrs = [s + j == 0 for j in range(len(grp))]
-        nals += enc.encode_chunk_async(grp, idrs, chunk=8).result()
+        metas = [((0, None, 0) if s + j == 0 else (1, s + j, 0))
+                 for j in range(len(grp))]
+        nals += enc.encode_chunk_async(grp, metas, chunk=8).result()
         decs.append(enc._last_dec)
     log(f"[{label}] compile+first GOP: {time.time()-t0:.1f}s, "
         f"{sum(len(n) for n in nals)} bytes "

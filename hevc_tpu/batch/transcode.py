@@ -143,6 +143,7 @@ def convert_video(file_path, out_dir, progress_callback=None, debug=False,
                                 stop_event=stop_event, deadline=deadline,
                                 audio=audio, src_path=file_path, resume=resume,
                                 nxn=pr.nxn, sao=pr.sao,
+                                bframes=pr.bframes,
                                 rate_plan=plan if qp_override is None else None,
                                 gop=plan.gop if pr.inter else 0)
             if ok == "CANCELLED":
@@ -247,7 +248,8 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
                    backend: str, batch_frames: int, progress_callback,
                    file_name: str, stop_event, deadline: float, audio=None,
                    src_path=None, resume: bool = False, nxn: bool = True,
-                   rate_plan=None, gop: int = 0, sao: bool = False):
+                   rate_plan=None, gop: int = 0, sao: bool = False,
+                   bframes: bool = False):
     from hevc_tpu.entropy.headers import StreamConfig
     from hevc_tpu.encoder.toplevel import VideoEncoder, entropy_encode_frame
     from hevc_tpu.io.mp4 import mux_mp4
@@ -281,6 +283,7 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
         chromaloc=info.chromaloc, hdr=info.is_hdr,
         tile_cols=tile_cols, tile_rows=tile_rows,
         inter=use_inter, sao=sao and use_inter,
+        bframes=bframes and use_inter and not sao,
     )
     enc = VideoEncoder(cfg, backend=backend)
     rc = None
@@ -319,10 +322,10 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
         # thread.  The rate controller sees frame bits with one frame of lag.
         pending: deque = deque()
 
-        def finish_frame(j, is_idr_j, nal):
+        def finish_frame(j, kind_j, nal):
             nonlocal last_ckpt
             samples.append(length_prefixed(
-                [write_aud(0 if is_idr_j else 1), nal]))
+                [write_aud(min(kind_j, 2)), nal]))
             stats.frame_done(len(nal))
             if rc is not None:
                 rc.update(len(nal) * 8)
@@ -338,16 +341,20 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
                     pass
 
         def drain_one():
-            j0, idrs_j, fut = pending.popleft()
+            j0, kinds_j, fut = pending.popleft()
             nals = fut.result()
             if isinstance(nals, bytes):       # per-frame (SAO) path
-                nals, idrs_j = [nals], [idrs_j]
+                nals, kinds_j = [nals], [kinds_j]
             for k, nal in enumerate(nals):
-                finish_frame(j0 + k, idrs_j[k], nal)
+                finish_frame(j0 + k, kinds_j[k], nal)
 
         # chunked GOP-segment path (one device dispatch + 2 packed fetches
-        # per chunk; SAO streams use the per-frame pipeline instead)
+        # per chunk; SAO streams use the per-frame pipeline instead).
+        # Samples land in DECODE order; with B pictures the display order
+        # is restored at mux time via ctts composition offsets.
         chunked = not cfg.sao
+        from hevc_tpu.encoder.gop import b_schedule
+        sched = b_schedule(total, gop, cfg.bframes) if chunked else None
         CH = 8
         while i < total:
             if stop_event is not None and stop_event.is_set():
@@ -358,11 +365,11 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
                 raise TimeoutError("per-file encode timeout")
             cur_qp = rc.qp if rc is not None else cfg.qp
             if chunked:
-                grp = frames[i:i + CH]
-                idrs = [(i + j) % gop == 0 for j in range(len(grp))]
+                grp = sched[i:i + CH]
                 fut = genc.encode_chunk_async(
-                    grp, idrs, qp=cur_qp, chunk=CH)
-                pending.append((i, idrs, fut))
+                    [frames[e[0]] for e in grp], [e[1:] for e in grp],
+                    qp=cur_qp, chunk=CH)
+                pending.append((i, [e[1] for e in grp], fut))
                 i += len(grp)
             else:
                 f = frames[i]
@@ -370,7 +377,7 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
                 fut = genc.encode_next_async(
                     np.asarray(f[0], np.int32), np.asarray(f[1], np.int32),
                     np.asarray(f[2], np.int32), idr=is_idr, qp=cur_qp)
-                pending.append((i, is_idr, fut))
+                pending.append((i, 0 if is_idr else 1, fut))
                 i += 1
             while len(pending) > 2:
                 drain_one()
@@ -378,9 +385,16 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
             drain_one()
         log.info("encode stats %s: %s", file_name, stats.summary())
         hdr_md = build_hdr_metadata(info)
+        comp = None
+        if sched is not None:
+            syncs = [k + 1 for k, e in enumerate(sched) if e[1] == 0]
+            if cfg.bframes:
+                comp = [e[0] - k for k, e in enumerate(sched)]
+        else:
+            syncs = [k + 1 for k in range(total) if k % gop == 0]
         mux_mp4(out_path, samples, cfg, fps=fps,
                 vps=write_vps(cfg), sps=write_sps(cfg), pps=write_pps(cfg),
-                sync_samples=[k + 1 for k in range(total) if k % gop == 0],
+                sync_samples=syncs, composition_offsets=comp,
                 hdr_metadata=hdr_md, audio=audio)
         if fp is not None:
             from hevc_tpu.batch import resume as RZ

@@ -88,23 +88,29 @@ def _split_tiles_j(p, tr, tc_, tnh, tnw, bs):
 @partial(jax.jit, static_argnames=("tnh", "tnw", "tr", "tc_", "bit_depth",
                                    "enable_nxn", "nxn_p", "deblock",
                                    "subpel"))
-def _gop_chunk_jit(yp, cbp, crp, idr_f, active, pad_y, pad_cb, pad_cr,
-                   qp, lam_bits, lam16, sl16, tnh, tnw, tr, tc_,
+def _gop_chunk_jit(yp, cbp, crp, kinds, active, prev_pads, cur_pads,
+                   qp_v, lam_bits_v, lam16_v, sl16_v, dsf_v,
+                   tnh, tnw, tr, tc_,
                    bit_depth, enable_nxn, nxn_p, deblock, subpel):
-    """Encode a K-frame chunk in ONE device dispatch.
+    """Encode a K-frame chunk (decode order) in ONE device dispatch.
 
-    lax.scan over frames (the DPB feedback — deblocked, padded reference
-    tiles — is the scan carry, so P-frame dependencies never leave the
-    chip); each step lax.cond's between the IDR and P encode graphs, so
-    chunks may cross GOP boundaries.  Host-bound syntax is packed on
-    device (see encoder/pack.py): returns (heads (K, Ph) uint8,
-    coef (K, Ntot) int16 dense levels for the coef-stream compactor,
-    final ref pads).
+    lax.scan over frames; the DPB feedback — deblocked, padded reference
+    tiles for the last TWO reference pictures — is the scan carry, so
+    inter dependencies never leave the chip.  Each step lax.switch'es
+    between the IDR / P / B encode graphs (kinds: (K,) 0/1/2), so chunks
+    may cross GOP boundaries and carry the IbPbP structure.  P references
+    cur_pads; B references (prev_pads, cur_pads) as (L0, L1) and does not
+    update the carry (non-reference pictures need no deblock/pad at all).
+    Per-step qp / lambda / dsf vectors let B pictures code at QP+2.
+
+    Host-bound syntax is packed on device (see encoder/pack.py): returns
+    (flat packed heads, (K, Ntot) int16 dense levels for the coef-stream
+    compactor, final (prev, cur) pads).
 
     This is SURVEY §2's temporal/GOP-segment pipelining: the host CABAC
-    stage consumes chunk g while chunk g+1 encodes on chip, and the
-    host link carries two packed fetches per chunk instead of ~26
-    arrays per frame.
+    stage consumes chunk g while chunk g+1 encodes on chip, and the host
+    link carries two packed fetches per chunk instead of ~26 arrays per
+    frame.
     """
     from hevc_tpu.encoder.pack import FramePackSpec
     from hevc_tpu.ops.deblock_jax import assemble_deblock_pad_jit
@@ -114,15 +120,32 @@ def _gop_chunk_jit(yp, cbp, crp, idr_f, active, pad_y, pad_cb, pad_cr,
     cba = _split_tiles_j(cbp, tr, tc_, tnh, tnw, 8)
     cra = _split_tiles_j(crp, tr, tc_, tnh, tnw, 8)
 
-    def body(pads, xs):
-        sy, scb, scr, is_idr, act = xs
+    def body(carry, xs):
+        prev3, cur3 = carry
+        sy, scb, scr, kind, act, qp, lam_bits, lam16, sl16, dsf = xs
         fy, fcb, fcr = (sy.astype(jnp.int32), scb.astype(jnp.int32),
                         scr.astype(jnp.int32))
 
         def z1(dt):
             return jnp.zeros((S, T), dt)
 
-        def idr_branch(pads):
+        def zfields():
+            return dict(skip=z1(bool), inter=z1(bool), merge=z1(bool),
+                        mvd=jnp.zeros((S, T, 2), jnp.int16),
+                        mvp=z1(jnp.int8), rqt=z1(jnp.int8),
+                        cbf_yi=z1(bool), cbf_cbi=z1(bool), cbf_cri=z1(bool),
+                        mv=jnp.zeros((S, T, 2), jnp.int16),
+                        dir=z1(jnp.int8),
+                        mvd1=jnp.zeros((S, T, 2), jnp.int16),
+                        mvp1=z1(jnp.int8))
+
+        def intra_fields(outs):
+            return dict(part=outs[0], modes4=outs[1], cbf_y4=outs[2],
+                        cbf_cb=outs[3], cbf_cr=outs[4], cbf_cb4=outs[5],
+                        cbf_cr4=outs[6])
+
+        def idr_branch(carry):
+            prev3, cur3 = carry
             outs = _rowscan_v1_scan(fy, fcb, fcr, qp, lam_bits, tnh, tnw,
                                     bit_depth, enable_nxn=enable_nxn)
             st = outs[0].shape
@@ -130,19 +153,13 @@ def _gop_chunk_jit(yp, cbp, crp, idr_f, active, pad_y, pad_cb, pad_cr,
                 outs[10], outs[11], outs[12], qp, jnp.ones(st, bool),
                 jnp.zeros(st, bool), jnp.zeros(st + (2,), jnp.int16),
                 outs[0], tnh, tnw, tr, tc_, bit_depth, deblock, do_pad=True)
-            fields = dict(
-                part=outs[0], modes4=outs[1], cbf_y4=outs[2],
-                cbf_cb=outs[3], cbf_cr=outs[4], cbf_cb4=outs[5],
-                cbf_cr4=outs[6], skip=z1(bool), inter=z1(bool),
-                merge=z1(bool), mvd=jnp.zeros((S, T, 2), jnp.int16),
-                mvp=z1(jnp.int8), rqt=z1(jnp.int8), cbf_yi=z1(bool),
-                cbf_cbi=z1(bool), cbf_cri=z1(bool),
-                mv=jnp.zeros((S, T, 2), jnp.int16))
-            return fields, (outs[7], outs[8], outs[9]), tuple(d[3:6])
+            fields = dict(zfields(), **intra_fields(outs))
+            return fields, (outs[7], outs[8], outs[9]), (cur3, tuple(d[3:6]))
 
-        def p_branch(pads):
+        def p_branch(carry):
+            prev3, cur3 = carry
             outs = _rowscan_v1_scan(fy, fcb, fcr, qp, lam_bits, tnh, tnw,
-                                    bit_depth, lam16=lam16, ref_pads=pads,
+                                    bit_depth, lam16=lam16, ref_pads=cur3,
                                     sl16=sl16, enable_nxn=nxn_p,
                                     subpel=subpel)
             inter_s = outs[13] | outs[14]
@@ -150,28 +167,72 @@ def _gop_chunk_jit(yp, cbp, crp, idr_f, active, pad_y, pad_cb, pad_cr,
                 outs[10], outs[11], outs[12], qp, ~inter_s,
                 outs[14] & outs[19], outs[22], outs[0] & ~inter_s,
                 tnh, tnw, tr, tc_, bit_depth, deblock, do_pad=True)
-            fields = dict(
-                part=outs[0], modes4=outs[1], cbf_y4=outs[2],
-                cbf_cb=outs[3], cbf_cr=outs[4], cbf_cb4=outs[5],
-                cbf_cr4=outs[6], skip=outs[13], inter=outs[14],
-                merge=outs[15], mvd=outs[16], mvp=outs[17], rqt=outs[18],
-                cbf_yi=outs[19], cbf_cbi=outs[20], cbf_cri=outs[21],
-                mv=outs[22])
-            return fields, (outs[7], outs[8], outs[9]), tuple(d[3:6])
+            fields = dict(zfields(), **intra_fields(outs))
+            fields.update(skip=outs[13], inter=outs[14], merge=outs[15],
+                          mvd=outs[16], mvp=outs[17], rqt=outs[18],
+                          cbf_yi=outs[19], cbf_cbi=outs[20],
+                          cbf_cri=outs[21], mv=outs[22])
+            return fields, (outs[7], outs[8], outs[9]), (cur3, tuple(d[3:6]))
 
-        fields, lvls, new_pads = jax.lax.cond(is_idr, idr_branch, p_branch,
-                                              pads)
+        def b_branch(carry):
+            prev3, cur3 = carry
+            outs = _rowscan_v1_scan(fy, fcb, fcr, qp, lam_bits, tnh, tnw,
+                                    bit_depth, lam16=lam16, ref_pads=prev3,
+                                    ref_pads1=cur3, sl16=sl16, dsf=dsf,
+                                    enable_nxn=nxn_p, subpel=subpel)
+            fields = dict(zfields(), **intra_fields(outs))
+            fields.update(skip=outs[13], inter=outs[14], merge=outs[15],
+                          mvd=outs[16], mvp=outs[17], rqt=outs[18],
+                          cbf_yi=outs[19], cbf_cbi=outs[20],
+                          cbf_cri=outs[21], mv=outs[22], dir=outs[23],
+                          mvd1=outs[24], mvp1=outs[25])
+            return fields, (outs[7], outs[8], outs[9]), (prev3, cur3)
+
+        fields, lvls, new_carry = jax.lax.switch(
+            kind, [idr_branch, p_branch, b_branch], carry)
         flat = jnp.where(act, FramePackSpec.coef_flat(*lvls), 0)
         nnz = (flat != 0).sum(dtype=jnp.int32)
         head = spec.pack_head(fields, nnz)
-        pads = jax.tree.map(lambda n, o: jnp.where(act, n, o),
-                            new_pads, pads)
-        return pads, (head, flat)
+        carry = jax.tree.map(lambda n, o: jnp.where(act, n, o),
+                             new_carry, carry)
+        return carry, (head, flat)
 
-    pads, (heads, coefs) = jax.lax.scan(
-        body, (pad_y, pad_cb, pad_cr), (ya, cba, cra, idr_f, active))
+    carry, (heads, coefs) = jax.lax.scan(
+        body, (prev_pads, cur_pads),
+        (ya, cba, cra, kinds, active, qp_v, lam_bits_v, lam16_v, sl16_v,
+         dsf_v))
     # flatten the head stack: 1-D outputs transfer at full link speed
-    return heads.reshape(-1), coefs, pads
+    return heads.reshape(-1), coefs, carry
+
+
+def b_schedule(n: int, gop: int = 0, bframes: bool = True):
+    """Decode-order schedule: [(display_idx, kind, poc, rps_idx)].
+
+    kind: 0 IDR, 1 P, 2 non-reference B.  bframes=True -> IbPbP per GOP
+    segment (reference pictures at even display offsets, decode order
+    I P2 B1 P4 B3 ..., mirror of reference_encoder_v1._encode_video_b);
+    bframes=False -> plain IPPP in display order.
+    """
+    if not bframes:
+        return [(k, 0 if (k == 0 or (gop and k % gop == 0)) else 1,
+                 None if (k == 0 or (gop and k % gop == 0))
+                 else k - (k // gop) * gop if gop else k, 0)
+                for k in range(n)]
+    starts = [k for k in range(n) if k == 0 or (gop and k % gop == 0)]
+    segments = [(s, (starts + [n])[i + 1]) for i, s in enumerate(starts)]
+    sched = []
+    for (s, e) in segments:
+        sched.append((s, 0, None, 0))
+        prev = s
+        k = s + 2
+        while prev < e - 1:
+            r = min(k, e - 1)
+            sched.append((r, 1, r - s, 0 if r - prev == 2 else 2))
+            if r - prev == 2:
+                sched.append((prev + 1, 2, prev + 1 - s, 0))
+            prev = r
+            k = r + 2
+    return sched
 
 
 def _sao_param_lists(arrs):
@@ -302,7 +363,8 @@ class GopEncoder:
         }
         return dec, recon, dev
 
-    def _dec_from_outs(self, outs, p_mc: bool, p_zmv: bool = False) -> dict:
+    def _dec_from_outs(self, outs, p_mc: bool, p_zmv: bool = False,
+                       p_b: bool = False) -> dict:
         """Host decision dict from (host-fetched) kernel outputs."""
         (part, modes4, cbf_y4, cbf_cb, cbf_cr, cbf_cb4, cbf_cr4,
          lvl_y, lvl_cb, lvl_cr) = outs[:10]
@@ -316,6 +378,27 @@ class GopEncoder:
             "lvl_cb": self._unstep(lvl_cb, np.int32),
             "lvl_cr": self._unstep(lvl_cr, np.int32),
         }
+        if p_b:
+            (skipf, interf, mergef, mvd, mvp, rqt,
+             cbf_yi, cbf_cbi, cbf_cri, mv,
+             dir_e, mvd1, mvp1, pf, mv1) = outs[13:28]
+            dec.update(
+                skip=self._unstep(skipf),
+                inter=self._unstep(interf),
+                merge=self._unstep(mergef),
+                mvd=self._unstep(mvd, np.int32),
+                mvp=self._unstep(mvp, np.int32),
+                rqt=self._unstep(rqt, np.int32),
+                cbf_yi=self._unstep(cbf_yi), cbf_cbi=self._unstep(cbf_cbi),
+                cbf_cri=self._unstep(cbf_cri),
+                mv=self._unstep(mv, np.int32),
+                dir=self._unstep(dir_e, np.int32),
+                mvd1=self._unstep(mvd1, np.int32),
+                mvp1=self._unstep(mvp1, np.int32),
+                pf=self._unstep(pf),
+                mv1=self._unstep(mv1, np.int32),
+            )
+            return dec
         if p_mc:
             (skipf, interf, mergef, mvd, mvp, rqt,
              cbf_yi, cbf_cbi, cbf_cri, mv) = outs[13:23]
@@ -351,7 +434,21 @@ class GopEncoder:
             # part_nxn from the device graph is the INTRA candidate's flag;
             # only CTUs that actually selected intra create NxN inner edges
             nxn = np.asarray(dec["part_nxn"], bool)
-            if "inter" in dec:
+            if "pf" in dec:                   # B slice
+                inter = np.asarray(dec["skip"], bool) \
+                    | np.asarray(dec["inter"], bool)
+                intra = ~inter
+                cu_maps = {
+                    "intra": intra,
+                    "cbf": (np.asarray(dec["inter"], bool)
+                            & np.asarray(dec["cbf_yi"], bool))
+                    | (intra & np.asarray(dec["cbf_y4"], bool).any(-1)),
+                    "mv": np.asarray(dec["mv"], np.int32),
+                    "mv1": np.asarray(dec["mv1"], np.int32),
+                    "pf": np.asarray(dec["pf"], bool)}
+                nxn = nxn & intra
+                skip = None
+            elif "inter" in dec:
                 inter = np.asarray(dec["skip"], bool) \
                     | np.asarray(dec["inter"], bool)
                 cu_maps = {
@@ -430,24 +527,29 @@ class GopEncoder:
 
         return self._pool.submit(host_stage)
 
-    def encode_chunk_async(self, frames, idrs, qp: int | None = None,
+    def encode_chunk_async(self, frames, metas, qp: int | None = None,
                            chunk: int = 8):
-        """Encode up to `chunk` frames in one device dispatch (see
-        _gop_chunk_jit).  frames: [(y, cb, cr)] host planes; idrs: [bool]
-        per frame.  Returns a Future of the list of slice NALs.
+        """Encode up to `chunk` frames (DECODE order) in one device
+        dispatch (see _gop_chunk_jit).  frames: [(y, cb, cr)] host planes;
+        metas: [(kind, poc, rps_idx)] per frame with kind 0=IDR, 1=P,
+        2=non-reference B (refs at poc-1/poc+1; see b_schedule).  Returns
+        a Future of the list of slice NALs in decode order.
 
         One fixed chunk size per stream config keeps a single compiled
         graph; short tails are padded with the last frame and masked out
         (their device work is wasted, their outputs dropped).  QP is
-        per-chunk (rate control quantizes to chunk granularity).
+        per-chunk (rate control quantizes to chunk granularity); B
+        pictures code at QP + B_QP_OFFSET via the per-step qp vector.
         """
         assert self.mc and not self.cfg.sao, \
             "chunked path: MC mode, SAO handled by the per-frame pipeline"
-        assert 0 < len(frames) <= chunk
+        assert 0 < len(frames) <= chunk and len(metas) == len(frames)
         import dataclasses
+        from hevc_tpu.encoder.rowscan_v1 import dsf_pair
+        from hevc_tpu.encoder.reference_encoder_v1 import RefIntraEncoderV1
         cfg = self.cfg
         qp = cfg.qp if qp is None else qp
-        cfg_f = dataclasses.replace(cfg, qp=qp) if qp != cfg.qp else cfg
+        qp_b = min(qp + RefIntraEncoderV1.B_QP_OFFSET, 51)
         n = len(frames)
         sdt = np.uint8 if cfg.bit_depth == 8 else np.uint16
         from hevc_tpu.encoder.reference_encoder import pad_to_ctb
@@ -462,35 +564,53 @@ class GopEncoder:
         self._geom = (H // 16, W // 16, H, W)
         for _ in range(chunk - n):            # pad the tail, masked inactive
             ys.append(ys[-1]); cbs.append(cbs[-1]); crs.append(crs[-1])
-        idr_f = np.zeros(chunk, bool)
-        idr_f[:n] = [bool(b) for b in idrs]
-        if self._ref_blocks is None:
-            idr_f[0] = True
+        metas = list(metas)
+        if self._ref_blocks is None and metas[0][0] != 0:
+            metas[0] = (0, None, 0)
+        kinds = np.array([m[0] for m in metas]
+                         + [1] * (chunk - n), np.int32)
         active = np.arange(chunk) < n
         nh, nw, H, W = self._geom
         tc, tr = cfg.tile_cols, cfg.tile_rows
         tnh, tnw = nh // tr, nw // tc
         if self._ref_blocks is None:
             T = tr * tc
-            self._ref_blocks = (
-                jnp.zeros((T, tnh * 16 + 2 * MARGIN,
-                           tnw * 16 + 2 * MARGIN), jnp.int32),
-                jnp.zeros((T, tnh * 8 + 2 * MARGIN_C,
-                           tnw * 8 + 2 * MARGIN_C), jnp.int32),
-                jnp.zeros((T, tnh * 8 + 2 * MARGIN_C,
-                           tnw * 8 + 2 * MARGIN_C), jnp.int32))
-        rs = RowScanEncoderV1(qp, cfg.bit_depth)
-        lam16 = skip_lambda16(qp + 6 * (cfg.bit_depth - 8))
-        sl16 = int(np.sqrt(0.85 * 2.0 ** (
-            (qp + 6 * (cfg.bit_depth - 8) - 12) / 3.0)) * 16)
-        heads, coefs, pads = _gop_chunk_jit(
+
+            def zp():
+                return (jnp.zeros((T, tnh * 16 + 2 * MARGIN,
+                                   tnw * 16 + 2 * MARGIN), jnp.int32),
+                        jnp.zeros((T, tnh * 8 + 2 * MARGIN_C,
+                                   tnw * 8 + 2 * MARGIN_C), jnp.int32),
+                        jnp.zeros((T, tnh * 8 + 2 * MARGIN_C,
+                                   tnw * 8 + 2 * MARGIN_C), jnp.int32))
+            self._ref_blocks = (zp(), zp())
+        bd_off = 6 * (cfg.bit_depth - 8)
+        qp_v, lam_bits_v, lam16_v, sl16_v, dsf_v = [], [], [], [], []
+        for k in range(chunk):
+            q = qp_b if kinds[k] == 2 else qp
+            qp_v.append(q)
+            lam_bits_v.append(np.asarray(
+                RowScanEncoderV1(q, cfg.bit_depth).lam_bits))
+            lam16_v.append(skip_lambda16(q + bd_off))
+            sl16_v.append(int(np.sqrt(0.85 * 2.0 ** (
+                (q + bd_off - 12) / 3.0)) * 16))
+            if kinds[k] == 2:
+                poc = metas[k][1]
+                dsf_v.append(dsf_pair(poc, poc - 1, poc + 1))
+            else:
+                dsf_v.append(np.zeros(2, np.int32))
+        heads, coefs, carry = _gop_chunk_jit(
             jnp.asarray(np.stack(ys)), jnp.asarray(np.stack(cbs)),
-            jnp.asarray(np.stack(crs)), jnp.asarray(idr_f),
+            jnp.asarray(np.stack(crs)), jnp.asarray(kinds),
             jnp.asarray(active), *self._ref_blocks,
-            jnp.asarray(qp), rs.lam_bits, jnp.asarray(lam16, jnp.int32),
-            jnp.asarray(sl16, jnp.int32), tnh, tnw, tr, tc, cfg.bit_depth,
+            jnp.asarray(np.asarray(qp_v, np.int32)),
+            jnp.asarray(np.stack(lam_bits_v)),
+            jnp.asarray(np.asarray(lam16_v, np.int32)),
+            jnp.asarray(np.asarray(sl16_v, np.int32)),
+            jnp.asarray(np.stack(dsf_v)),
+            tnh, tnw, tr, tc, cfg.bit_depth,
             self.enable_nxn, self.nxn_p, cfg.deblock, self.subpel)
-        self._ref_blocks = pads
+        self._ref_blocks = carry
         from hevc_tpu.encoder.pack import (FramePackSpec, coef_stream_jit,
                                            split_coef_stream)
         buf6, _ = coef_stream_jit(coefs)
@@ -510,13 +630,11 @@ class GopEncoder:
             buf_pre.copy_to_host_async()
         except Exception:
             pass
-        pocs = []
-        for k in range(n):
-            self._poc = 0 if idr_f[k] else self._poc + 1
-            pocs.append(None if idr_f[k] else self._poc)
         if self._pool is None:
             from concurrent.futures import ThreadPoolExecutor
             self._pool = ThreadPoolExecutor(1, "gop-entropy")
+        cfg_base = dataclasses.replace(cfg, qp=qp) if qp != cfg.qp else cfg
+        cfg_b = dataclasses.replace(cfg, qp=qp_b)
 
         def host_stage():
             from hevc_tpu.utils.metrics import GLOBAL_TIMERS
@@ -547,27 +665,35 @@ class GopEncoder:
             nals = []
             with GLOBAL_TIMERS.stage("entropy"):
                 for k in range(n):
+                    kind, poc, rps = metas[k]
+                    is_b = kind == 2
                     lvls = spec.unpack_coefs(*coef[k])
                     dec = self._dec_from_outs(
-                        spec.outs_list(fields[k], lvls),
-                        p_mc=not idr_f[k])
-                    nals.append(entropy_encode_frame_v1(cfg_f, dec,
-                                                        poc=pocs[k]))
+                        spec.outs_list(fields[k], lvls, b_slice=is_b),
+                        p_mc=kind == 1, p_b=is_b)
+                    nals.append(entropy_encode_frame_v1(
+                        cfg_b if is_b else cfg_base, dec,
+                        poc=None if kind == 0 else poc,
+                        b_slice=is_b, rps_idx=rps))
                     self._last_dec = dec
             return nals
 
         return self._pool.submit(host_stage)
 
     def encode_video_chunked(self, frames, gop: int = 0, chunk: int = 8):
-        """Chunked-path counterpart of encode_video (no recons returned)."""
+        """Chunked-path counterpart of encode_video (no recons returned).
+
+        With cfg.bframes the stream is IbPbP in decode order (the NAL
+        sequence matches encode_video_b / the numpy reference)."""
         self.reset()
         out = annexb(self.parameter_sets())
+        sched = b_schedule(len(frames), gop, self.cfg.bframes)
         futs = []
-        for s in range(0, len(frames), chunk):
-            grp = frames[s:s + chunk]
-            idrs = [bool(gop and (s + j) % gop == 0) or s + j == 0
-                    for j in range(len(grp))]
-            futs.append(self.encode_chunk_async(grp, idrs, chunk=chunk))
+        for s in range(0, len(sched), chunk):
+            grp = sched[s:s + chunk]
+            futs.append(self.encode_chunk_async(
+                [frames[e[0]] for e in grp], [e[1:] for e in grp],
+                chunk=chunk))
         for fut in futs:
             for nal in fut.result():
                 out += b"\x00\x00\x00\x01" + nal
@@ -644,6 +770,8 @@ class GopEncoder:
 
     def encode_video(self, frames, gop: int = 0):
         """frames: [(y, cb, cr)] -> (annexb bytes, deblocked recons)."""
+        if self.cfg.bframes:
+            return self.encode_video_b(frames, gop)
         self.reset()
         out = annexb(self.parameter_sets())
         recons = []
@@ -651,4 +779,101 @@ class GopEncoder:
             nal, ref = self.encode_next(*f, idr=bool(gop and i % gop == 0))
             out += b"\x00\x00\x00\x01" + nal
             recons.append(ref)
+        return out, recons
+
+    def _host_pads(self, disp):
+        """Padded tile planes (device) from host display planes."""
+        from hevc_tpu.ops.deblock_jax import _pad_tiles_j
+        cfg = self.cfg
+        if not hasattr(GopEncoder, "_padj"):
+            GopEncoder._padj = jax.jit(_pad_tiles_j,
+                                       static_argnums=(1, 2, 3))
+        return (GopEncoder._padj(jnp.asarray(disp["y"]), cfg.tile_rows,
+                                 cfg.tile_cols, MARGIN),
+                GopEncoder._padj(jnp.asarray(disp["cb"]), cfg.tile_rows,
+                                 cfg.tile_cols, MARGIN_C),
+                GopEncoder._padj(jnp.asarray(disp["cr"]), cfg.tile_rows,
+                                 cfg.tile_cols, MARGIN_C))
+
+    def encode_video_b(self, frames, gop: int = 0):
+        """IbPbP GOP on device (mirror of the numpy _encode_video_b,
+        reference_encoder_v1.py:673): reference pictures at even display
+        offsets, one non-reference B between each pair.  Decode order
+        I P2 B1 P4 B3...; returns (annexb bytes, recons in DISPLAY order).
+        """
+        import dataclasses
+        from hevc_tpu.encoder.rowscan_v1 import (
+            encode_tiles_rowscan_bmc_jit, dsf_pair)
+        from hevc_tpu.encoder.reference_encoder_v1 import RefIntraEncoderV1
+        cfg = self.cfg
+        self.reset()
+        out = annexb(self.parameter_sets())
+        n = len(frames)
+        recons = [None] * n
+        starts = [k for k in range(n) if k == 0 or (gop and k % gop == 0)]
+        segments = [(s, (starts + [n])[i + 1])
+                    for i, s in enumerate(starts)]
+        qp_b = min(cfg.qp + RefIntraEncoderV1.B_QP_OFFSET, 51)
+        cfg_b = dataclasses.replace(cfg, qp=qp_b)
+
+        def encode_b(fr, pads0, pads1, pocs):
+            rs = RowScanEncoderV1(qp_b, cfg.bit_depth)
+            lam16 = skip_lambda16(qp_b + 6 * (cfg.bit_depth - 8))
+            sl16 = int(np.sqrt(0.85 * 2.0 ** (
+                (qp_b + 6 * (cfg.bit_depth - 8) - 12) / 3.0)) * 16)
+            yb, cbb, crb = self._to_blocks(np.asarray(fr[0], np.int32),
+                                           np.asarray(fr[1], np.int32),
+                                           np.asarray(fr[2], np.int32))
+            nh, nw, H, W = self._geom
+            tc, tr = cfg.tile_cols, cfg.tile_rows
+            outs = encode_tiles_rowscan_bmc_jit(
+                jnp.asarray(self._tsplit(yb, 16)),
+                jnp.asarray(self._tsplit(cbb, 8)),
+                jnp.asarray(self._tsplit(crb, 8)),
+                *pads0, *pads1, jnp.asarray(qp_b), rs.lam_bits,
+                jnp.asarray(lam16, jnp.int32), jnp.asarray(sl16, jnp.int32),
+                jnp.asarray(dsf_pair(*pocs)),
+                nh // tr, nw // tc, cfg.bit_depth, self.nxn_p, self.subpel)
+            host = jax.device_get(list(outs))
+            dec = self._dec_from_outs(host, p_mc=False, p_b=True)
+            recon = {
+                "y": self._plane(self._unstep(host[10], np.int32), 16),
+                "cb": self._plane(self._unstep(host[11], np.int32), 8),
+                "cr": self._plane(self._unstep(host[12], np.int32), 8),
+            }
+            return dec, recon
+
+        for (s, e) in segments:
+            self.reset()
+            # IDR at s
+            dec, recon, _ = self._frame_decisions(*frames[s], None, cfg.qp)
+            disp = self._deblocked(recon, dec)
+            out += b"\x00\x00\x00\x01" + entropy_encode_frame_v1(cfg, dec)
+            recons[s] = disp
+            prev_pads = self._host_pads(disp)
+            prev_ref = s
+            k = s + 2
+            while prev_ref < e - 1:
+                r_ = min(k, e - 1)
+                poc_r = r_ - s
+                dec, recon, _ = self._frame_decisions(
+                    *frames[r_], prev_pads, cfg.qp)
+                disp = self._deblocked(recon, dec)
+                out += b"\x00\x00\x00\x01" + entropy_encode_frame_v1(
+                    cfg, dec, poc=poc_r,
+                    rps_idx=0 if r_ - prev_ref == 2 else 2)
+                recons[r_] = disp
+                cur_pads = self._host_pads(disp)
+                if r_ - prev_ref == 2:
+                    bidx = prev_ref + 1
+                    decb, reconb = encode_b(
+                        frames[bidx], prev_pads, cur_pads,
+                        (bidx - s, prev_ref - s, r_ - s))
+                    dispb = self._deblocked(reconb, decb, qp=qp_b)
+                    out += b"\x00\x00\x00\x01" + entropy_encode_frame_v1(
+                        cfg_b, decb, poc=bidx - s, b_slice=True)
+                    recons[bidx] = dispb
+                prev_pads = cur_pads
+                prev_ref = r_
+                k = r_ + 2
         return out, recons

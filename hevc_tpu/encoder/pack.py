@@ -35,8 +35,11 @@ _INT_FIELDS = (
     ("modes4", np.int8, 4),
     ("mvp", np.int8, 1),
     ("rqt", np.int8, 1),
+    ("dir", np.int8, 1),
+    ("mvp1", np.int8, 1),
     ("mvd", np.int16, 2),
     ("mv", np.int16, 2),
+    ("mvd1", np.int16, 2),
 )
 _BOOL_FIELDS = (
     ("part", 1), ("cbf_y4", 4), ("cbf_cb", 1), ("cbf_cr", 1),
@@ -132,16 +135,25 @@ class FramePackSpec:
                 dense[ny:ny + nc].reshape(S, T, 8, 8),
                 dense[ny + nc:].reshape(S, T, 8, 8))
 
-    def outs_list(self, fields: dict, lvls):
+    def outs_list(self, fields: dict, lvls, b_slice: bool = False):
         """Rebuild the kernel-output list consumed by GopEncoder's
-        _dec_from_outs (positions 10-12, the recon planes, stay host-free)."""
+        _dec_from_outs (positions 10-12, the recon planes, stay host-free).
+
+        b_slice appends the B fields; pf/mv1 (decoder-side deblock inputs
+        only — the B picture is never a reference) are zero-filled."""
         lvl_y, lvl_cb, lvl_cr = lvls
         f = fields
-        return [f["part"], f["modes4"], f["cbf_y4"], f["cbf_cb"],
-                f["cbf_cr"], f["cbf_cb4"], f["cbf_cr4"],
-                lvl_y, lvl_cb, lvl_cr, None, None, None,
-                f["skip"], f["inter"], f["merge"], f["mvd"], f["mvp"],
-                f["rqt"], f["cbf_yi"], f["cbf_cbi"], f["cbf_cri"], f["mv"]]
+        out = [f["part"], f["modes4"], f["cbf_y4"], f["cbf_cb"],
+               f["cbf_cr"], f["cbf_cb4"], f["cbf_cr4"],
+               lvl_y, lvl_cb, lvl_cr, None, None, None,
+               f["skip"], f["inter"], f["merge"], f["mvd"], f["mvp"],
+               f["rqt"], f["cbf_yi"], f["cbf_cbi"], f["cbf_cri"], f["mv"]]
+        if b_slice:
+            S, T = f["part"].shape
+            out += [f["dir"], f["mvd1"], f["mvp1"],
+                    np.zeros((S, T, 2), bool),
+                    np.zeros((S, T, 2), np.int16)]
+        return out
 
 
 @jax.jit

@@ -170,15 +170,11 @@ def _sel_coeffs(table_np, frac, ntaps):
                for f in range(table_np.shape[0]))
 
 
-def _chroma_mc_j(win, mvx, mvy, bit_depth):
-    """(B, 11, 11) gathered window -> (B, 8, 8) chroma MC prediction.
-
-    Full eighth-pel support (spec 8.5.4.2.3): per-lane 4-tap coefficients
-    selected by one-hot from Table 8-13; exact uni-pred weighting."""
+def _chroma_mc_val_j(win, mvx, mvy, bit_depth):
+    """(B, 11, 11) gathered window -> (B, 8, 8) 14-bit chroma MC
+    intermediate (pre-weighting), spec 8.5.4.2.3 with per-lane 4-tap
+    coefficients selected by one-hot from Table 8-13."""
     shift1 = bit_depth - 8
-    maxv = (1 << bit_depth) - 1
-    off = 1 << (13 - bit_depth)
-    sh = 14 - bit_depth
     xf = mvx & 7
     yf = mvy & 7
     cx = _sel_coeffs(_FC_NP, xf, 4)                      # (B, 4)
@@ -197,14 +193,217 @@ def _chroma_mc_j(win, mvx, mvy, bit_depth):
     phv = v4(tmp, cy) >> 6
     xz = (xf == 0)[:, None, None]
     yz = (yf == 0)[:, None, None]
-    val = jnp.where(xz & yz, p00,
-                    jnp.where(yz, ph, jnp.where(xz, pv, phv)))
-    return jnp.clip((val + off) >> sh, 0, maxv)
+    return jnp.where(xz & yz, p00,
+                     jnp.where(yz, ph, jnp.where(xz, pv, phv)))
+
+
+def _weight_uni_j(val, bit_depth):
+    """Default uni-prediction weighting (spec 8.5.4.2.4)."""
+    off = 1 << (13 - bit_depth)
+    return jnp.clip((val + off) >> (14 - bit_depth), 0,
+                    (1 << bit_depth) - 1)
+
+
+def _weight_bi_j(val0, val1, bit_depth):
+    """Default bi-prediction averaging (spec 8.5.4.2.4)."""
+    off = 1 << (14 - bit_depth)
+    return jnp.clip((val0 + val1 + off) >> (15 - bit_depth), 0,
+                    (1 << bit_depth) - 1)
+
+
+def _chroma_mc_j(win, mvx, mvy, bit_depth):
+    """(B, 11, 11) gathered window -> (B, 8, 8) chroma MC prediction."""
+    return _weight_uni_j(_chroma_mc_val_j(win, mvx, mvy, bit_depth),
+                         bit_depth)
+
+
+def _scale_mv_j(mv, dsf):
+    """Temporal MV scaling (spec 8.5.3.2.8) with the distance factor dsf
+    precomputed on host ((tb*tx+32)>>6 clipped to [-4096,4095])."""
+    s = dsf * mv
+    mag = (jnp.abs(s) + 127) >> 8
+    return jnp.clip(jnp.where(s >= 0, mag, -mag), -32768, 32767)
+
+
+def _search_explicit_ref(src, pad_y, r, c, c0mv, c1mv, sl16, bit_depth,
+                         subpel, maxv):
+    """Full +-8 integer search + optional subpel refinement against ONE
+    reference pad (the P explicit-MV search, factored for per-list reuse
+    in B slices).  Returns (mv_e, mvd bits vs cand0, vs cand1, and the
+    14-bit pre-weighting prediction intermediate at mv_e)."""
+    B = src.shape[0]
+    win = jax.lax.dynamic_slice(
+        pad_y, (0, r * 16 + MARGIN - 8, c * 16 + MARGIN - 8), (B, 32, 32))
+    rows_s = jnp.stack([win[:, k:k + 16, :] for k in range(17)], 1)
+    cand = jnp.stack([rows_s[..., k:k + 16] for k in range(17)], 2)
+    cand = cand.reshape(B, 289, 16, 16)
+    sad = jnp.sum(jnp.abs(src[:, None] - cand), axis=(2, 3))
+    offs = jnp.arange(289, dtype=I32)
+    mvx_all = 4 * (offs % 17 - 8)
+    mvy_all = 4 * (offs // 17 - 8)
+    mb0 = _mvd_bits_j(mvx_all[None] - c0mv[:, 0:1]) \
+        + _mvd_bits_j(mvy_all[None] - c0mv[:, 1:2])
+    mb1 = _mvd_bits_j(mvx_all[None] - c1mv[:, 0:1]) \
+        + _mvd_bits_j(mvy_all[None] - c1mv[:, 1:2])
+    cost = (sad << 4) + sl16 * jnp.minimum(mb0, mb1)
+    bi = jnp.argmin(cost, axis=1).astype(I32)
+    mv_e = jnp.stack([4 * (bi % 17 - 8), 4 * (bi // 17 - 8)], 1)
+
+    def mvd_pair(mvq):
+        m0 = _mvd_bits_j(mvq[:, 0] - c0mv[:, 0]) \
+            + _mvd_bits_j(mvq[:, 1] - c0mv[:, 1])
+        m1 = _mvd_bits_j(mvq[:, 0] - c1mv[:, 0]) \
+            + _mvd_bits_j(mvq[:, 1] - c1mv[:, 1])
+        return m0, m1
+
+    if subpel:
+        shift1 = bit_depth - 8
+        win40 = jax.lax.dynamic_slice(
+            pad_y, (0, r * 16 + MARGIN - 12, c * 16 + MARGIN - 12),
+            (B, 40, 40))
+        by = (mv_e[:, 1] >> 2) + 8
+        bx = (mv_e[:, 0] >> 2) + 8
+        w24 = jax.vmap(lambda p, yy, xx: jax.lax.dynamic_slice(
+            p, (yy, xx), (24, 24)))(win40, by, bx)
+
+        def hpass(xf):
+            return sum(int(_FL_NP[xf][k]) * w24[:, :, k:k + 17]
+                       for k in range(8))
+        hp = [w24[:, :, 3:20] << (14 - bit_depth)] \
+            + [hpass(f) for f in (1, 2, 3)]
+
+        def qval(dqx, dqy):
+            xf, ix = dqx & 3, dqx >> 2
+            yf, iy = dqy & 3, dqy >> 2
+            if xf == 0 and yf == 0:
+                return w24[:, iy + 4:iy + 20, ix + 4:ix + 20] \
+                    << (14 - bit_depth)
+            if yf == 0:
+                return hp[xf][:, iy + 4:iy + 20, ix + 1:ix + 17] >> shift1
+            if xf == 0:
+                col = w24[:, :, ix + 4:ix + 20]
+                return sum(int(_FL_NP[yf][k])
+                           * col[:, iy + 1 + k:iy + 17 + k]
+                           for k in range(8)) >> shift1
+            t = hp[xf] >> shift1
+            return sum(int(_FL_NP[yf][k])
+                       * t[:, iy + 1 + k:iy + 17 + k, ix + 1:ix + 17]
+                       for k in range(8)) >> 6
+
+        vals_q, costs_q = {}, {}
+        cost_int = jnp.take_along_axis(cost, bi[:, None], 1).reshape(B)
+        for dqy in range(-3, 4):
+            for dqx in range(-3, 4):
+                v = qval(dqx, dqy)
+                vals_q[(dqx, dqy)] = v
+                if dqx == 0 and dqy == 0:
+                    costs_q[(0, 0)] = cost_int
+                    continue
+                p = _weight_uni_j(v, bit_depth)
+                sadq = jnp.sum(jnp.abs(src - p), axis=(1, 2))
+                mvq = mv_e + jnp.asarray([dqx, dqy], I32)[None]
+                m0, m1 = mvd_pair(mvq)
+                costs_q[(dqx, dqy)] = (sadq << 4) \
+                    + sl16 * jnp.minimum(m0, m1)
+
+        def cost_at(dx_arr, dy_arr):
+            return sum(jnp.where((dx_arr == px) & (dy_arr == py),
+                                 costs_q[(px, py)], 0)
+                       for px in range(-3, 4) for py in range(-3, 4))
+
+        def refine(base_dx, base_dy, step_):
+            best_dx, best_dy = base_dx, base_dy
+            best_c = cost_at(base_dx, base_dy)
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if (dx, dy) == (0, 0):
+                        continue
+                    ndx = base_dx + dx * step_
+                    ndy = base_dy + dy * step_
+                    nc = cost_at(ndx, ndy)
+                    better = nc < best_c
+                    best_dx = jnp.where(better, ndx, best_dx)
+                    best_dy = jnp.where(better, ndy, best_dy)
+                    best_c = jnp.where(better, nc, best_c)
+            return best_dx, best_dy
+
+        z = jnp.zeros((B,), I32)
+        dx1, dy1 = refine(z, z, 2)
+        dx2, dy2 = refine(dx1, dy1, 1)
+        mv_e = mv_e + jnp.stack([dx2, dy2], 1)
+        val_e = sum(jnp.where(((dx2 == px) & (dy2 == py))[:, None, None],
+                              vals_q[(px, py)], 0)
+                    for px in range(-3, 4) for py in range(-3, 4))
+    else:
+        val_e = jnp.take_along_axis(
+            cand, bi[:, None, None, None], 1).reshape(B, 16, 16) \
+            << (14 - bit_depth)
+    mb0b, mb1b = mvd_pair(mv_e)
+    return mv_e, mb0b, mb1b, val_e
+
+
+def _merge_luma_val_ref(pad_y, r, c, mg_mv, bit_depth, subpel):
+    """14-bit luma MC intermediate at a merge MV against one pad."""
+    B = mg_mv.shape[0]
+    if subpel:
+        shift1 = bit_depth - 8
+        win40 = jax.lax.dynamic_slice(
+            pad_y, (0, r * 16 + MARGIN - 12, c * 16 + MARGIN - 12),
+            (B, 40, 40))
+        bym = (mg_mv[:, 1] >> 2) + 9
+        bxm = (mg_mv[:, 0] >> 2) + 9
+        w23 = jax.vmap(lambda p, yy, xx: jax.lax.dynamic_slice(
+            p, (yy, xx), (23, 23)))(win40, bym, bxm)
+        xfm = mg_mv[:, 0] & 3
+        yfm = mg_mv[:, 1] & 3
+        cxm = _sel_coeffs(_FL_NP, xfm, 8)
+        cym = _sel_coeffs(_FL_NP, yfm, 8)
+        hm = sum(cxm[:, k, None, None] * w23[:, :, k:k + 16]
+                 for k in range(8))
+        p00m = w23[:, 3:19, 3:19] << (14 - bit_depth)
+        phm = hm[:, 3:19] >> shift1
+        pvm = sum(cym[:, k, None, None] * w23[:, k:k + 16, 3:19]
+                  for k in range(8)) >> shift1
+        thm = hm >> shift1
+        phvm = sum(cym[:, k, None, None] * thm[:, k:k + 16]
+                   for k in range(8)) >> 6
+        xzm = (xfm == 0)[:, None, None]
+        yzm = (yfm == 0)[:, None, None]
+        return jnp.where(xzm & yzm, p00m,
+                         jnp.where(yzm, phm, jnp.where(xzm, pvm, phvm)))
+    win = jax.lax.dynamic_slice(
+        pad_y, (0, r * 16 + MARGIN - 8, c * 16 + MARGIN - 8), (B, 32, 32))
+    rows_s = jnp.stack([win[:, k:k + 16, :] for k in range(17)], 1)
+    cand = jnp.stack([rows_s[..., k:k + 16] for k in range(17)], 2)
+    cand = cand.reshape(B, 289, 16, 16)
+    mi = (mg_mv[:, 1] // 4 + 8) * 17 + (mg_mv[:, 0] // 4 + 8)
+    return jnp.take_along_axis(
+        cand, mi[:, None, None, None], 1).reshape(B, 16, 16) \
+        << (14 - bit_depth)
+
+
+def _chroma_stack_ref(pad_c, r, c):
+    """Integer chroma offsets [-5..4]^2 as one (B, 100, 11, 11) stack."""
+    B = pad_c.shape[0]
+    cwin = jax.lax.dynamic_slice(
+        pad_c, (0, r * 8 + MARGIN_C - 6, c * 8 + MARGIN_C - 6), (B, 21, 21))
+    crows = jnp.stack([cwin[:, k:k + 11, :] for k in range(10)], 1)
+    return jnp.stack([crows[..., k:k + 11] for k in range(10)],
+                     2).reshape(B, 100, 11, 11)
+
+
+def _chroma_val_ref(stk, mv, bit_depth):
+    """14-bit chroma MC intermediate at a (luma-quarter-pel) MV."""
+    idx = ((mv[:, 1] >> 3) + 5) * 10 + (mv[:, 0] >> 3) + 5
+    wins = jnp.take_along_axis(
+        stk, idx[:, None, None, None], 1).reshape(-1, 11, 11)
+    return _chroma_mc_val_j(wins, mv[:, 0], mv[:, 1], bit_depth)
 
 
 def _rowscan_v1_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh, tnw, bit_depth,
                      refs=None, lam16=None, enable_nxn=True,
-                     ref_pads=None, sl16=None, subpel=True):
+                     ref_pads=None, sl16=None, subpel=True,
+                     ref_pads1=None, dsf=None):
     """Shared row-scan body.
 
     refs=(ref_y, ref_cb, ref_cr) (block layout) enables the P-slice zero-MV
@@ -212,10 +411,17 @@ def _rowscan_v1_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh, tnw, bit_depth,
     MARGIN halo built from the FULL reference picture) enables the
     motion-compensated P step instead: full +-8 integer search, merge /
     explicit-MV / skip / intra RD — replicating the numpy reference encoder
-    (mc=True, subpel=False) bit-exactly."""
+    (mc=True, subpel=False) bit-exactly.
+
+    ref_pads1 (same layout) enables the B step: two reference lists,
+    skip / merge / L0 / L1 / BI / intra RD, bit-exact with the numpy
+    encode_frame_b_decisions (reference_encoder_v1.py:389).  dsf: (2,)
+    cross-list MV scaling factors (list 0, list 1), host-precomputed from
+    the POC deltas."""
     B = src_y.shape[0]
-    mc_mode = ref_pads is not None
-    p_mode = refs is not None or mc_mode
+    b_mode = ref_pads1 is not None
+    mc_mode = ref_pads is not None and not b_mode
+    p_mode = refs is not None or mc_mode or b_mode
     maxv = (1 << bit_depth) - 1
     qp_bd = 6 * (bit_depth - 8)
     qp_eff = qp + qp_bd
@@ -251,6 +457,16 @@ def _rowscan_v1_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh, tnw, bit_depth,
             top_mv=jnp.zeros((B, tnw, 2), I32),
             corner_inter=jnp.zeros((B,), jnp.bool_),
             corner_mv=jnp.zeros((B, 2), I32),
+        )
+    elif b_mode:
+        # full motion records per neighbor: prediction flag + MV per list
+        state.update(
+            left_pf=jnp.zeros((B, 2), jnp.bool_),
+            left_mv2=jnp.zeros((B, 2, 2), I32),
+            top_pf=jnp.zeros((B, tnw, 2), jnp.bool_),
+            top_mv2=jnp.zeros((B, tnw, 2, 2), I32),
+            corner_pf=jnp.zeros((B, 2), jnp.bool_),
+            corner_mv2=jnp.zeros((B, 2, 2), I32),
         )
 
     zeros8 = jnp.zeros((B, 8), I32)
@@ -427,8 +643,240 @@ def _rowscan_v1_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh, tnw, bit_depth,
             [jnp.where(part, sub_modes[1], mode2n),
              jnp.where(part, sub_modes[3], mode2n)], axis=1)
 
+        # ---- B slice: skip / merge / L0 / L1 / BI / intra ----
+        if b_mode:
+            pad0_y, pad0_cb, pad0_cr = ref_pads
+            pad1_y, pad1_cb, pad1_cr = ref_pads1
+            INF = jnp.asarray(2**31 - 1, I32)
+            lpf, lmv2 = state["left_pf"], state["left_mv2"]
+            b1_pf = jax.lax.dynamic_slice(state["top_pf"], (0, c, 0),
+                                          (B, 1, 2)).reshape(B, 2)
+            b1_mv2 = jax.lax.dynamic_slice(state["top_mv2"], (0, c, 0, 0),
+                                           (B, 1, 2, 2)).reshape(B, 2, 2)
+            b0_pf = jax.lax.dynamic_slice(state["top_pf"], (0, cclamp, 0),
+                                          (B, 1, 2)).reshape(B, 2)
+            b0_mv2 = jax.lax.dynamic_slice(state["top_mv2"],
+                                           (0, cclamp, 0, 0),
+                                           (B, 1, 2, 2)).reshape(B, 2, 2)
+            cpf, cmv2 = state["corner_pf"], state["corner_mv2"]
+            a1_av = al & (lpf[:, 0] | lpf[:, 1])
+            b1_av = aa & (b1_pf[:, 0] | b1_pf[:, 1])
+            b0_av = aar & (b0_pf[:, 0] | b0_pf[:, 1])
+            b2_av = ac & (cpf[:, 0] | cpf[:, 1])
+
+            # merge cand 0: full record of first of A1, B1, B0, B2;
+            # else the zero-bi candidate (ops.inter.merge_cand0_b)
+            mg_pf = jnp.ones((B, 2), jnp.bool_)
+            mg_mv2 = jnp.zeros((B, 2, 2), I32)
+            for av_, pf_, mv_ in ((b2_av, cpf, cmv2),
+                                  (b0_av, b0_pf, b0_mv2),
+                                  (b1_av, b1_pf, b1_mv2),
+                                  (a1_av, lpf, lmv2)):
+                mg_pf = jnp.where(av_[:, None], pf_, mg_pf)
+                mg_mv2 = jnp.where(av_[:, None, None], mv_, mg_mv2)
+
+            def amvp_b(lx):
+                """Device mirror of ops.inter.amvp_list_b (distinct ref
+                POCs per list, so cross-list unscaled never applies)."""
+                ly = 1 - lx
+                d_ = dsf[lx]
+
+                def unscaled(av_, pf_, mv_):
+                    return av_ & pf_[:, lx], mv_[:, lx]
+
+                def scaled(av_, pf_, mv_):
+                    has = av_ & (pf_[:, lx] | pf_[:, ly])
+                    mv = jnp.where(pf_[:, lx][:, None], mv_[:, lx],
+                                   _scale_mv_j(mv_[:, ly], d_))
+                    return has, mv
+
+                a_h, a_mv = unscaled(a1_av, lpf, lmv2)
+                as_h, as_mv = scaled(a1_av, lpf, lmv2)
+                ca_h = a_h | as_h
+                ca_mv = jnp.where(a_h[:, None], a_mv, as_mv)
+                ub_h = jnp.zeros((B,), jnp.bool_)
+                ub_mv = jnp.zeros((B, 2), I32)
+                sb_h = jnp.zeros((B,), jnp.bool_)
+                sb_mv = jnp.zeros((B, 2), I32)
+                for av_, pf_, mv_ in ((b2_av, cpf, cmv2),
+                                      (b1_av, b1_pf, b1_mv2),
+                                      (b0_av, b0_pf, b0_mv2)):
+                    h, m = unscaled(av_, pf_, mv_)
+                    ub_mv = jnp.where(h[:, None], m, ub_mv)
+                    ub_h = ub_h | h
+                    h, m = scaled(av_, pf_, mv_)
+                    sb_mv = jnp.where(h[:, None], m, sb_mv)
+                    sb_h = sb_h | h
+                # isScaledFlag dance: without an inter A1, the unscaled B
+                # takes A's slot and the scaled B search fills B
+                A_h = jnp.where(a1_av, ca_h, ub_h)
+                A_mv = jnp.where(a1_av[:, None], ca_mv, ub_mv)
+                B_h = jnp.where(a1_av, ub_h, sb_h)
+                B_mv = jnp.where(a1_av[:, None], ub_mv, sb_mv)
+                dup = A_h & B_h & jnp.all(A_mv == B_mv, -1)
+                c0_ = jnp.where(A_h[:, None], A_mv,
+                                jnp.where(B_h[:, None], B_mv, 0))
+                c1_ = jnp.where((A_h & B_h & ~dup)[:, None], B_mv, 0)
+                return c0_, c1_
+
+            c0mv0, c1mv0 = amvp_b(0)
+            c0mv1, c1mv1 = amvp_b(1)
+            mv_e0, mb00, mb01, val_e0 = _search_explicit_ref(
+                src, pad0_y, r, c, c0mv0, c1mv0, sl16, bit_depth, subpel,
+                maxv)
+            mv_e1, mb10, mb11, val_e1 = _search_explicit_ref(
+                src, pad1_y, r, c, c0mv1, c1mv1, sl16, bit_depth, subpel,
+                maxv)
+            mvp_e0 = (mb00 > mb01).astype(I32)
+            mbits0 = jnp.minimum(mb00, mb01)
+            mvp_e1 = (mb10 > mb11).astype(I32)
+            mbits1 = jnp.minimum(mb10, mb11)
+            pred_l0 = _weight_uni_j(val_e0, bit_depth)
+            pred_l1 = _weight_uni_j(val_e1, bit_depth)
+            pred_bi = _weight_bi_j(val_e0, val_e1, bit_depth)
+
+            valm0 = _merge_luma_val_ref(pad0_y, r, c, mg_mv2[:, 0],
+                                        bit_depth, subpel)
+            valm1 = _merge_luma_val_ref(pad1_y, r, c, mg_mv2[:, 1],
+                                        bit_depth, subpel)
+            both_m = mg_pf[:, 0] & mg_pf[:, 1]
+            valm_u = jnp.where(mg_pf[:, 0][:, None, None], valm0, valm1)
+            pred_m = jnp.where(both_m[:, None, None],
+                               _weight_bi_j(valm0, valm1, bit_depth),
+                               _weight_uni_j(valm_u, bit_depth))
+
+            stk0_cb = _chroma_stack_ref(pad0_cb, r, c)
+            stk0_cr = _chroma_stack_ref(pad0_cr, r, c)
+            stk1_cb = _chroma_stack_ref(pad1_cb, r, c)
+            stk1_cr = _chroma_stack_ref(pad1_cr, r, c)
+
+            def comb_c(stk0, stk1, mv0_, mv1_, pf=None):
+                v0 = _chroma_val_ref(stk0, mv0_, bit_depth)
+                v1 = _chroma_val_ref(stk1, mv1_, bit_depth)
+                if pf is None:
+                    return _weight_bi_j(v0, v1, bit_depth)
+                vu = jnp.where(pf[:, 0][:, None, None], v0, v1)
+                return jnp.where((pf[:, 0] & pf[:, 1])[:, None, None],
+                                 _weight_bi_j(v0, v1, bit_depth),
+                                 _weight_uni_j(vu, bit_depth))
+
+            pm_cb = comb_c(stk0_cb, stk1_cb, mg_mv2[:, 0], mg_mv2[:, 1],
+                           mg_pf)
+            pm_cr = comb_c(stk0_cr, stk1_cr, mg_mv2[:, 0], mg_mv2[:, 1],
+                           mg_pf)
+            pl0_cb = _weight_uni_j(_chroma_val_ref(stk0_cb, mv_e0,
+                                                   bit_depth), bit_depth)
+            pl0_cr = _weight_uni_j(_chroma_val_ref(stk0_cr, mv_e0,
+                                                   bit_depth), bit_depth)
+            pl1_cb = _weight_uni_j(_chroma_val_ref(stk1_cb, mv_e1,
+                                                   bit_depth), bit_depth)
+            pl1_cr = _weight_uni_j(_chroma_val_ref(stk1_cr, mv_e1,
+                                                   bit_depth), bit_depth)
+            pbi_cb = comb_c(stk0_cb, stk1_cb, mv_e0, mv_e1)
+            pbi_cr = comb_c(stk0_cr, stk1_cr, mv_e0, mv_e1)
+
+            def tu3(py, pcb, pcr):
+                a = _tu(src, py, qp_eff, 16, bit_depth, maxv)
+                b_ = _tu(src_c["cb"], pcb, qpc, 8, bit_depth, maxv)
+                c_ = _tu(src_c["cr"], pcr, qpc, 8, bit_depth, maxv)
+                return ((a[0], b_[0], c_[0]), (a[1], b_[1], c_[1]),
+                        (a[2], b_[2], c_[2]))
+
+            lv_m, cb_m, rc_m = tu3(pred_m, pm_cb, pm_cr)
+            lv_0, cb_0, rc_0 = tu3(pred_l0, pl0_cb, pl0_cr)
+            lv_1, cb_1, rc_1 = tu3(pred_l1, pl1_cb, pl1_cr)
+            lv_b, cb_b, rc_b = tu3(pred_bi, pbi_cb, pbi_cr)
+
+            def sse3(p3):
+                return _sse_j(src, p3[0]) + _sse_j(src_c["cb"], p3[1]) \
+                    + _sse_j(src_c["cr"], p3[2])
+
+            def lvbits(lv):
+                return _level_bits(lv[0]) + _level_bits(lv[1]) \
+                    + _level_bits(lv[2])
+
+            j_skip = sse3((pred_m, pm_cb, pm_cr)) + ((lam16 * 2) >> 4)
+            any_m = cb_m[0] | cb_m[1] | cb_m[2]
+            j_m = jnp.where(
+                any_m,
+                sse3(rc_m) + ((lam16 * jnp.minimum(12 + lvbits(lv_m),
+                                                   2048)) >> 4), INF)
+            j_0 = sse3(rc_0) + ((lam16 * jnp.minimum(
+                16 + mbits0 + lvbits(lv_0), 2048)) >> 4)
+            j_1 = sse3(rc_1) + ((lam16 * jnp.minimum(
+                16 + mbits1 + lvbits(lv_1), 2048)) >> 4)
+            j_bi2 = sse3(rc_b) + ((lam16 * jnp.minimum(
+                24 + mbits0 + mbits1 + lvbits(lv_b), 2048)) >> 4)
+            j_i = sse3((rec_y, rec_cb, rec_cr)) + ((lam16 * jnp.minimum(
+                8 + _level_bits(lvl_y) + _level_bits(ch["cb"][0])
+                + _level_bits(ch["cr"][0]), 2048)) >> 4)
+
+            kind = jnp.argmin(jnp.stack(
+                [j_skip, j_m, j_0, j_1, j_bi2, j_i], 1),
+                axis=1).astype(I32)           # first-min = priority order
+            skipf = kind == 0
+            is_m = kind == 1
+            is_e = (kind >= 2) & (kind <= 4)
+            inter_sel = kind != 5
+            dir_e = jnp.clip(kind - 2, 0, 2)
+
+            def sel6(a_s, a_m, a_0, a_1, a_b, a_i, nd):
+                k = kind.reshape(kind.shape + (1,) * nd)
+                return jnp.where(k == 0, a_s,
+                                 jnp.where(k == 1, a_m,
+                                           jnp.where(k == 2, a_0,
+                                                     jnp.where(k == 3, a_1,
+                                                               jnp.where(
+                                                                   k == 4,
+                                                                   a_b,
+                                                                   a_i)))))
+
+            rec_y = sel6(pred_m, rc_m[0], rc_0[0], rc_1[0], rc_b[0],
+                         rec_y, 2)
+            rec_cb = sel6(pm_cb, rc_m[1], rc_0[1], rc_1[1], rc_b[1],
+                          rec_cb, 2)
+            rec_cr = sel6(pm_cr, rc_m[2], rc_0[2], rc_1[2], rc_b[2],
+                          rec_cr, 2)
+            lvl_y = sel6(lv_m[0], lv_m[0], lv_0[0], lv_1[0], lv_b[0],
+                         lvl_y, 2)
+            lvl_cb_f = sel6(lv_m[1], lv_m[1], lv_0[1], lv_1[1], lv_b[1],
+                            ch["cb"][0], 2)
+            lvl_cr_f = sel6(lv_m[2], lv_m[2], lv_0[2], lv_1[2], lv_b[2],
+                            ch["cr"][0], 2)
+            ch["cb"] = (lvl_cb_f,) + ch["cb"][1:]
+            ch["cr"] = (lvl_cr_f,) + ch["cr"][1:]
+            z1b = jnp.zeros((B,), jnp.bool_)
+            cbfi_y = sel6(cb_m[0], cb_m[0], cb_0[0], cb_1[0], cb_b[0],
+                          z1b, 0)
+            cbfi_cb = sel6(cb_m[1], cb_m[1], cb_0[1], cb_1[1], cb_b[1],
+                           z1b, 0)
+            cbfi_cr = sel6(cb_m[2], cb_m[2], cb_0[2], cb_1[2], cb_b[2],
+                           z1b, 0)
+            rqt_e = (cbfi_y | cbfi_cb | cbfi_cr).astype(I32)
+            mvp_sel0 = jnp.where(mvp_e0[:, None] == 0, c0mv0, c1mv0)
+            mvd0 = mv_e0 - mvp_sel0
+            mvp_sel1 = jnp.where(mvp_e1[:, None] == 0, c0mv1, c1mv1)
+            mvd1 = mv_e1 - mvp_sel1
+            # selected motion record (for neighbors + deblock maps)
+            use0 = (kind == 2) | (kind == 4)
+            use1 = (kind == 3) | (kind == 4)
+            pf_sel = jnp.where(is_e[:, None],
+                               jnp.stack([use0, use1], 1),
+                               jnp.where((skipf | is_m)[:, None], mg_pf,
+                                         jnp.zeros((B, 2), jnp.bool_)))
+            mv2_sel = jnp.where(
+                is_e[:, None, None],
+                jnp.stack([mv_e0, mv_e1], 1),
+                jnp.where((skipf | is_m)[:, None, None], mg_mv2, 0))
+            mv_f = jnp.where(pf_sel[:, 0][:, None], mv2_sel[:, 0],
+                             jnp.where(pf_sel[:, 1][:, None],
+                                       mv2_sel[:, 1], 0))
+            mv1_f = jnp.where(pf_sel[:, 1][:, None], mv2_sel[:, 1], 0)
+            lmodes = jnp.where(inter_sel[:, None],
+                               jnp.ones_like(lmodes), lmodes)
+
         # ---- P slice, MC mode: skip / merge / explicit-MV / intra ----
-        if mc_mode:
+        elif mc_mode:
             pad_y, pad_cb, pad_cr = ref_pads
             INF = jnp.asarray(2**31 - 1, I32)
             li, lmv = state["left_inter"], state["left_mv"]
@@ -775,6 +1223,18 @@ def _rowscan_v1_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh, tnw, bit_depth,
                 state["top_mv"], mv_f[:, None, :], (0, c, 0))
             nxt["left_inter"] = inter_sel
             nxt["left_mv"] = mv_f
+        elif b_mode:
+            nxt["corner_pf"] = jax.lax.dynamic_slice(
+                state["top_pf"], (0, c, 0), (B, 1, 2)).reshape(B, 2)
+            nxt["corner_mv2"] = jax.lax.dynamic_slice(
+                state["top_mv2"], (0, c, 0, 0),
+                (B, 1, 2, 2)).reshape(B, 2, 2)
+            nxt["top_pf"] = jax.lax.dynamic_update_slice(
+                state["top_pf"], pf_sel[:, None, :], (0, c, 0))
+            nxt["top_mv2"] = jax.lax.dynamic_update_slice(
+                state["top_mv2"], mv2_sel[:, None], (0, c, 0, 0))
+            nxt["left_pf"] = pf_sel
+            nxt["left_mv2"] = mv2_sel
 
         rdt = jnp.uint8 if bit_depth == 8 else jnp.uint16
         out = (part, modes4.astype(jnp.int8), cbf_y4,
@@ -787,6 +1247,14 @@ def _rowscan_v1_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh, tnw, bit_depth,
                          mvd.astype(jnp.int16), mvp_e.astype(jnp.int8),
                          jnp.where(is_e, rqt_e, 1).astype(jnp.int8),
                          cbfi_y, cbfi_cb, cbfi_cr, mv_f.astype(jnp.int16))
+        elif b_mode:
+            out = out + (skipf, inter_sel & ~skipf, is_m,
+                         mvd0.astype(jnp.int16), mvp_e0.astype(jnp.int8),
+                         jnp.where(is_e, rqt_e, 1).astype(jnp.int8),
+                         cbfi_y, cbfi_cb, cbfi_cr, mv_f.astype(jnp.int16),
+                         dir_e.astype(jnp.int8), mvd1.astype(jnp.int16),
+                         mvp_e1.astype(jnp.int8), pf_sel,
+                         mv1_f.astype(jnp.int16))
         elif p_mode:
             out = out + (skip,)
         return nxt, out
@@ -836,6 +1304,44 @@ def encode_tiles_rowscan_pmc_jit(src_y, src_cb, src_cr,
                             bit_depth, lam16=lam16,
                             ref_pads=(pad_y, pad_cb, pad_cr), sl16=sl16,
                             enable_nxn=enable_nxn, subpel=subpel)
+
+
+@partial(jax.jit, static_argnames=("tnh", "tnw", "bit_depth", "enable_nxn",
+                                   "subpel"))
+def encode_tiles_rowscan_bmc_jit(src_y, src_cb, src_cr,
+                                 pad0_y, pad0_cb, pad0_cr,
+                                 pad1_y, pad1_cb, pad1_cr,
+                                 qp, lam_bits, lam16, sl16, dsf,
+                                 tnh, tnw, bit_depth=8, enable_nxn=False,
+                                 subpel=True):
+    """B-frame row-scan (device mirror of the numpy
+    encode_frame_b_decisions, reference_encoder_v1.py:389).
+
+    pad0/pad1: padded tile planes of the L0 (past) and L1 (future)
+    reference pictures.  qp must already include the B QP offset; dsf is
+    the (2,) cross-list MV scaling factor vector.  Extra outputs (after
+    the 13 v1 outputs): skip, inter, merge, mvd0, mvp0, rqt, cbf_y/cb/cr,
+    mv0, dir, mvd1, mvp1, pf (B, 2), mv1.
+    """
+    return _rowscan_v1_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh, tnw,
+                            bit_depth, lam16=lam16,
+                            ref_pads=(pad0_y, pad0_cb, pad0_cr),
+                            ref_pads1=(pad1_y, pad1_cb, pad1_cr),
+                            sl16=sl16, dsf=dsf,
+                            enable_nxn=enable_nxn, subpel=subpel)
+
+
+def dsf_pair(cur_poc: int, poc0: int, poc1: int) -> np.ndarray:
+    """Host-side cross-list MV scaling factors (spec 8.5.3.2.8): entry lx
+    scales an MV referencing the OTHER list's picture into list lx."""
+    out = []
+    for lx in (0, 1):
+        tgt, other = (poc0, poc1) if lx == 0 else (poc1, poc0)
+        tb = min(max(cur_poc - tgt, -128), 127)
+        td = min(max(cur_poc - other, -128), 127)
+        tx = ((16384 + (abs(td) >> 1)) // abs(td)) * (1 if td > 0 else -1)
+        out.append(min(4095, max(-4096, (tb * tx + 32) >> 6)))
+    return np.asarray(out, np.int32)
 
 
 class RowScanEncoderV1:

@@ -17,11 +17,13 @@ class Preset:
     batch_frames: int = 8
     inter: bool = True     # GOP with motion-compensated P frames
     sao: bool = False      # sample-adaptive offset (GOP path)
+    bframes: bool = False  # IbPbP GOP (non-reference B pictures)
 
 
 PRESETS = {
-    "fast": Preset("fast", nxn=False, batch_frames=16),
-    "medium": Preset("medium", nxn=True, batch_frames=8),
+    "fast": Preset("fast", nxn=False, batch_frames=16, bframes=True),
+    "medium": Preset("medium", nxn=True, batch_frames=8, bframes=True),
+    # slow runs SAO, which still uses the per-frame (P-only) pipeline
     "slow": Preset("slow", nxn=True, batch_frames=4, sao=True),
 }
 
@@ -43,9 +45,11 @@ def degrade(preset: Preset, step: int) -> Preset:
     if step == 0:
         return preset
     if step == 1:
+        # first retry drops B pictures (the reference's bf=3 -> bf=0 step,
+        # core/transcoder.py:94-99)
         return Preset(preset.name + "-d1", preset.nxn,
                       max(preset.batch_frames // 2, 1), preset.inter,
-                      preset.sao)
+                      preset.sao, bframes=False)
     return Preset(preset.name + f"-d{step}", False,
                   max(preset.batch_frames >> step, 1), inter=step < 3,
                   sao=False)

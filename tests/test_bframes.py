@@ -144,3 +144,28 @@ def test_mp4_ctts_b_stream(tmp_path):
     for i in range(6):
         for j, k in ((0, "y"), (1, "cb"), (2, "cr")):
             assert np.array_equal(dec[i][j].astype(np.int32), recons[i][k]), i
+
+
+@pytest.mark.slow
+def test_device_bframes_matches_reference():
+    """Device B kernel (encode_tiles_rowscan_bmc_jit) drives the same
+    IbPbP stream as the numpy reference encoder, byte-identical."""
+    from hevc_tpu.encoder.gop import GopEncoder
+    rng = np.random.default_rng(9)
+    W, H, N = 96, 64, 9
+    base = rng.integers(0, 256, (H, W), np.int32)
+    frames = []
+    for i in range(N):
+        y = np.clip(np.roll(base, i * 3, axis=1)
+                    + rng.integers(-4, 5, (H, W)), 0, 255).astype(np.int32)
+        cb = np.clip(np.roll(base[::2, ::2], i, axis=0) // 2 + 64
+                     + rng.integers(-2, 3, (H // 2, W // 2)),
+                     0, 255).astype(np.int32)
+        cr = np.clip(255 - base[::2, ::2] // 2
+                     + rng.integers(-2, 3, (H // 2, W // 2)),
+                     0, 255).astype(np.int32)
+        frames.append((y, cb, cr))
+    cfg = StreamConfig(width=W, height=H, qp=27, inter=True, bframes=True)
+    s_np, _ = RefIntraEncoderV1(cfg).encode_video(frames, gop=6)
+    s_dev, _ = GopEncoder(cfg).encode_video(frames, gop=6)
+    assert s_np == s_dev

@@ -19,8 +19,11 @@ def _rand_fields(rng, S, T):
         "modes4": rng.integers(-128, 128, (S, T, 4)).astype(np.int8),
         "mvp": rng.integers(-128, 128, (S, T)).astype(np.int8),
         "rqt": rng.integers(-128, 128, (S, T)).astype(np.int8),
+        "dir": rng.integers(0, 3, (S, T)).astype(np.int8),
+        "mvp1": rng.integers(-128, 128, (S, T)).astype(np.int8),
         "mvd": rng.integers(-3000, 3000, (S, T, 2)).astype(np.int16),
         "mv": rng.integers(-3000, 3000, (S, T, 2)).astype(np.int16),
+        "mvd1": rng.integers(-3000, 3000, (S, T, 2)).astype(np.int16),
     }
     for nm, k in [("part", 1), ("cbf_y4", 4), ("cbf_cb", 1), ("cbf_cr", 1),
                   ("cbf_cb4", 4), ("cbf_cr4", 4), ("skip", 1), ("inter", 1),
@@ -84,3 +87,24 @@ def test_chunked_equals_per_frame():
     s1, _ = GopEncoder(cfg).encode_video(frames, gop=5)
     s2 = GopEncoder(cfg).encode_video_chunked(frames, gop=5, chunk=4)
     assert s1 == s2
+
+@pytest.mark.slow
+def test_chunked_bframes_equals_per_frame():
+    """Chunked IbPbP (3-way switch scan) == sync device B path, which is
+    byte-identical to the numpy reference (test_device_bframes...)."""
+    from hevc_tpu.entropy.headers import StreamConfig
+    from hevc_tpu.encoder.gop import GopEncoder
+    rng = np.random.default_rng(9)
+    W, H, N = 96, 64, 11
+    base = rng.integers(0, 256, (H, W), np.int32)
+    frames = []
+    for i in range(N):
+        y = np.clip(np.roll(base, i * 3, axis=1)
+                    + rng.integers(-4, 5, (H, W)), 0, 255).astype(np.int32)
+        cb = rng.integers(110, 146, (H // 2, W // 2)).astype(np.int32)
+        cr = rng.integers(110, 146, (H // 2, W // 2)).astype(np.int32)
+        frames.append((y, cb, cr))
+    cfg = StreamConfig(width=W, height=H, qp=27, inter=True, bframes=True)
+    s_sync, _ = GopEncoder(cfg).encode_video(frames, gop=6)
+    s_chunk = GopEncoder(cfg).encode_video_chunked(frames, gop=6, chunk=4)
+    assert s_sync == s_chunk
