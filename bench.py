@@ -26,19 +26,20 @@ def log(*a):
 
 def pipeline_fps(enc, frames, iters=2, gop=30, chunk=8):
     """Sustained fps of the production chunked loop (convert_video's path):
-    one fused device dispatch per chunk, host CABAC overlapped."""
+    one fused device dispatch per chunk (IbPbP when cfg.bframes), host
+    CABAC overlapped."""
     from collections import deque
-    F = len(frames)
+    from hevc_tpu.encoder.gop import b_schedule
+    sched = b_schedule(len(frames), gop, enc.cfg.bframes)
     t0 = time.time()
     n = 0
     for it in range(iters):
+        enc.reset()
         pending = deque()
-        for s in range(0, F, chunk):
-            grp = frames[s:s + chunk]
-            metas = [((0, None, 0) if (it * F + s + j) % gop == 0
-                      else (1, (it * F + s + j) % gop, 0))
-                     for j in range(len(grp))]
-            fut = enc.encode_chunk_async(grp, metas, chunk=chunk)
+        for s in range(0, len(sched), chunk):
+            grp = sched[s:s + chunk]
+            fut = enc.encode_chunk_async([frames[e[0]] for e in grp],
+                                         [e[1:] for e in grp], chunk=chunk)
             pending.append(fut)
             n += len(grp)
             while len(pending) > 2:
@@ -61,18 +62,20 @@ def bench_res(W, H, F, QP, label, synth_frame, baseline=False):
     tc, tr = pick_tile_grid((H + 15) // 16, (W + 15) // 16)
     log(f"[{label}] tile grid: {tc}x{tr}")
     cfg = StreamConfig(width=W, height=H, qp=QP, tile_cols=tc, tile_rows=tr,
-                       inter=True)                 # the medium preset
-    enc = GopEncoder(cfg)            # medium preset (NxN + MC), the default
+                       inter=True, bframes=True)   # the medium preset
+    enc = GopEncoder(cfg)            # medium preset (NxN + MC + B)
 
     # ---- warm up / compile + collect real decisions ----
+    from hevc_tpu.encoder.gop import b_schedule
     t0 = time.time()
     nals, decs = [], []
+    sched = b_schedule(F, 30, True)
     for s in range(0, F, 8):
-        grp = frames[s:s + 8]
-        metas = [((0, None, 0) if s + j == 0 else (1, s + j, 0))
-                 for j in range(len(grp))]
-        nals += enc.encode_chunk_async(grp, metas, chunk=8).result()
-        decs.append(enc._last_dec)
+        grp = sched[s:s + 8]
+        nals += enc.encode_chunk_async([frames[e[0]] for e in grp],
+                                       [e[1:] for e in grp],
+                                       chunk=8).result()
+        decs.append((enc._last_dec, grp[-1][1] == 2))
     log(f"[{label}] compile+first GOP: {time.time()-t0:.1f}s, "
         f"{sum(len(n) for n in nals)} bytes "
         f"({sum(len(n) for n in nals)*8*30/F/1e6:.2f} Mbps @30fps)")
@@ -99,7 +102,7 @@ def bench_res(W, H, F, QP, label, synth_frame, baseline=False):
         srcs.append((jnp.asarray(enc._tsplit(yb, 16)),
                      jnp.asarray(enc._tsplit(cbb, 8)),
                      jnp.asarray(enc._tsplit(crb, 8))))
-    pads = enc._ref_blocks
+    pads = enc._ref_blocks[1]          # (prev, cur) carry -> current ref
 
     def p_step(src3, pads):
         outs = _gop_step_jit(*src3, *pads, qpj, rs.lam_bits, lam16, sl16,
@@ -122,8 +125,8 @@ def bench_res(W, H, F, QP, label, synth_frame, baseline=False):
 
     # ---- diagnostics: host entropy on the real decisions ----
     t0 = time.time()
-    for i, d in enumerate(decs):
-        entropy_encode_frame_v1(cfg, d, poc=i + 1)
+    for i, (d, is_b) in enumerate(decs):
+        entropy_encode_frame_v1(cfg, d, poc=i + 1, b_slice=is_b)
     entropy_s = (time.time() - t0) / max(len(decs), 1)
     log(f"[{label}] host entropy: {entropy_s*1000:.1f} ms/frame")
 
