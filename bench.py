@@ -29,15 +29,15 @@ def pipeline_fps(enc, frames, iters=2, gop=30, chunk=8):
     one fused device dispatch per chunk (IbPbP when cfg.bframes), host
     CABAC overlapped."""
     from collections import deque
-    from hevc_tpu.encoder.gop import b_schedule
+    from hevc_tpu.encoder.gop import b_schedule, chunk_groups
     sched = b_schedule(len(frames), gop, enc.cfg.bframes)
+    groups = chunk_groups(sched, enc.cfg.bframes, chunk)
     t0 = time.time()
     n = 0
     for it in range(iters):
         enc.reset()
         pending = deque()
-        for s in range(0, len(sched), chunk):
-            grp = sched[s:s + chunk]
+        for grp in groups:
             fut = enc.encode_chunk_async([frames[e[0]] for e in grp],
                                          [e[1:] for e in grp], chunk=chunk)
             pending.append(fut)
@@ -70,8 +70,8 @@ def bench_res(W, H, F, QP, label, synth_frame, baseline=False):
     t0 = time.time()
     nals, decs = [], []
     sched = b_schedule(F, 30, True)
-    for s in range(0, F, 8):
-        grp = sched[s:s + 8]
+    from hevc_tpu.encoder.gop import chunk_groups
+    for grp in chunk_groups(sched, True, 8):
         nals += enc.encode_chunk_async([frames[e[0]] for e in grp],
                                        [e[1:] for e in grp],
                                        chunk=8).result()

@@ -353,8 +353,11 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
         # Samples land in DECODE order; with B pictures the display order
         # is restored at mux time via ctts composition offsets.
         chunked = not cfg.sao
-        from hevc_tpu.encoder.gop import b_schedule
+        from hevc_tpu.encoder.gop import b_schedule, chunk_groups
         sched = b_schedule(total, gop, cfg.bframes) if chunked else None
+        groups = (chunk_groups(sched[i:], cfg.bframes) if chunked
+                  else None)
+        gi = 0
         CH = 8
         while i < total:
             if stop_event is not None and stop_event.is_set():
@@ -365,7 +368,8 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
                 raise TimeoutError("per-file encode timeout")
             cur_qp = rc.qp if rc is not None else cfg.qp
             if chunked:
-                grp = sched[i:i + CH]
+                grp = groups[gi]
+                gi += 1
                 fut = genc.encode_chunk_async(
                     [frames[e[0]] for e in grp], [e[1:] for e in grp],
                     qp=cur_qp, chunk=CH)

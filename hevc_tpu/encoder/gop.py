@@ -85,32 +85,49 @@ def _split_tiles_j(p, tr, tc_, tnh, tnw, bs):
     return x.reshape(K, tr * tc_, tnh, tnw, bs, bs)
 
 
+def _zfields_j(S, T):
+    def z1(dt):
+        return jnp.zeros((S, T), dt)
+    return dict(skip=z1(bool), inter=z1(bool), merge=z1(bool),
+                mvd=jnp.zeros((S, T, 2), jnp.int16),
+                mvp=z1(jnp.int8), rqt=z1(jnp.int8),
+                cbf_yi=z1(bool), cbf_cbi=z1(bool), cbf_cri=z1(bool),
+                mv=jnp.zeros((S, T, 2), jnp.int16),
+                dir=z1(jnp.int8),
+                mvd1=jnp.zeros((S, T, 2), jnp.int16),
+                mvp1=z1(jnp.int8))
+
+
+def _intra_fields_j(outs):
+    return dict(part=outs[0], modes4=outs[1], cbf_y4=outs[2],
+                cbf_cb=outs[3], cbf_cr=outs[4], cbf_cb4=outs[5],
+                cbf_cr4=outs[6])
+
+
 @partial(jax.jit, static_argnames=("tnh", "tnw", "tr", "tc_", "bit_depth",
                                    "enable_nxn", "nxn_p", "deblock",
                                    "subpel"))
 def _gop_chunk_jit(yp, cbp, crp, kinds, active, prev_pads, cur_pads,
-                   qp_v, lam_bits_v, lam16_v, sl16_v, dsf_v,
+                   qp_v, lam_bits_v, lam16_v, sl16_v,
                    tnh, tnw, tr, tc_,
                    bit_depth, enable_nxn, nxn_p, deblock, subpel):
-    """Encode a K-frame chunk (decode order) in ONE device dispatch.
+    """Encode a chunk of REFERENCE frames (IDR/P, decode order) in one
+    device dispatch.
 
     lax.scan over frames; the DPB feedback — deblocked, padded reference
-    tiles for the last TWO reference pictures — is the scan carry, so
-    inter dependencies never leave the chip.  Each step lax.switch'es
-    between the IDR / P / B encode graphs (kinds: (K,) 0/1/2), so chunks
-    may cross GOP boundaries and carry the IbPbP structure.  P references
-    cur_pads; B references (prev_pads, cur_pads) as (L0, L1) and does not
-    update the carry (non-reference pictures need no deblock/pad at all).
-    Per-step qp / lambda / dsf vectors let B pictures code at QP+2.
+    tiles — is the scan carry, so P dependencies never leave the chip;
+    each step lax.cond's IDR vs P (kinds: (K,) 0/1), so chunks may cross
+    GOP boundaries.  B pictures are handled by the separate batched
+    _b_batch_jit dispatch: including the B graph as a third branch here
+    poisons the XLA schedule of the whole conditional (measured 6x on
+    the full scan), and B pictures batch across lanes anyway since they
+    are mutually independent non-reference pictures.
 
-    Host-bound syntax is packed on device (see encoder/pack.py): returns
-    (flat packed heads, (K, Ntot) int16 dense levels for the coef-stream
-    compactor, final (prev, cur) pads).
-
-    This is SURVEY §2's temporal/GOP-segment pipelining: the host CABAC
-    stage consumes chunk g while chunk g+1 encodes on chip, and the host
-    link carries two packed fetches per chunk instead of ~26 arrays per
-    frame.
+    Returns (flat packed heads, (K, Ntot) int16 dense levels, per-step
+    pad stacks (K, T, h, w) x3 for the B batch's reference gather, final
+    (prev, cur) pads).  Host-bound syntax is packed on device (see
+    encoder/pack.py): two packed fetches per chunk instead of ~26 arrays
+    per frame — SURVEY §2's GOP-segment pipelining.
     """
     from hevc_tpu.encoder.pack import FramePackSpec
     from hevc_tpu.ops.deblock_jax import assemble_deblock_pad_jit
@@ -121,28 +138,9 @@ def _gop_chunk_jit(yp, cbp, crp, kinds, active, prev_pads, cur_pads,
     cra = _split_tiles_j(crp, tr, tc_, tnh, tnw, 8)
 
     def body(carry, xs):
-        prev3, cur3 = carry
-        sy, scb, scr, kind, act, qp, lam_bits, lam16, sl16, dsf = xs
+        sy, scb, scr, kind, act, qp, lam_bits, lam16, sl16 = xs
         fy, fcb, fcr = (sy.astype(jnp.int32), scb.astype(jnp.int32),
                         scr.astype(jnp.int32))
-
-        def z1(dt):
-            return jnp.zeros((S, T), dt)
-
-        def zfields():
-            return dict(skip=z1(bool), inter=z1(bool), merge=z1(bool),
-                        mvd=jnp.zeros((S, T, 2), jnp.int16),
-                        mvp=z1(jnp.int8), rqt=z1(jnp.int8),
-                        cbf_yi=z1(bool), cbf_cbi=z1(bool), cbf_cri=z1(bool),
-                        mv=jnp.zeros((S, T, 2), jnp.int16),
-                        dir=z1(jnp.int8),
-                        mvd1=jnp.zeros((S, T, 2), jnp.int16),
-                        mvp1=z1(jnp.int8))
-
-        def intra_fields(outs):
-            return dict(part=outs[0], modes4=outs[1], cbf_y4=outs[2],
-                        cbf_cb=outs[3], cbf_cr=outs[4], cbf_cb4=outs[5],
-                        cbf_cr4=outs[6])
 
         def idr_branch(carry):
             prev3, cur3 = carry
@@ -153,7 +151,7 @@ def _gop_chunk_jit(yp, cbp, crp, kinds, active, prev_pads, cur_pads,
                 outs[10], outs[11], outs[12], qp, jnp.ones(st, bool),
                 jnp.zeros(st, bool), jnp.zeros(st + (2,), jnp.int16),
                 outs[0], tnh, tnw, tr, tc_, bit_depth, deblock, do_pad=True)
-            fields = dict(zfields(), **intra_fields(outs))
+            fields = dict(_zfields_j(S, T), **_intra_fields_j(outs))
             return fields, (outs[7], outs[8], outs[9]), (cur3, tuple(d[3:6]))
 
         def p_branch(carry):
@@ -167,42 +165,90 @@ def _gop_chunk_jit(yp, cbp, crp, kinds, active, prev_pads, cur_pads,
                 outs[10], outs[11], outs[12], qp, ~inter_s,
                 outs[14] & outs[19], outs[22], outs[0] & ~inter_s,
                 tnh, tnw, tr, tc_, bit_depth, deblock, do_pad=True)
-            fields = dict(zfields(), **intra_fields(outs))
+            fields = dict(_zfields_j(S, T), **_intra_fields_j(outs))
             fields.update(skip=outs[13], inter=outs[14], merge=outs[15],
                           mvd=outs[16], mvp=outs[17], rqt=outs[18],
                           cbf_yi=outs[19], cbf_cbi=outs[20],
                           cbf_cri=outs[21], mv=outs[22])
             return fields, (outs[7], outs[8], outs[9]), (cur3, tuple(d[3:6]))
 
-        def b_branch(carry):
-            prev3, cur3 = carry
-            outs = _rowscan_v1_scan(fy, fcb, fcr, qp, lam_bits, tnh, tnw,
-                                    bit_depth, lam16=lam16, ref_pads=prev3,
-                                    ref_pads1=cur3, sl16=sl16, dsf=dsf,
-                                    enable_nxn=nxn_p, subpel=subpel)
-            fields = dict(zfields(), **intra_fields(outs))
-            fields.update(skip=outs[13], inter=outs[14], merge=outs[15],
-                          mvd=outs[16], mvp=outs[17], rqt=outs[18],
-                          cbf_yi=outs[19], cbf_cbi=outs[20],
-                          cbf_cri=outs[21], mv=outs[22], dir=outs[23],
-                          mvd1=outs[24], mvp1=outs[25])
-            return fields, (outs[7], outs[8], outs[9]), (prev3, cur3)
-
-        fields, lvls, new_carry = jax.lax.switch(
-            kind, [idr_branch, p_branch, b_branch], carry)
+        fields, lvls, new_carry = jax.lax.cond(
+            kind == 0, idr_branch, p_branch, carry)
         flat = jnp.where(act, FramePackSpec.coef_flat(*lvls), 0)
         nnz = (flat != 0).sum(dtype=jnp.int32)
         head = spec.pack_head(fields, nnz)
         carry = jax.tree.map(lambda n, o: jnp.where(act, n, o),
                              new_carry, carry)
-        return carry, (head, flat)
+        return carry, (head, flat) + carry[1]
 
-    carry, (heads, coefs) = jax.lax.scan(
+    carry, ys = jax.lax.scan(
         body, (prev_pads, cur_pads),
-        (ya, cba, cra, kinds, active, qp_v, lam_bits_v, lam16_v, sl16_v,
-         dsf_v))
+        (ya, cba, cra, kinds, active, qp_v, lam_bits_v, lam16_v, sl16_v))
+    heads, coefs, pads_y, pads_cb, pads_cr = ys
     # flatten the head stack: 1-D outputs transfer at full link speed
-    return heads.reshape(-1), coefs, carry
+    return heads.reshape(-1), coefs, (pads_y, pads_cb, pads_cr), carry
+
+
+@partial(jax.jit, static_argnames=("tnh", "tnw", "tr", "tc_", "bit_depth",
+                                   "nxn_p", "subpel"))
+def _b_batch_jit(yp, cbp, crp, stack_y, stack_cb, stack_cr,
+                 idx0, idx1, act, qp, lam_bits, lam16, sl16, dsf,
+                 tnh, tnw, tr, tc_, bit_depth, nxn_p, subpel):
+    """Encode Kb non-reference B pictures in ONE batched dispatch.
+
+    B pictures are mutually independent, so frames fold into the lane
+    dimension (Kb*T lanes through one row scan — lane scaling is much
+    cheaper than sequential steps).  stack_*: (M, T, h, w) padded ref
+    planes (carry-in refs + this chunk's per-step pads); idx0/idx1:
+    (Kb,) row indices selecting each picture's L0/L1 reference.
+    """
+    from hevc_tpu.encoder.pack import FramePackSpec
+    spec = FramePackSpec(tnh, tnw, tr * tc_)
+    S, T = tnh * tnw, tr * tc_
+    Kb = yp.shape[0]
+    ya = _split_tiles_j(yp, tr, tc_, tnh, tnw, 16).astype(jnp.int32)
+    cba = _split_tiles_j(cbp, tr, tc_, tnh, tnw, 8).astype(jnp.int32)
+    cra = _split_tiles_j(crp, tr, tc_, tnh, tnw, 8).astype(jnp.int32)
+
+    def lanes(a):
+        return a.reshape((Kb * T,) + a.shape[2:])
+
+    def gather(stack, idx):
+        return lanes(jnp.take(stack, idx, axis=0))
+
+    pads0 = (gather(stack_y, idx0), gather(stack_cb, idx0),
+             gather(stack_cr, idx0))
+    pads1 = (gather(stack_y, idx1), gather(stack_cb, idx1),
+             gather(stack_cr, idx1))
+    outs = _rowscan_v1_scan(lanes(ya), lanes(cba), lanes(cra), qp, lam_bits,
+                            tnh, tnw, bit_depth, lam16=lam16,
+                            ref_pads=pads0, ref_pads1=pads1, sl16=sl16,
+                            dsf=dsf, enable_nxn=nxn_p, subpel=subpel)
+
+    def unlane(a):
+        # (S, Kb*T, ...) -> (Kb, S, T, ...)
+        x = a.reshape((S, Kb, T) + a.shape[2:])
+        return jnp.moveaxis(x, 1, 0)
+
+    fields = dict(_zfields_j(S, T), **_intra_fields_j(outs))
+    fields.update(skip=outs[13], inter=outs[14], merge=outs[15],
+                  mvd=outs[16], mvp=outs[17], rqt=outs[18],
+                  cbf_yi=outs[19], cbf_cbi=outs[20], cbf_cri=outs[21],
+                  mv=outs[22], dir=outs[23], mvd1=outs[24], mvp1=outs[25])
+    # broadcast the zero-filled fields (intra-only names) to Kb, unlane
+    # the real outputs
+    bfields = {}
+    for k, v in fields.items():
+        if v.shape[1] == Kb * T:
+            bfields[k] = unlane(v)
+        else:
+            bfields[k] = jnp.broadcast_to(v[None], (Kb,) + v.shape)
+    lvls = (unlane(outs[7]), unlane(outs[8]), unlane(outs[9]))
+    flat = jax.vmap(FramePackSpec.coef_flat)(*lvls)       # (Kb, Ntot)
+    flat = jnp.where(act[:, None], flat, 0)   # masked tail slots
+    nnz = (flat != 0).sum(axis=1, dtype=jnp.int32)
+    heads = jax.vmap(spec.pack_head)(bfields, nnz)        # (Kb, Ph)
+    return heads.reshape(-1), flat
 
 
 def b_schedule(n: int, gop: int = 0, bframes: bool = True):
@@ -233,6 +279,28 @@ def b_schedule(n: int, gop: int = 0, bframes: bool = True):
             prev = r
             k = r + 2
     return sched
+
+
+def chunk_groups(sched, bframes: bool, chunk: int = 8):
+    """Split a decode-order schedule into encode groups.
+
+    With bframes: up to 4 reference slots plus their trailing B pictures
+    (matching encode_chunk_async's fixed KR=4/KB=4 graph shapes); B
+    pictures always land in the same group as their L1 reference.
+    Without: plain fixed-size chunks."""
+    if not bframes:
+        return [sched[i:i + chunk] for i in range(0, len(sched), chunk)]
+    groups, cur, nref = [], [], 0
+    for e in sched:
+        if e[1] != 2 and nref == 4:
+            groups.append(cur)
+            cur, nref = [], 0
+        cur.append(e)
+        if e[1] != 2:
+            nref += 1
+    if cur:
+        groups.append(cur)
+    return groups
 
 
 def _sao_param_lists(arrs):
@@ -529,50 +597,58 @@ class GopEncoder:
 
     def encode_chunk_async(self, frames, metas, qp: int | None = None,
                            chunk: int = 8):
-        """Encode up to `chunk` frames (DECODE order) in one device
-        dispatch (see _gop_chunk_jit).  frames: [(y, cb, cr)] host planes;
-        metas: [(kind, poc, rps_idx)] per frame with kind 0=IDR, 1=P,
-        2=non-reference B (refs at poc-1/poc+1; see b_schedule).  Returns
-        a Future of the list of slice NALs in decode order.
+        """Encode one decode-order chunk group — up to KR reference
+        pictures (IDR/P) plus their non-reference B pictures — with two
+        device dispatches: the reference scan (_gop_chunk_jit) and the
+        batched B encode (_b_batch_jit).  frames: [(y, cb, cr)] host
+        planes in decode order; metas: [(kind, poc, rps_idx)] with kind
+        0=IDR, 1=P, 2=B (refs at poc-1/poc+1).  Returns a Future of the
+        slice NALs in decode order.
 
-        One fixed chunk size per stream config keeps a single compiled
-        graph; short tails are padded with the last frame and masked out
-        (their device work is wasted, their outputs dropped).  QP is
-        per-chunk (rate control quantizes to chunk granularity); B
-        pictures code at QP + B_QP_OFFSET via the per-step qp vector.
+        Group shapes are fixed per config (KR=4 ref slots + KB=4 B slots
+        with bframes, KR=chunk P-only otherwise); short groups pad with
+        masked steps.  QP is per-group (rate control quantizes to group
+        granularity); B pictures code at QP + B_QP_OFFSET.
         """
         assert self.mc and not self.cfg.sao, \
             "chunked path: MC mode, SAO handled by the per-frame pipeline"
-        assert 0 < len(frames) <= chunk and len(metas) == len(frames)
         import dataclasses
         from hevc_tpu.encoder.rowscan_v1 import dsf_pair
         from hevc_tpu.encoder.reference_encoder_v1 import RefIntraEncoderV1
         cfg = self.cfg
         qp = cfg.qp if qp is None else qp
         qp_b = min(qp + RefIntraEncoderV1.B_QP_OFFSET, 51)
-        n = len(frames)
-        sdt = np.uint8 if cfg.bit_depth == 8 else np.uint16
-        from hevc_tpu.encoder.reference_encoder import pad_to_ctb
-        ys, cbs, crs = [], [], []
-        for (y, cb, cr) in frames:
-            # dense edge-padded planes; tile/block split happens on device
-            # (block-layout host arrays transfer ~8x slower: TPU tiling)
-            ys.append(pad_to_ctb(np.asarray(y), 16).astype(sdt))
-            cbs.append(pad_to_ctb(np.asarray(cb), 8).astype(sdt))
-            crs.append(pad_to_ctb(np.asarray(cr), 8).astype(sdt))
-        H, W = ys[0].shape
-        self._geom = (H // 16, W // 16, H, W)
-        for _ in range(chunk - n):            # pad the tail, masked inactive
-            ys.append(ys[-1]); cbs.append(cbs[-1]); crs.append(crs[-1])
+        KR = 4 if cfg.bframes else chunk
+        KB = 4 if cfg.bframes else 0
         metas = list(metas)
         if self._ref_blocks is None and metas[0][0] != 0:
             metas[0] = (0, None, 0)
-        kinds = np.array([m[0] for m in metas]
-                         + [1] * (chunk - n), np.int32)
-        active = np.arange(chunk) < n
+        refs_pos = [j for j, m in enumerate(metas) if m[0] != 2]
+        bees_pos = [j for j, m in enumerate(metas) if m[0] == 2]
+        assert 0 < len(refs_pos) <= KR and len(bees_pos) <= max(KB, 0), \
+            (len(refs_pos), len(bees_pos), KR, KB)
+        sdt = np.uint8 if cfg.bit_depth == 8 else np.uint16
+        from hevc_tpu.encoder.reference_encoder import pad_to_ctb
+
+        def planes(fr):
+            # dense edge-padded planes; tile/block split happens on device
+            # (block-layout host arrays transfer ~8x slower: TPU tiling)
+            return (pad_to_ctb(np.asarray(fr[0]), 16).astype(sdt),
+                    pad_to_ctb(np.asarray(fr[1]), 8).astype(sdt),
+                    pad_to_ctb(np.asarray(fr[2]), 8).astype(sdt))
+
+        rp = [planes(frames[j]) for j in refs_pos]
+        H, W = rp[0][0].shape
+        self._geom = (H // 16, W // 16, H, W)
         nh, nw, H, W = self._geom
         tc, tr = cfg.tile_cols, cfg.tile_rows
         tnh, tnw = nh // tr, nw // tc
+        while len(rp) < KR:
+            rp.append(rp[-1])
+        nref = len(refs_pos)
+        kinds = np.array([metas[j][0] for j in refs_pos]
+                         + [1] * (KR - nref), np.int32)
+        active = np.arange(KR) < nref
         if self._ref_blocks is None:
             T = tr * tc
 
@@ -585,32 +661,64 @@ class GopEncoder:
                                    tnw * 8 + 2 * MARGIN_C), jnp.int32))
             self._ref_blocks = (zp(), zp())
         bd_off = 6 * (cfg.bit_depth - 8)
-        qp_v, lam_bits_v, lam16_v, sl16_v, dsf_v = [], [], [], [], []
-        for k in range(chunk):
-            q = qp_b if kinds[k] == 2 else qp
-            qp_v.append(q)
-            lam_bits_v.append(np.asarray(
-                RowScanEncoderV1(q, cfg.bit_depth).lam_bits))
-            lam16_v.append(skip_lambda16(q + bd_off))
-            sl16_v.append(int(np.sqrt(0.85 * 2.0 ** (
-                (q + bd_off - 12) / 3.0)) * 16))
-            if kinds[k] == 2:
-                poc = metas[k][1]
-                dsf_v.append(dsf_pair(poc, poc - 1, poc + 1))
-            else:
-                dsf_v.append(np.zeros(2, np.int32))
-        heads, coefs, carry = _gop_chunk_jit(
-            jnp.asarray(np.stack(ys)), jnp.asarray(np.stack(cbs)),
-            jnp.asarray(np.stack(crs)), jnp.asarray(kinds),
-            jnp.asarray(active), *self._ref_blocks,
-            jnp.asarray(np.asarray(qp_v, np.int32)),
-            jnp.asarray(np.stack(lam_bits_v)),
-            jnp.asarray(np.asarray(lam16_v, np.int32)),
-            jnp.asarray(np.asarray(sl16_v, np.int32)),
-            jnp.asarray(np.stack(dsf_v)),
+
+        def lam3(q):
+            return (np.asarray(RowScanEncoderV1(q, cfg.bit_depth).lam_bits),
+                    skip_lambda16(q + bd_off),
+                    int(np.sqrt(0.85 * 2.0 ** ((q + bd_off - 12) / 3.0))
+                        * 16))
+
+        lbr, l16r, s16r = lam3(qp)
+        prev_in, cur_in = self._ref_blocks
+        heads_r, coefs_r, pad_stack, carry = _gop_chunk_jit(
+            jnp.asarray(np.stack([x[0] for x in rp])),
+            jnp.asarray(np.stack([x[1] for x in rp])),
+            jnp.asarray(np.stack([x[2] for x in rp])),
+            jnp.asarray(kinds), jnp.asarray(active), prev_in, cur_in,
+            jnp.full(KR, qp, jnp.int32),
+            jnp.asarray(np.tile(lbr[None], (KR, 1))),
+            jnp.full(KR, l16r, jnp.int32), jnp.full(KR, s16r, jnp.int32),
             tnh, tnw, tr, tc, cfg.bit_depth,
             self.enable_nxn, self.nxn_p, cfg.deblock, self.subpel)
         self._ref_blocks = carry
+
+        nbee = len(bees_pos)
+        if nbee:
+            bp = [planes(frames[j]) for j in bees_pos]
+            while len(bp) < KB:
+                bp.append(bp[-1])
+            # b's L1 = nearest preceding ref in decode order; L0 = the ref
+            # before that.  Stack rows: 0 = prev carry-in, 1 = cur
+            # carry-in, 2+i = this group's i-th ref.
+            idx0, idx1 = [], []
+            for j in bees_pos:
+                n_prec = sum(1 for r in refs_pos if r < j)
+                idx0.append(n_prec)
+                idx1.append(n_prec + 1)
+            idx0 += [0] * (KB - nbee)
+            idx1 += [1] * (KB - nbee)
+            stacks = tuple(
+                jnp.concatenate([prev_in[pl][None], cur_in[pl][None],
+                                 pad_stack[pl]])
+                for pl in range(3))
+            lbb, l16b, s16b = lam3(qp_b)
+            poc0 = metas[bees_pos[0]][1]
+            heads_b, coefs_b = _b_batch_jit(
+                jnp.asarray(np.stack([x[0] for x in bp])),
+                jnp.asarray(np.stack([x[1] for x in bp])),
+                jnp.asarray(np.stack([x[2] for x in bp])),
+                *stacks, jnp.asarray(idx0, jnp.int32),
+                jnp.asarray(idx1, jnp.int32),
+                jnp.asarray(np.arange(KB) < nbee),
+                jnp.asarray(qp_b), jnp.asarray(lbb),
+                jnp.asarray(l16b, jnp.int32), jnp.asarray(s16b, jnp.int32),
+                jnp.asarray(dsf_pair(poc0, poc0 - 1, poc0 + 1)),
+                tnh, tnw, tr, tc, cfg.bit_depth, self.nxn_p, self.subpel)
+            heads = jnp.concatenate([heads_r, heads_b])
+            coefs = jnp.concatenate([coefs_r, coefs_b])
+        else:
+            heads, coefs = heads_r, coefs_r
+        nrows = KR + (KB if nbee else 0)
         from hevc_tpu.encoder.pack import (FramePackSpec, coef_stream_jit,
                                            split_coef_stream)
         buf6, _ = coef_stream_jit(coefs)
@@ -618,10 +726,9 @@ class GopEncoder:
         # start the host copies NOW, in stream order right behind this
         # chunk's compute — a plain device_get in the worker thread would
         # queue behind the NEXT chunk's dispatch and serialize the
-        # pipeline (measured 2.7 s/chunk of spurious wait).  The
-        # coefficient-stream length isn't known host-side yet, so copy a
-        # running-capacity prefix and fall back to a second fetch on
-        # rare growth.
+        # pipeline.  The coefficient-stream length isn't known host-side
+        # yet, so copy a running-capacity prefix and fall back to a second
+        # fetch on rare growth.
         cap_hint = min(getattr(self, "_cap_hint", 262144),
                        buf6.shape[0] // 6)
         buf_pre = buf6[:cap_hint * 6]
@@ -635,21 +742,26 @@ class GopEncoder:
             self._pool = ThreadPoolExecutor(1, "gop-entropy")
         cfg_base = dataclasses.replace(cfg, qp=qp) if qp != cfg.qp else cfg
         cfg_b = dataclasses.replace(cfg, qp=qp_b)
+        # decode-order row mapping: refs row i, bees row KR + i
+        rowmap = {}
+        for i, j in enumerate(refs_pos):
+            rowmap[j] = i
+        for i, j in enumerate(bees_pos):
+            rowmap[j] = KR + i
 
         def host_stage():
             from hevc_tpu.utils.metrics import GLOBAL_TIMERS
             with GLOBAL_TIMERS.stage("host_fetch"):
                 hn = np.asarray(jax.device_get(heads)).reshape(
-                    chunk, spec.head_bytes)
+                    nrows, spec.head_bytes)
                 fields, nnz = zip(*(spec.unpack_head(hn[k])
-                                    for k in range(chunk)))
+                                    for k in range(nrows)))
                 total = int(sum(nnz))
                 if total <= cap_hint:
                     recs = np.asarray(buf_pre)[:total * 6]
                 else:
-                    # capacity miss: fetch the tail (slow path — it queues
-                    # behind the next chunk's compute; bucket the length so
-                    # the slice program cache stays small)
+                    # capacity miss: fetch the tail (slow path; bucketed
+                    # so the slice-program cache stays small)
                     cap = min(-(-total // 131072) * 131072,
                               buf6.shape[0] // 6)
                     recs = np.concatenate(
@@ -664,12 +776,12 @@ class GopEncoder:
             coef = split_coef_stream(recs, spec.coef_elems, nnz)
             nals = []
             with GLOBAL_TIMERS.stage("entropy"):
-                for k in range(n):
-                    kind, poc, rps = metas[k]
+                for j, (kind, poc, rps) in enumerate(metas):
+                    row = rowmap[j]
                     is_b = kind == 2
-                    lvls = spec.unpack_coefs(*coef[k])
+                    lvls = spec.unpack_coefs(*coef[row])
                     dec = self._dec_from_outs(
-                        spec.outs_list(fields[k], lvls, b_slice=is_b),
+                        spec.outs_list(fields[row], lvls, b_slice=is_b),
                         p_mc=kind == 1, p_b=is_b)
                     nals.append(entropy_encode_frame_v1(
                         cfg_b if is_b else cfg_base, dec,
@@ -689,8 +801,7 @@ class GopEncoder:
         out = annexb(self.parameter_sets())
         sched = b_schedule(len(frames), gop, self.cfg.bframes)
         futs = []
-        for s in range(0, len(sched), chunk):
-            grp = sched[s:s + chunk]
+        for grp in chunk_groups(sched, self.cfg.bframes, chunk):
             futs.append(self.encode_chunk_async(
                 [frames[e[0]] for e in grp], [e[1:] for e in grp],
                 chunk=chunk))

@@ -159,8 +159,8 @@ def upscale_video(in_path, out_path, target_height: int | None = None,
                   engine: str = "lanczos", esrgan_weights=None,
                   batch: int | None = None, progress_callback=None,
                   stop_event=None, pause_event=None, retries: int = 1,
-                  frame_blend_double: bool = False, qp: int | None = None
-                  ) -> dict:
+                  frame_blend_double: bool = False, qp: int | None = None,
+                  interpolate: str = "mc") -> dict:
     """Upscale + HEVC-encode a video (reference process_video parity).
 
     Returns {"file", "status", "frames", "size"}.
@@ -216,12 +216,21 @@ def upscale_video(in_path, out_path, target_height: int | None = None,
             progress_callback(in_path.name, i, len(frames))
 
     if frame_blend_double:
+        # fps doubling by MOTION-COMPENSATED interpolation (the reference's
+        # minterpolate mci/aobmc path, upscale_gui_final.py:190-198): block
+        # motion search between neighbors + smoothed-field bidirectional
+        # pull.  interpolate="blend" keeps the legacy frame average.
+        if interpolate == "mc":
+            from hevc_tpu.ops.minterp import mc_interpolate_pair
+            mid = lambda a, b: mc_interpolate_pair(a, b)  # noqa: E731
+        else:
+            mid = lambda a, b: tuple(  # noqa: E731
+                ((np.asarray(x, np.uint16) + np.asarray(z, np.uint16) + 1)
+                 // 2).astype(np.uint8) for x, z in zip(a, b))
         blended = []
         for a, b in zip(out_frames, out_frames[1:]):
             blended.append(a)
-            blended.append(tuple(((np.asarray(x, np.uint16) +
-                                   np.asarray(z, np.uint16) + 1) // 2
-                                  ).astype(np.uint8) for x, z in zip(a, b)))
+            blended.append(mid(a, b))
         blended.append(out_frames[-1])
         out_frames = blended
 

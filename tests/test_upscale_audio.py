@@ -86,3 +86,34 @@ def test_aac_roundtrip(tmp_path):
     assert len(avref.decode_file(tmp_path / "av.mp4")) == 4
     aud = avref.decode_audio(tmp_path / "av.mp4")
     assert aud is not None and aud[1] == 48000 and aud[0].shape[1] == 2
+
+
+def test_mc_interpolation_beats_blend_on_pan():
+    """The fps doubler uses motion-compensated interpolation (reference
+    minterpolate mci/aobmc parity), not a frame blend: on panning content
+    the MC midpoint must beat the blend midpoint by several dB."""
+    from numpy.lib.stride_tricks import sliding_window_view
+    from hevc_tpu.ops.minterp import mc_interpolate_pair
+    rng = np.random.default_rng(2)
+    H, W = 64, 96
+    base = rng.integers(0, 256, (H + 36, W + 68)).astype(float)
+    base = np.pad(base, 2, mode="edge")
+    base = (sliding_window_view(base, (5, 5)).reshape(H + 36, W + 68, 25)
+            @ (np.ones(25) / 25)).astype(np.uint8)
+
+    def frame(shift):
+        return tuple(np.ascontiguousarray(p).astype(np.uint8) for p in (
+            base[:H, shift:shift + W],
+            base[:H:2, shift // 2: shift // 2 + W // 2],
+            base[2:H + 2:2, shift // 2: shift // 2 + W // 2]))
+
+    a, truth, b = frame(0), frame(6), frame(12)
+    mc = mc_interpolate_pair(a, b)
+    blend = tuple(((x.astype(np.uint16) + z.astype(np.uint16) + 1) // 2
+                   ).astype(np.uint8) for x, z in zip(a, b))
+
+    def psnr(x, t):
+        mse = np.mean((x.astype(float) - t.astype(float)) ** 2)
+        return 10 * np.log10(255 ** 2 / max(mse, 1e-9))
+
+    assert psnr(mc[0], truth[0]) > psnr(blend[0], truth[0]) + 4
