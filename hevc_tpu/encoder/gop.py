@@ -85,6 +85,23 @@ def _split_tiles_j(p, tr, tc_, tnh, tnw, bs):
     return x.reshape(K, tr * tc_, tnh, tnw, bs, bs)
 
 
+@partial(jax.jit, static_argnames=("secs",))
+def _stage_sources_jit(flat, secs):
+    """One flat 1-D upload -> per-section plane arrays on device.
+
+    secs: tuple of (k, h, w) per section.  1-D host->device copies run
+    ~10x faster than 3-D plane arrays through the dev tunnel (466 vs 43
+    MB/s measured), so all of a group's sources ship as one buffer.
+    """
+    out = []
+    off = 0
+    for (k, h, w) in secs:
+        n = k * h * w
+        out.append(jax.lax.dynamic_slice(flat, (off,), (n,)).reshape(k, h, w))
+        off += n
+    return tuple(out)
+
+
 def _zfields_j(S, T):
     def z1(dt):
         return jnp.zeros((S, T), dt)
@@ -646,6 +663,27 @@ class GopEncoder:
         while len(rp) < KR:
             rp.append(rp[-1])
         nref = len(refs_pos)
+        nbee = len(bees_pos)
+        bp = []
+        if nbee:
+            bp = [planes(frames[j]) for j in bees_pos]
+            while len(bp) < KB:
+                bp.append(bp[-1])
+        # ship ALL of the group's sources as ONE flat buffer: 1-D
+        # host->device copies run ~10x faster than shaped plane arrays
+        # through the dev tunnel (466 vs 43 MB/s measured)
+        Hc, Wc = rp[0][1].shape
+        sections = [(KR, H, W), (KR, Hc, Wc), (KR, Hc, Wc)]
+        parts = [np.stack([x[0] for x in rp]).ravel(),
+                 np.stack([x[1] for x in rp]).ravel(),
+                 np.stack([x[2] for x in rp]).ravel()]
+        if nbee:
+            sections += [(KB, H, W), (KB, Hc, Wc), (KB, Hc, Wc)]
+            parts += [np.stack([x[0] for x in bp]).ravel(),
+                      np.stack([x[1] for x in bp]).ravel(),
+                      np.stack([x[2] for x in bp]).ravel()]
+        staged = _stage_sources_jit(jnp.asarray(np.concatenate(parts)),
+                                    tuple(sections))
         kinds = np.array([metas[j][0] for j in refs_pos]
                          + [1] * (KR - nref), np.int32)
         active = np.arange(KR) < nref
@@ -671,9 +709,7 @@ class GopEncoder:
         lbr, l16r, s16r = lam3(qp)
         prev_in, cur_in = self._ref_blocks
         heads_r, coefs_r, pad_stack, carry = _gop_chunk_jit(
-            jnp.asarray(np.stack([x[0] for x in rp])),
-            jnp.asarray(np.stack([x[1] for x in rp])),
-            jnp.asarray(np.stack([x[2] for x in rp])),
+            staged[0], staged[1], staged[2],
             jnp.asarray(kinds), jnp.asarray(active), prev_in, cur_in,
             jnp.full(KR, qp, jnp.int32),
             jnp.asarray(np.tile(lbr[None], (KR, 1))),
@@ -682,11 +718,7 @@ class GopEncoder:
             self.enable_nxn, self.nxn_p, cfg.deblock, self.subpel)
         self._ref_blocks = carry
 
-        nbee = len(bees_pos)
         if nbee:
-            bp = [planes(frames[j]) for j in bees_pos]
-            while len(bp) < KB:
-                bp.append(bp[-1])
             # b's L1 = nearest preceding ref in decode order; L0 = the ref
             # before that.  Stack rows: 0 = prev carry-in, 1 = cur
             # carry-in, 2+i = this group's i-th ref.
@@ -704,9 +736,7 @@ class GopEncoder:
             lbb, l16b, s16b = lam3(qp_b)
             poc0 = metas[bees_pos[0]][1]
             heads_b, coefs_b = _b_batch_jit(
-                jnp.asarray(np.stack([x[0] for x in bp])),
-                jnp.asarray(np.stack([x[1] for x in bp])),
-                jnp.asarray(np.stack([x[2] for x in bp])),
+                staged[3], staged[4], staged[5],
                 *stacks, jnp.asarray(idx0, jnp.int32),
                 jnp.asarray(idx1, jnp.int32),
                 jnp.asarray(np.arange(KB) < nbee),
@@ -731,10 +761,9 @@ class GopEncoder:
         # fetch on rare growth.
         cap_hint = min(getattr(self, "_cap_hint", 262144),
                        buf6.shape[0] // 6)
-        buf_pre = buf6[:cap_hint * 6]
+        fetch1 = jnp.concatenate([heads, buf6[:cap_hint * 6]])
         try:
-            heads.copy_to_host_async()
-            buf_pre.copy_to_host_async()
+            fetch1.copy_to_host_async()
         except Exception:
             pass
         if self._pool is None:
@@ -752,20 +781,21 @@ class GopEncoder:
         def host_stage():
             from hevc_tpu.utils.metrics import GLOBAL_TIMERS
             with GLOBAL_TIMERS.stage("host_fetch"):
-                hn = np.asarray(jax.device_get(heads)).reshape(
-                    nrows, spec.head_bytes)
+                f1 = np.asarray(jax.device_get(fetch1))
+                nhead = nrows * spec.head_bytes
+                hn = f1[:nhead].reshape(nrows, spec.head_bytes)
                 fields, nnz = zip(*(spec.unpack_head(hn[k])
                                     for k in range(nrows)))
                 total = int(sum(nnz))
                 if total <= cap_hint:
-                    recs = np.asarray(buf_pre)[:total * 6]
+                    recs = f1[nhead:nhead + total * 6]
                 else:
                     # capacity miss: fetch the tail (slow path; bucketed
                     # so the slice-program cache stays small)
                     cap = min(-(-total // 131072) * 131072,
                               buf6.shape[0] // 6)
                     recs = np.concatenate(
-                        [np.asarray(buf_pre),
+                        [f1[nhead:],
                          np.asarray(jax.device_get(
                              buf6[cap_hint * 6:cap * 6]))])[:total * 6]
                 recs = recs.reshape(total, 6)
