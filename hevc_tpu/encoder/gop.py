@@ -750,18 +750,18 @@ class GopEncoder:
             heads, coefs = heads_r, coefs_r
         nrows = KR + (KB if nbee else 0)
         from hevc_tpu.encoder.pack import (FramePackSpec, coef_stream_jit,
-                                           split_coef_stream)
-        buf6, _ = coef_stream_jit(coefs)
+                                           split_coef_bitmap)
+        bits, vbuf, _ = coef_stream_jit(coefs)
         spec = FramePackSpec(tnh, tnw, tr * tc)
-        # start the host copies NOW, in stream order right behind this
+        # start the host copy NOW, in stream order right behind this
         # chunk's compute — a plain device_get in the worker thread would
         # queue behind the NEXT chunk's dispatch and serialize the
-        # pipeline.  The coefficient-stream length isn't known host-side
-        # yet, so copy a running-capacity prefix and fall back to a second
+        # pipeline.  The value-stream length isn't known host-side yet,
+        # so copy a running-capacity prefix and fall back to a second
         # fetch on rare growth.
         cap_hint = min(getattr(self, "_cap_hint", 262144),
-                       buf6.shape[0] // 6)
-        fetch1 = jnp.concatenate([heads, buf6[:cap_hint * 6]])
+                       vbuf.shape[0] // 2)
+        fetch1 = jnp.concatenate([heads, bits, vbuf[:cap_hint * 2]])
         try:
             fetch1.copy_to_host_async()
         except Exception:
@@ -787,23 +787,24 @@ class GopEncoder:
                 fields, nnz = zip(*(spec.unpack_head(hn[k])
                                     for k in range(nrows)))
                 total = int(sum(nnz))
+                nbits = nrows * (spec.coef_elems // 8)
+                bmap = f1[nhead:nhead + nbits]
                 if total <= cap_hint:
-                    recs = f1[nhead:nhead + total * 6]
+                    vb = f1[nhead + nbits:nhead + nbits + total * 2]
                 else:
                     # capacity miss: fetch the tail (slow path; bucketed
                     # so the slice-program cache stays small)
                     cap = min(-(-total // 131072) * 131072,
-                              buf6.shape[0] // 6)
-                    recs = np.concatenate(
-                        [f1[nhead:],
+                              vbuf.shape[0] // 2)
+                    vb = np.concatenate(
+                        [f1[nhead + nbits:],
                          np.asarray(jax.device_get(
-                             buf6[cap_hint * 6:cap * 6]))])[:total * 6]
-                recs = recs.reshape(total, 6)
+                             vbuf[cap_hint * 2:cap * 2]))])[:total * 2]
                 # leave ~25% headroom for the next chunk's stream
                 self._cap_hint = min(
                     max(-(-total * 5 // (4 * 65536)) * 65536, 131072),
-                    buf6.shape[0] // 6)
-            coef = split_coef_stream(recs, spec.coef_elems, nnz)
+                    vbuf.shape[0] // 2)
+            coef = split_coef_bitmap(bmap, vb, spec.coef_elems, nnz)
             nals = []
             with GLOBAL_TIMERS.stage("entropy"):
                 for j, (kind, poc, rps) in enumerate(metas):

@@ -158,28 +158,44 @@ class FramePackSpec:
 
 @jax.jit
 def coef_stream_jit(dense):
-    """(K, coef_elems) int16 -> (flat uint8 record buffer, total nnz).
+    """(K, coef_elems) int16 -> (bitpacked significance map, compacted
+    value bytes, total nnz).
 
-    Records are 6 bytes — (global position:int32 LE, level:int16 LE) —
-    for each nonzero, compacted to the front; the host fetches
-    buf[:total*6] only.  The buffer is returned 1-D: a (n, 6) minor dim
-    would get a padded TPU tile layout and transfer ~20x slower.
+    Positions travel as a dense bitmap (1 bit/coefficient) instead of
+    per-record int32s: a 6-byte-row record scatter costs ~1.9 s for 25M
+    rows on TPU while a single int16 element scatter is ~5-10x cheaper,
+    and the bitmap is a fixed cheap vector op.  The host fetches the
+    bitmap plus vals[:total*2] and rebuilds positions with unpackbits.
     """
     flat = dense.reshape(-1)
     mask = flat != 0
     idx = jnp.cumsum(mask) - 1
     n = flat.shape[0]
-    pos8 = jax.lax.bitcast_convert_type(
-        jnp.arange(n, dtype=jnp.int32), jnp.uint8)
-    val8 = jax.lax.bitcast_convert_type(flat, jnp.uint8)
-    rec = jnp.concatenate([pos8, val8], axis=1)              # (n, 6)
-    # route zero-coefficient rows to unique out-of-range slots: with
-    # unique_indices XLA vectorizes the scatter (a plain dup-dropping
-    # scatter serializes and costs ~2 s for a 25M-row buffer on TPU)
+    # route zero coefficients to unique out-of-range slots: with
+    # unique_indices XLA vectorizes the scatter (a dup-dropping scatter
+    # serializes)
     tgt = jnp.where(mask, idx, n + jnp.arange(n, dtype=jnp.int32))
-    buf = jnp.zeros((n, 6), jnp.uint8).at[tgt].set(
-        rec, mode="drop", unique_indices=True)
-    return buf.reshape(-1), mask.sum(dtype=jnp.int32)
+    vals = jnp.zeros(n, jnp.int16).at[tgt].set(
+        flat, mode="drop", unique_indices=True)
+    bits = _bitpack_j(mask)
+    return bits, jax.lax.bitcast_convert_type(
+        vals, jnp.uint8).reshape(-1), mask.sum(dtype=jnp.int32)
+
+
+def split_coef_bitmap(bitmap: np.ndarray, vals_bytes: np.ndarray,
+                      coef_elems: int, nnz_per_frame):
+    """Host: (bitpacked map, compacted int16 bytes) -> per-frame
+    (positions, values).  Frames are contiguous in both streams."""
+    bits = np.unpackbits(np.ascontiguousarray(bitmap, np.uint8),
+                         bitorder="little")
+    vals = np.ascontiguousarray(vals_bytes, np.uint8).view(np.int16)
+    out = []
+    off = 0
+    for k, nz in enumerate(nnz_per_frame):
+        pos = np.flatnonzero(bits[k * coef_elems:(k + 1) * coef_elems])
+        out.append((pos, vals[off:off + nz]))
+        off += nz
+    return out
 
 
 def split_coef_stream(arr: np.ndarray, coef_elems: int, nnz_per_frame):

@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 
 from hevc_tpu.encoder.pack import (FramePackSpec, coef_stream_jit,
-                                   split_coef_stream)
+                                   split_coef_bitmap)
 
 
 def _rand_fields(rng, S, T):
@@ -55,12 +55,13 @@ def test_coef_stream_roundtrip():
     S = tnh * tnw
     dense = rng.integers(-300, 300, (K, spec.coef_elems)).astype(np.int16)
     dense[rng.random(dense.shape) < 0.9] = 0      # realistic sparsity
-    buf, total = coef_stream_jit(jnp.asarray(dense))
+    bits, vbuf, total = coef_stream_jit(jnp.asarray(dense))
     total = int(total)
     nnz = [(dense[k] != 0).sum() for k in range(K)]
     assert total == sum(nnz)
-    recs = np.asarray(buf[:total * 6]).reshape(total, 6)
-    per = split_coef_stream(recs, spec.coef_elems, nnz)
+    per = split_coef_bitmap(np.asarray(bits),
+                            np.asarray(vbuf[:total * 2]),
+                            spec.coef_elems, nnz)
     for k in range(K):
         ly, lcb, lcr = spec.unpack_coefs(*per[k])
         ny, nc = S * T * 256, S * T * 64
