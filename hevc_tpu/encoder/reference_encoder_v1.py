@@ -248,25 +248,10 @@ class RefIntraEncoderV1:
                     return ((sad << 4) + sl16 * min(mb0, mb1),
                             mv, mvp_idx, min(mb0, mb1))
 
-                # full integer window (raster order, first-found wins ties)
-                best = None
-                for dy in range(-8, 9):
-                    for dx in range(-8, 9):
-                        cand = mv_cost((4 * dx, 4 * dy))
-                        if best is None or cand[0] < best[0]:
-                            best = cand
-                # half- then quarter-pel refinement around the best
-                for step in (2, 1) if self.subpel else ():
-                    base = best[1]
-                    for dy in (-1, 0, 1):
-                        for dx in (-1, 0, 1):
-                            if dx == 0 and dy == 0:
-                                continue
-                            cand = mv_cost((base[0] + dx * step,
-                                            base[1] + dy * step))
-                            if cand[0] < best[0]:
-                                best = cand
-                _, mv_e, mvp_e, mbits_e = best
+                # two-stage shared search (coarse center + dual fine
+                # windows + subpel) — see _mv_search
+                _, mv_e, mvp_e, mbits_e = self._mv_search(
+                    src3[0], ref["y"], gx0, gy0, amvp, sl16, bd, ctb)
 
                 # --- candidate: skip (merge motion, no residual) ---
                 pm3 = M.mc_block(ref, gx0, gy0, ctb, merge_mv, bd)
@@ -352,7 +337,11 @@ class RefIntraEncoderV1:
 
     # ---- B frames (bi-prediction, non-reference, IbPbP GOP) -------------------
     def _mv_search(self, src, ref_y, gx0, gy0, amvp, sl16, bd, ctb):
-        """Full +-8 integer search + optional subpel refinement vs one ref."""
+        """Two-stage motion search vs one ref: coarse 4x-subsampled full
+        search (+-32 px) centers a full +-8 integer search, then optional
+        subpel refinement.  Effective range +-40 px — the reference's
+        x265-medium runs +-57; the round-1 +-8-only search whiffed on
+        fast pans and fell back to intra."""
         from hevc_tpu.ops import inter as M
 
         def mv_cost(mv):
@@ -367,11 +356,30 @@ class RefIntraEncoderV1:
             return ((sad << 4) + sl16 * min(mb0, mb1), mv, mvp_idx,
                     min(mb0, mb1))
 
+        src4 = src[::4, ::4].astype(np.int64)
+        best4 = None
+        for dy in range(-8, 9):
+            for dx in range(-8, 9):
+                pred = M.mc_luma(ref_y, gx0, gy0, ctb, 16 * dx, 16 * dy, bd)
+                sad4 = int(np.abs(src4
+                                  - pred[::4, ::4].astype(np.int64)).sum())
+                if best4 is None or sad4 < best4[0]:
+                    best4 = (sad4, 4 * dx, 4 * dy)      # full-res px
+        cx, cy = best4[1], best4[2]
+
+        # fine: the zero-centered +-8 window first (small true motions must
+        # never lose to a decimation-aliased coarse center), then the
+        # coarse-centered window; strict < keeps the earlier candidate
         best = None
         for dy in range(-8, 9):
             for dx in range(-8, 9):
                 cand = mv_cost((4 * dx, 4 * dy))
                 if best is None or cand[0] < best[0]:
+                    best = cand
+        for dy in range(-8, 9):
+            for dx in range(-8, 9):
+                cand = mv_cost((4 * (cx + dx), 4 * (cy + dy)))
+                if cand[0] < best[0]:
                     best = cand
         for step in (2, 1) if self.subpel else ():
             base = best[1]

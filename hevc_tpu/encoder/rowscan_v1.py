@@ -141,8 +141,8 @@ def _sse_j(a, b):
     return jnp.sum(d * d, axis=(-2, -1))
 
 
-MARGIN = 16          # padded-ref halo (8 search + up to 4 interp + merge drift)
-MARGIN_C = 8
+MARGIN = 48    # padded-ref halo: 32 coarse + 8 fine search + subpel/interp
+MARGIN_C = 24
 
 
 def _mvd_bits_j(d):
@@ -225,29 +225,64 @@ def _scale_mv_j(mv, dsf):
     return jnp.clip(jnp.where(s >= 0, mag, -mag), -32768, 32767)
 
 
+def _luma_superwin(pad_y, r, c):
+    """(B, 112, 112) window at pad position (r*16-48, c*16-48): covers the
+    full coarse+fine+subpel motion reach of one CTU."""
+    B = pad_y.shape[0]
+    return jax.lax.dynamic_slice(
+        pad_y, (0, r * 16 + MARGIN - 48, c * 16 + MARGIN - 48),
+        (B, 112, 112))
+
+
 def _search_explicit_ref(src, pad_y, r, c, c0mv, c1mv, sl16, bit_depth,
                          subpel, maxv):
-    """Full +-8 integer search + optional subpel refinement against ONE
-    reference pad (the P explicit-MV search, factored for per-list reuse
-    in B slices).  Returns (mv_e, mvd bits vs cand0, vs cand1, and the
-    14-bit pre-weighting prediction intermediate at mv_e)."""
+    """Two-stage search against ONE reference pad (device mirror of the
+    numpy _mv_search): coarse 4x-subsampled +-32 px full search centers a
+    +-8 integer search + optional subpel refinement.  Returns (mv_e, mvd
+    bits vs cand0, vs cand1, and the 14-bit pre-weighting prediction
+    intermediate at mv_e)."""
     B = src.shape[0]
-    win = jax.lax.dynamic_slice(
-        pad_y, (0, r * 16 + MARGIN - 8, c * 16 + MARGIN - 8), (B, 32, 32))
-    rows_s = jnp.stack([win[:, k:k + 16, :] for k in range(17)], 1)
-    cand = jnp.stack([rows_s[..., k:k + 16] for k in range(17)], 2)
-    cand = cand.reshape(B, 289, 16, 16)
+    WIN = _luma_superwin(pad_y, r, c)
+    # coarse: subsampled SAD over 17x17 decimated offsets (+-32 px)
+    dec = WIN[:, 16:96:4, 16:96:4]                      # (B, 20, 20)
+    src4 = src[:, ::4, ::4]                             # (B, 4, 4)
+    rows4 = jnp.stack([dec[:, k:k + 4, :] for k in range(17)], 1)
+    cand4 = jnp.stack([rows4[..., k:k + 4] for k in range(17)], 2)
+    sad4 = jnp.sum(jnp.abs(src4[:, None, None] - cand4), axis=(3, 4))
+    b4 = jnp.argmin(sad4.reshape(B, 289), axis=1).astype(I32)
+    ccx = 4 * (b4 % 17 - 8)                             # full-res px
+    ccy = 4 * (b4 // 17 - 8)
+
+    # fine +-8 integer search over TWO windows: the zero-centered one
+    # first (small true motions must never lose to a decimation-aliased
+    # coarse center), then the coarse-centered one; flat argmin keeps the
+    # earlier candidate on ties (the numpy scan order)
+    def fine_cands(cy0, cx0):
+        w = jax.vmap(lambda p, yy, xx: jax.lax.dynamic_slice(
+            p, (yy, xx), (32, 32)))(WIN, cy0 + 40, cx0 + 40)
+        rows_s = jnp.stack([w[:, k:k + 16, :] for k in range(17)], 1)
+        cnd = jnp.stack([rows_s[..., k:k + 16] for k in range(17)], 2)
+        return cnd.reshape(B, 289, 16, 16)
+
+    z = jnp.zeros((B,), I32)
+    cand = jnp.concatenate([fine_cands(z, z), fine_cands(ccy, ccx)], 1)
     sad = jnp.sum(jnp.abs(src[:, None] - cand), axis=(2, 3))
     offs = jnp.arange(289, dtype=I32)
-    mvx_all = 4 * (offs % 17 - 8)
-    mvy_all = 4 * (offs // 17 - 8)
-    mb0 = _mvd_bits_j(mvx_all[None] - c0mv[:, 0:1]) \
-        + _mvd_bits_j(mvy_all[None] - c0mv[:, 1:2])
-    mb1 = _mvd_bits_j(mvx_all[None] - c1mv[:, 0:1]) \
-        + _mvd_bits_j(mvy_all[None] - c1mv[:, 1:2])
+    cx2 = jnp.concatenate([jnp.zeros_like(ccx)[:, None] + offs[None] % 17,
+                           ccx[:, None] + offs[None] % 17], 1) - 8
+    cy2 = jnp.concatenate([jnp.zeros_like(ccy)[:, None] + offs[None] // 17,
+                           ccy[:, None] + offs[None] // 17], 1) - 8
+    mvx_all = 4 * (cx2 + 8 - 8)
+    mvy_all = 4 * (cy2 + 8 - 8)
+    mb0 = _mvd_bits_j(mvx_all - c0mv[:, 0:1]) \
+        + _mvd_bits_j(mvy_all - c0mv[:, 1:2])
+    mb1 = _mvd_bits_j(mvx_all - c1mv[:, 0:1]) \
+        + _mvd_bits_j(mvy_all - c1mv[:, 1:2])
     cost = (sad << 4) + sl16 * jnp.minimum(mb0, mb1)
     bi = jnp.argmin(cost, axis=1).astype(I32)
-    mv_e = jnp.stack([4 * (bi % 17 - 8), 4 * (bi // 17 - 8)], 1)
+    mv_e = jnp.stack(
+        [4 * jnp.take_along_axis(cx2, bi[:, None], 1).reshape(B),
+         4 * jnp.take_along_axis(cy2, bi[:, None], 1).reshape(B)], 1)
 
     def mvd_pair(mvq):
         m0 = _mvd_bits_j(mvq[:, 0] - c0mv[:, 0]) \
@@ -258,13 +293,10 @@ def _search_explicit_ref(src, pad_y, r, c, c0mv, c1mv, sl16, bit_depth,
 
     if subpel:
         shift1 = bit_depth - 8
-        win40 = jax.lax.dynamic_slice(
-            pad_y, (0, r * 16 + MARGIN - 12, c * 16 + MARGIN - 12),
-            (B, 40, 40))
-        by = (mv_e[:, 1] >> 2) + 8
-        bx = (mv_e[:, 0] >> 2) + 8
+        by = (mv_e[:, 1] >> 2) + 44
+        bx = (mv_e[:, 0] >> 2) + 44
         w24 = jax.vmap(lambda p, yy, xx: jax.lax.dynamic_slice(
-            p, (yy, xx), (24, 24)))(win40, by, bx)
+            p, (yy, xx), (24, 24)))(WIN, by, bx)
 
         def hpass(xf):
             return sum(int(_FL_NP[xf][k]) * w24[:, :, k:k + 17]
@@ -343,17 +375,18 @@ def _search_explicit_ref(src, pad_y, r, c, c0mv, c1mv, sl16, bit_depth,
 
 
 def _merge_luma_val_ref(pad_y, r, c, mg_mv, bit_depth, subpel):
-    """14-bit luma MC intermediate at a merge MV against one pad."""
+    """14-bit luma MC intermediate at a merge MV against one pad.
+
+    Merge MVs inherit the extended search range (|mv| <= ~41 px), so the
+    taps window is a per-lane slice of the CTU superwindow."""
     B = mg_mv.shape[0]
+    WIN = _luma_superwin(pad_y, r, c)
     if subpel:
         shift1 = bit_depth - 8
-        win40 = jax.lax.dynamic_slice(
-            pad_y, (0, r * 16 + MARGIN - 12, c * 16 + MARGIN - 12),
-            (B, 40, 40))
-        bym = (mg_mv[:, 1] >> 2) + 9
-        bxm = (mg_mv[:, 0] >> 2) + 9
+        bym = (mg_mv[:, 1] >> 2) + 45
+        bxm = (mg_mv[:, 0] >> 2) + 45
         w23 = jax.vmap(lambda p, yy, xx: jax.lax.dynamic_slice(
-            p, (yy, xx), (23, 23)))(win40, bym, bxm)
+            p, (yy, xx), (23, 23)))(WIN, bym, bxm)
         xfm = mg_mv[:, 0] & 3
         yfm = mg_mv[:, 1] & 3
         cxm = _sel_coeffs(_FL_NP, xfm, 8)
@@ -371,32 +404,22 @@ def _merge_luma_val_ref(pad_y, r, c, mg_mv, bit_depth, subpel):
         yzm = (yfm == 0)[:, None, None]
         return jnp.where(xzm & yzm, p00m,
                          jnp.where(yzm, phm, jnp.where(xzm, pvm, phvm)))
-    win = jax.lax.dynamic_slice(
-        pad_y, (0, r * 16 + MARGIN - 8, c * 16 + MARGIN - 8), (B, 32, 32))
-    rows_s = jnp.stack([win[:, k:k + 16, :] for k in range(17)], 1)
-    cand = jnp.stack([rows_s[..., k:k + 16] for k in range(17)], 2)
-    cand = cand.reshape(B, 289, 16, 16)
-    mi = (mg_mv[:, 1] // 4 + 8) * 17 + (mg_mv[:, 0] // 4 + 8)
-    return jnp.take_along_axis(
-        cand, mi[:, None, None, None], 1).reshape(B, 16, 16) \
-        << (14 - bit_depth)
+    w16 = jax.vmap(lambda p, yy, xx: jax.lax.dynamic_slice(
+        p, (yy, xx), (16, 16)))(WIN, (mg_mv[:, 1] >> 2) + 48,
+                                (mg_mv[:, 0] >> 2) + 48)
+    return w16 << (14 - bit_depth)
 
 
-def _chroma_stack_ref(pad_c, r, c):
-    """Integer chroma offsets [-5..4]^2 as one (B, 100, 11, 11) stack."""
+def _chroma_val_ref(pad_c, r, c, mv, bit_depth):
+    """14-bit chroma MC intermediate at a (luma-quarter-pel) MV: per-lane
+    11x11 taps window from the chroma superwindow."""
     B = pad_c.shape[0]
-    cwin = jax.lax.dynamic_slice(
-        pad_c, (0, r * 8 + MARGIN_C - 6, c * 8 + MARGIN_C - 6), (B, 21, 21))
-    crows = jnp.stack([cwin[:, k:k + 11, :] for k in range(10)], 1)
-    return jnp.stack([crows[..., k:k + 11] for k in range(10)],
-                     2).reshape(B, 100, 11, 11)
-
-
-def _chroma_val_ref(stk, mv, bit_depth):
-    """14-bit chroma MC intermediate at a (luma-quarter-pel) MV."""
-    idx = ((mv[:, 1] >> 3) + 5) * 10 + (mv[:, 0] >> 3) + 5
-    wins = jnp.take_along_axis(
-        stk, idx[:, None, None, None], 1).reshape(-1, 11, 11)
+    CWIN = jax.lax.dynamic_slice(
+        pad_c, (0, r * 8 + MARGIN_C - 24, c * 8 + MARGIN_C - 24),
+        (B, 56, 56))
+    wins = jax.vmap(lambda p, yy, xx: jax.lax.dynamic_slice(
+        p, (yy, xx), (11, 11)))(CWIN, (mv[:, 1] >> 3) + 23,
+                                (mv[:, 0] >> 3) + 23)
     return _chroma_mc_val_j(wins, mv[:, 0], mv[:, 1], bit_depth)
 
 
@@ -745,14 +768,9 @@ def _rowscan_v1_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh, tnw, bit_depth,
                                _weight_bi_j(valm0, valm1, bit_depth),
                                _weight_uni_j(valm_u, bit_depth))
 
-            stk0_cb = _chroma_stack_ref(pad0_cb, r, c)
-            stk0_cr = _chroma_stack_ref(pad0_cr, r, c)
-            stk1_cb = _chroma_stack_ref(pad1_cb, r, c)
-            stk1_cr = _chroma_stack_ref(pad1_cr, r, c)
-
-            def comb_c(stk0, stk1, mv0_, mv1_, pf=None):
-                v0 = _chroma_val_ref(stk0, mv0_, bit_depth)
-                v1 = _chroma_val_ref(stk1, mv1_, bit_depth)
+            def comb_c(pc0, pc1, mv0_, mv1_, pf=None):
+                v0 = _chroma_val_ref(pc0, r, c, mv0_, bit_depth)
+                v1 = _chroma_val_ref(pc1, r, c, mv1_, bit_depth)
                 if pf is None:
                     return _weight_bi_j(v0, v1, bit_depth)
                 vu = jnp.where(pf[:, 0][:, None, None], v0, v1)
@@ -760,20 +778,20 @@ def _rowscan_v1_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh, tnw, bit_depth,
                                  _weight_bi_j(v0, v1, bit_depth),
                                  _weight_uni_j(vu, bit_depth))
 
-            pm_cb = comb_c(stk0_cb, stk1_cb, mg_mv2[:, 0], mg_mv2[:, 1],
+            pm_cb = comb_c(pad0_cb, pad1_cb, mg_mv2[:, 0], mg_mv2[:, 1],
                            mg_pf)
-            pm_cr = comb_c(stk0_cr, stk1_cr, mg_mv2[:, 0], mg_mv2[:, 1],
+            pm_cr = comb_c(pad0_cr, pad1_cr, mg_mv2[:, 0], mg_mv2[:, 1],
                            mg_pf)
-            pl0_cb = _weight_uni_j(_chroma_val_ref(stk0_cb, mv_e0,
+            pl0_cb = _weight_uni_j(_chroma_val_ref(pad0_cb, r, c, mv_e0,
                                                    bit_depth), bit_depth)
-            pl0_cr = _weight_uni_j(_chroma_val_ref(stk0_cr, mv_e0,
+            pl0_cr = _weight_uni_j(_chroma_val_ref(pad0_cr, r, c, mv_e0,
                                                    bit_depth), bit_depth)
-            pl1_cb = _weight_uni_j(_chroma_val_ref(stk1_cb, mv_e1,
+            pl1_cb = _weight_uni_j(_chroma_val_ref(pad1_cb, r, c, mv_e1,
                                                    bit_depth), bit_depth)
-            pl1_cr = _weight_uni_j(_chroma_val_ref(stk1_cr, mv_e1,
+            pl1_cr = _weight_uni_j(_chroma_val_ref(pad1_cr, r, c, mv_e1,
                                                    bit_depth), bit_depth)
-            pbi_cb = comb_c(stk0_cb, stk1_cb, mv_e0, mv_e1)
-            pbi_cr = comb_c(stk0_cr, stk1_cr, mv_e0, mv_e1)
+            pbi_cb = comb_c(pad0_cb, pad1_cb, mv_e0, mv_e1)
+            pbi_cr = comb_c(pad0_cr, pad1_cr, mv_e0, mv_e1)
 
             def tu3(py, pcb, pcr):
                 a = _tu(src, py, qp_eff, 16, bit_depth, maxv)
@@ -909,24 +927,13 @@ def _rowscan_v1_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh, tnw, bit_depth,
                              jnp.where(b_av[:, None], b_mv, 0))
             c1mv = jnp.where((a1_av & b_av & ~dup)[:, None], b_mv, 0)
 
-            # full +-8 integer search over a shared 32x32 window
-            win = jax.lax.dynamic_slice(
-                pad_y, (0, r * 16 + MARGIN - 8, c * 16 + MARGIN - 8),
-                (B, 32, 32))
-            rows_s = jnp.stack([win[:, k:k + 16, :] for k in range(17)], 1)
-            cand = jnp.stack([rows_s[..., k:k + 16] for k in range(17)], 2)
-            cand = cand.reshape(B, 289, 16, 16)
-            sad = jnp.sum(jnp.abs(src[:, None] - cand), axis=(2, 3))
-            offs = jnp.arange(289, dtype=I32)
-            mvx_all = 4 * (offs % 17 - 8)
-            mvy_all = 4 * (offs // 17 - 8)
-            mb0 = _mvd_bits_j(mvx_all[None] - c0mv[:, 0:1]) \
-                + _mvd_bits_j(mvy_all[None] - c0mv[:, 1:2])
-            mb1 = _mvd_bits_j(mvx_all[None] - c1mv[:, 0:1]) \
-                + _mvd_bits_j(mvy_all[None] - c1mv[:, 1:2])
-            cost = (sad << 4) + sl16 * jnp.minimum(mb0, mb1)
-            bi = jnp.argmin(cost, axis=1).astype(I32)
-            mv_e = jnp.stack([4 * (bi % 17 - 8), 4 * (bi // 17 - 8)], 1)
+            # two-stage search (coarse 4x +-32 px center + fine +-8 +
+            # subpel) via the shared per-list helper; merge/chroma MC from
+            # per-lane superwindow slices
+            mv_e, mb0b, mb1b, val_e = _search_explicit_ref(
+                src, pad_y, r, c, c0mv, c1mv, sl16, bit_depth, subpel,
+                maxv)
+            pred_e = _weight_uni_j(val_e, bit_depth)
 
             def mvd_pair(mvq):
                 m0 = _mvd_bits_j(mvq[:, 0] - c0mv[:, 0]) \
@@ -935,172 +942,20 @@ def _rowscan_v1_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh, tnw, bit_depth,
                     + _mvd_bits_j(mvq[:, 1] - c1mv[:, 1])
                 return m0, m1
 
-            if subpel:
-                # --- half/quarter-pel refinement (mirror of the numpy
-                # 2-stage search).  After gathering a per-lane window
-                # centered on each lane's best integer MV, all candidate
-                # offsets are lane-uniform: interpolation needs no per-lane
-                # selects, only ONE gather.
-                shift1 = bit_depth - 8
-                off_w = 1 << (13 - bit_depth)
-                sh_w = 14 - bit_depth
-                # gather from a small shared window (offsets bounded by the
-                # search range) instead of the full padded plane: much
-                # cheaper TPU gathers
-                win40 = jax.lax.dynamic_slice(
-                    pad_y, (0, r * 16 + MARGIN - 12, c * 16 + MARGIN - 12),
-                    (B, 40, 40))
-                by = (mv_e[:, 1] >> 2) + 8
-                bx = (mv_e[:, 0] >> 2) + 8
-                w24 = jax.vmap(lambda p, yy, xx: jax.lax.dynamic_slice(
-                    p, (yy, xx), (24, 24)))(win40, by, bx)
-
-                def hpass(xf):      # (B, 24, 17): output cols x in [-1, 15]
-                    return sum(int(_FL_NP[xf][k]) * w24[:, :, k:k + 17]
-                               for k in range(8))
-                hp = [w24[:, :, 3:20] << (14 - bit_depth)] \
-                    + [hpass(f) for f in (1, 2, 3)]
-
-                def qpred(dqx, dqy):
-                    """(B,16,16) weighted prediction at quarter offset.
-
-                    W24 row/col 0 is integer offset -4 from the best-int MV;
-                    output pixel p at integer shift i reads taps p+i+1+k
-                    (k = 0..7 for tap offsets -3..+4), copies read p+i+4.
-                    """
-                    xf, ix = dqx & 3, dqx >> 2       # python ints
-                    yf, iy = dqy & 3, dqy >> 2
-                    if xf == 0 and yf == 0:
-                        val = w24[:, iy + 4:iy + 20, ix + 4:ix + 20] \
-                            << (14 - bit_depth)
-                    elif yf == 0:
-                        val = hp[xf][:, iy + 4:iy + 20,
-                                     ix + 1:ix + 17] >> shift1
-                    elif xf == 0:
-                        col = w24[:, :, ix + 4:ix + 20]
-                        val = sum(int(_FL_NP[yf][k])
-                                  * col[:, iy + 1 + k:iy + 17 + k]
-                                  for k in range(8)) >> shift1
-                    else:
-                        t = hp[xf] >> shift1
-                        val = sum(int(_FL_NP[yf][k])
-                                  * t[:, iy + 1 + k:iy + 17 + k,
-                                      ix + 1:ix + 17]
-                                  for k in range(8)) >> 6
-                    return jnp.clip((val + off_w) >> sh_w, 0, maxv)
-
-                preds_q, costs_q = {}, {}
-                cost_int = jnp.take_along_axis(cost, bi[:, None],
-                                               1).reshape(B)
-                for dqy in range(-3, 4):
-                    for dqx in range(-3, 4):
-                        if dqx == 0 and dqy == 0:
-                            p = qpred(0, 0)
-                            preds_q[(0, 0)] = p
-                            costs_q[(0, 0)] = cost_int
-                            continue
-                        p = qpred(dqx, dqy)
-                        sadq = jnp.sum(jnp.abs(src - p), axis=(1, 2))
-                        mvq = mv_e + jnp.asarray([dqx, dqy], I32)[None]
-                        m0, m1 = mvd_pair(mvq)
-                        costs_q[(dqx, dqy)] = (sadq << 4) \
-                            + sl16 * jnp.minimum(m0, m1)
-                        preds_q[(dqx, dqy)] = p
-
-
-                def cost_at(dx_arr, dy_arr):
-                    # offsets are always within the grid: exactly one term
-                    # matches per lane, the rest contribute 0
-                    return sum(jnp.where((dx_arr == px) & (dy_arr == py),
-                                         costs_q[(px, py)], 0)
-                               for px in range(-3, 4) for py in range(-3, 4))
-
-                def refine(base_dx, base_dy, step_):
-                    best_dx, best_dy = base_dx, base_dy
-                    best_c = cost_at(base_dx, base_dy)
-                    for dy in (-1, 0, 1):
-                        for dx in (-1, 0, 1):
-                            if (dx, dy) == (0, 0):
-                                continue
-                            ndx = base_dx + dx * step_
-                            ndy = base_dy + dy * step_
-                            nc = cost_at(ndx, ndy)
-                            better = nc < best_c
-                            best_dx = jnp.where(better, ndx, best_dx)
-                            best_dy = jnp.where(better, ndy, best_dy)
-                            best_c = jnp.where(better, nc, best_c)
-                    return best_dx, best_dy
-
-                z = jnp.zeros((B,), I32)
-                dx1, dy1 = refine(z, z, 2)
-                dx2, dy2 = refine(dx1, dy1, 1)
-                mv_e = mv_e + jnp.stack([dx2, dy2], 1)
-                pred_e = sum(jnp.where(((dx2 == px) & (dy2 == py))
-                                       [:, None, None],
-                                       preds_q[(px, py)], 0)
-                             for px in range(-3, 4) for py in range(-3, 4))
-            else:
-                pred_e = jnp.take_along_axis(
-                    cand, bi[:, None, None, None], 1).reshape(B, 16, 16)
-
-            mb0b, mb1b = mvd_pair(mv_e)
             mvp_e = (mb0b > mb1b).astype(I32)
             mbits_e = jnp.minimum(mb0b, mb1b)
 
-            # --- merge luma prediction (fractional-capable) ---
-            if subpel:
-                bym = (mg_mv[:, 1] >> 2) + 9
-                bxm = (mg_mv[:, 0] >> 2) + 9
-                w23 = jax.vmap(lambda p, yy, xx: jax.lax.dynamic_slice(
-                    p, (yy, xx), (23, 23)))(win40, bym, bxm)
-                xfm = mg_mv[:, 0] & 3
-                yfm = mg_mv[:, 1] & 3
-                cxm = _sel_coeffs(_FL_NP, xfm, 8)
-                cym = _sel_coeffs(_FL_NP, yfm, 8)
-                shift1 = bit_depth - 8
-                hm = sum(cxm[:, k, None, None] * w23[:, :, k:k + 16]
-                         for k in range(8))               # (B, 23, 16)
-                p00m = w23[:, 3:19, 3:19] << (14 - bit_depth)
-                phm = hm[:, 3:19] >> shift1
-                pvm = sum(cym[:, k, None, None]
-                          * w23[:, k:k + 16, 3:19] for k in range(8)) \
-                    >> shift1
-                thm = hm >> shift1
-                phvm = sum(cym[:, k, None, None] * thm[:, k:k + 16]
-                           for k in range(8)) >> 6
-                xzm = (xfm == 0)[:, None, None]
-                yzm = (yfm == 0)[:, None, None]
-                valm = jnp.where(xzm & yzm, p00m,
-                                 jnp.where(yzm, phm,
-                                           jnp.where(xzm, pvm, phvm)))
-                pred_m = jnp.clip((valm + (1 << (13 - bit_depth)))
-                                  >> (14 - bit_depth), 0, maxv)
-            else:
-                mi = (mg_mv[:, 1] // 4 + 8) * 17 + (mg_mv[:, 0] // 4 + 8)
-                pred_m = jnp.take_along_axis(
-                    cand, mi[:, None, None, None], 1).reshape(B, 16, 16)
-
-            def cstack(pad_c):
-                # integer chroma offsets [-5..4] as one stack (per-lane
-                # gathers are pathological on TPU; take_along_axis on a
-                # stacked axis is not)
-                cwin = jax.lax.dynamic_slice(
-                    pad_c, (0, r * 8 + MARGIN_C - 6, c * 8 + MARGIN_C - 6),
-                    (B, 21, 21))
-                crows = jnp.stack([cwin[:, k:k + 11, :] for k in range(10)],
-                                  1)
-                return jnp.stack([crows[..., k:k + 11] for k in range(10)],
-                                 2).reshape(B, 100, 11, 11)
-
-            def cpred(stk, mv):
-                idx = ((mv[:, 1] >> 3) + 5) * 10 + (mv[:, 0] >> 3) + 5
-                wins = jnp.take_along_axis(
-                    stk, idx[:, None, None, None], 1).reshape(B, 11, 11)
-                return _chroma_mc_j(wins, mv[:, 0], mv[:, 1], bit_depth)
-
-            stk_cb, stk_cr = cstack(pad_cb), cstack(pad_cr)
-            pm_cb, pm_cr = cpred(stk_cb, mg_mv), cpred(stk_cr, mg_mv)
-            pe_cb, pe_cr = cpred(stk_cb, mv_e), cpred(stk_cr, mv_e)
+            valm = _merge_luma_val_ref(pad_y, r, c, mg_mv, bit_depth,
+                                       subpel)
+            pred_m = _weight_uni_j(valm, bit_depth)
+            pm_cb = _weight_uni_j(_chroma_val_ref(pad_cb, r, c, mg_mv,
+                                                  bit_depth), bit_depth)
+            pm_cr = _weight_uni_j(_chroma_val_ref(pad_cr, r, c, mg_mv,
+                                                  bit_depth), bit_depth)
+            pe_cb = _weight_uni_j(_chroma_val_ref(pad_cb, r, c, mv_e,
+                                                  bit_depth), bit_depth)
+            pe_cr = _weight_uni_j(_chroma_val_ref(pad_cr, r, c, mv_e,
+                                                  bit_depth), bit_depth)
 
             lvlm_y, cbfm_y, recm_y = _tu(src, pred_m, qp_eff, 16,
                                          bit_depth, maxv)
