@@ -37,9 +37,8 @@ def pipeline_fps(enc, frames, iters=2, gop=30, chunk=8):
     for it in range(iters):
         enc.reset()
         pending = deque()
-        for grp in groups:
-            fut = enc.encode_chunk_async([frames[e[0]] for e in grp],
-                                         [e[1:] for e in grp], chunk=chunk)
+        for grp, fut in enc.encode_groups_pipelined(frames, groups,
+                                                    chunk=chunk):
             pending.append(fut)
             n += len(grp)
             while len(pending) > 2:

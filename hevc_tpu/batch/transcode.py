@@ -292,6 +292,7 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
         rc = RateController(base_qp=qp,
                             target_bps=rate_plan.vbv_maxrate_kbps * 1000 * 0.85,
                             vbv_max_bps=rate_plan.vbv_maxrate_kbps * 1000,
+                            vbv_buf_bits=rate_plan.vbv_bufsize_kbits * 1000,
                             fps=float(fps))
     samples = []
     total = len(frames)
@@ -357,25 +358,34 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
         sched = b_schedule(total, gop, cfg.bframes) if chunked else None
         groups = (chunk_groups(sched[i:], cfg.bframes) if chunked
                   else None)
-        gi = 0
         CH = 8
-        while i < total:
-            if stop_event is not None and stop_event.is_set():
-                for _, _, fut in pending:
-                    fut.cancel()
-                return "CANCELLED"
-            if time.time() > deadline:
-                raise TimeoutError("per-file encode timeout")
-            cur_qp = rc.qp if rc is not None else cfg.qp
-            if chunked:
-                grp = groups[gi]
-                gi += 1
-                fut = genc.encode_chunk_async(
-                    [frames[e[0]] for e in grp], [e[1:] for e in grp],
-                    qp=cur_qp, chunk=CH)
+        if chunked:
+            # staged pipeline: a worker thread uploads group N+1's
+            # sources while group N computes on device and group N-1's
+            # CABAC runs on the entropy thread (3-stage overlap)
+            gen = genc.encode_groups_pipelined(
+                frames, groups, chunk=CH,
+                qp_for_group=(lambda: rc.qp) if rc is not None else None)
+            for grp, fut in gen:
+                if stop_event is not None and stop_event.is_set():
+                    for _, _, f_ in pending:
+                        f_.cancel()
+                    return "CANCELLED"
+                if time.time() > deadline:
+                    raise TimeoutError("per-file encode timeout")
                 pending.append((i, [e[1] for e in grp], fut))
                 i += len(grp)
-            else:
+                while len(pending) > 2:
+                    drain_one()
+        else:
+            while i < total:
+                if stop_event is not None and stop_event.is_set():
+                    for _, _, fut in pending:
+                        fut.cancel()
+                    return "CANCELLED"
+                if time.time() > deadline:
+                    raise TimeoutError("per-file encode timeout")
+                cur_qp = rc.qp if rc is not None else cfg.qp
                 f = frames[i]
                 is_idr = i % gop == 0
                 fut = genc.encode_next_async(
@@ -383,8 +393,8 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
                     np.asarray(f[2], np.int32), idr=is_idr, qp=cur_qp)
                 pending.append((i, 0 if is_idr else 1, fut))
                 i += 1
-            while len(pending) > 2:
-                drain_one()
+                while len(pending) > 2:
+                    drain_one()
         while pending:
             drain_one()
         log.info("encode stats %s: %s", file_name, stats.summary())

@@ -5,7 +5,8 @@
 // output.  This is the sequential finalize stage that runs on host CPU while
 // the TPU encodes the next frame (SURVEY.md section 7, 'CABAC throughput').
 //
-// v0 profile: CTB = CU = 16 (2Nx2N, TU16 luma + TU8 chroma), I slices.
+// Profile: CTB = CU = 16 (2Nx2N/NxN, TU16 luma + TU8 chroma), I/P/B
+// slices (merge/AMVP/bi-pred syntax), SAO parameter coding.
 #include <cstdint>
 #include <cstring>
 #include <vector>

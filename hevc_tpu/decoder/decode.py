@@ -1,9 +1,9 @@
-"""In-framework HEVC intra decoder (conformance half of the validator).
+"""In-framework HEVC decoder (conformance half of the validator).
 
-General intra-profile decoder: arbitrary CTB size (16/32/64), full coding
-quadtree, PART_2Nx2N / PART_NxN intra PUs, residual quadtree, 4x4 DST, all 35
-prediction modes.  No inter, no SAO/deblocking application (streams this
-framework emits disable them; asserts otherwise), no tiles/WPP yet.
+General decoder: arbitrary CTB size (16/32/64), full coding quadtree,
+PART_2Nx2N / PART_NxN intra PUs, P and B inter CUs (merge/AMVP, fractional
+MVs, bi-prediction), residual quadtree, 4x4 DST, all 35 intra modes, tiles,
+and in-loop filters (deblocking + SAO applied to the reconstruction).
 
 Dual role:
   * validator: every bitstream we emit is decoded back and compared bit-exactly
@@ -612,7 +612,11 @@ def decode_annexb(data: bytes, cfg=None) -> list[dict]:
                 if len(dpb) > 3:
                     del dpb[min(dpb)]
     out.sort(key=lambda t: (t[0], t[1]))
-    return [f for _, _, f in out]
+    res = []
+    for e, p, f in out:
+        f["epoch"], f["poc"] = e, p       # display bookkeeping for callers
+        res.append(f)
+    return res
 
 
 def _apply_sao(frame: dict, hdr, sps: Sps, pps: Pps) -> None:

@@ -10,6 +10,8 @@ core/transcoder.py:452-535) with a first-party encode loop.
 """
 from __future__ import annotations
 
+import time
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -612,40 +614,26 @@ class GopEncoder:
 
         return self._pool.submit(host_stage)
 
-    def encode_chunk_async(self, frames, metas, qp: int | None = None,
-                           chunk: int = 8):
-        """Encode one decode-order chunk group — up to KR reference
-        pictures (IDR/P) plus their non-reference B pictures — with two
-        device dispatches: the reference scan (_gop_chunk_jit) and the
-        batched B encode (_b_batch_jit).  frames: [(y, cb, cr)] host
-        planes in decode order; metas: [(kind, poc, rps_idx)] with kind
-        0=IDR, 1=P, 2=B (refs at poc-1/poc+1).  Returns a Future of the
-        slice NALs in decode order.
+    def stage_chunk(self, frames, metas, chunk: int = 8):
+        """Host prep + flat device upload for one chunk group.
 
-        Group shapes are fixed per config (KR=4 ref slots + KB=4 B slots
-        with bframes, KR=chunk P-only otherwise); short groups pad with
-        masked steps.  QP is per-group (rate control quantizes to group
-        granularity); B pictures code at QP + B_QP_OFFSET.
+        THREAD-SAFE (touches no DPB state): the production loop runs this
+        on a staging worker thread so group N+1's ~25 MB source upload
+        overlaps group N's device compute — without the overlap the
+        upload sits serially in the loop and dominates e2e (VERDICT r2:
+        ~200 of 320 ms/frame was link time).  Returns an opaque dict for
+        encode_chunk_async(staged=...).
         """
-        assert self.mc and not self.cfg.sao, \
-            "chunked path: MC mode, SAO handled by the per-frame pipeline"
-        import dataclasses
-        from hevc_tpu.encoder.rowscan_v1 import dsf_pair
-        from hevc_tpu.encoder.reference_encoder_v1 import RefIntraEncoderV1
         cfg = self.cfg
-        qp = cfg.qp if qp is None else qp
-        qp_b = min(qp + RefIntraEncoderV1.B_QP_OFFSET, 51)
         KR = 4 if cfg.bframes else chunk
         KB = 4 if cfg.bframes else 0
-        metas = list(metas)
-        if self._ref_blocks is None and metas[0][0] != 0:
-            metas[0] = (0, None, 0)
         refs_pos = [j for j, m in enumerate(metas) if m[0] != 2]
         bees_pos = [j for j, m in enumerate(metas) if m[0] == 2]
         assert 0 < len(refs_pos) <= KR and len(bees_pos) <= max(KB, 0), \
             (len(refs_pos), len(bees_pos), KR, KB)
         sdt = np.uint8 if cfg.bit_depth == 8 else np.uint16
         from hevc_tpu.encoder.reference_encoder import pad_to_ctb
+        from hevc_tpu.utils.metrics import GLOBAL_TIMERS
 
         def planes(fr):
             # dense edge-padded planes; tile/block split happens on device
@@ -654,12 +642,9 @@ class GopEncoder:
                     pad_to_ctb(np.asarray(fr[1]), 8).astype(sdt),
                     pad_to_ctb(np.asarray(fr[2]), 8).astype(sdt))
 
+        _t_prep = time.perf_counter()
         rp = [planes(frames[j]) for j in refs_pos]
         H, W = rp[0][0].shape
-        self._geom = (H // 16, W // 16, H, W)
-        nh, nw, H, W = self._geom
-        tc, tr = cfg.tile_cols, cfg.tile_rows
-        tnh, tnw = nh // tr, nw // tc
         while len(rp) < KR:
             rp.append(rp[-1])
         nref = len(refs_pos)
@@ -682,8 +667,62 @@ class GopEncoder:
             parts += [np.stack([x[0] for x in bp]).ravel(),
                       np.stack([x[1] for x in bp]).ravel(),
                       np.stack([x[2] for x in bp]).ravel()]
-        staged = _stage_sources_jit(jnp.asarray(np.concatenate(parts)),
-                                    tuple(sections))
+        flat_host = np.concatenate(parts)
+        GLOBAL_TIMERS.add("stage_prep", time.perf_counter() - _t_prep)
+        _t_up = time.perf_counter()
+        flat_dev = jnp.asarray(flat_host)
+        staged = _stage_sources_jit(flat_dev, tuple(sections))
+        try:
+            jax.block_until_ready(staged)   # absorb the link time HERE,
+        except Exception:                   # off the dispatch thread
+            pass
+        GLOBAL_TIMERS.add("stage_upload", time.perf_counter() - _t_up)
+        return {"staged": staged, "H": H, "W": W, "nref": nref,
+                "nbee": nbee, "refs_pos": refs_pos, "bees_pos": bees_pos,
+                "KR": KR, "KB": KB}
+
+    def encode_chunk_async(self, frames, metas, qp: int | None = None,
+                           chunk: int = 8, staged: dict | None = None):
+        """Encode one decode-order chunk group — up to KR reference
+        pictures (IDR/P) plus their non-reference B pictures — with two
+        device dispatches: the reference scan (_gop_chunk_jit) and the
+        batched B encode (_b_batch_jit).  frames: [(y, cb, cr)] host
+        planes in decode order; metas: [(kind, poc, rps_idx)] with kind
+        0=IDR, 1=P, 2=B (refs at poc-1/poc+1).  Returns a Future of the
+        slice NALs in decode order.
+
+        Group shapes are fixed per config (KR=4 ref slots + KB=4 B slots
+        with bframes, KR=chunk P-only otherwise); short groups pad with
+        masked steps.  QP is per-group (rate control quantizes to group
+        granularity); B pictures code at QP + B_QP_OFFSET.
+
+        staged: a stage_chunk() result for THESE frames/metas (upload
+        already done, possibly on another thread); None stages inline.
+        """
+        assert self.mc and not self.cfg.sao, \
+            "chunked path: MC mode, SAO handled by the per-frame pipeline"
+        import dataclasses
+        from hevc_tpu.encoder.rowscan_v1 import dsf_pair
+        from hevc_tpu.encoder.reference_encoder_v1 import RefIntraEncoderV1
+        from hevc_tpu.utils.metrics import GLOBAL_TIMERS
+        cfg = self.cfg
+        qp = cfg.qp if qp is None else qp
+        qp_b = min(qp + RefIntraEncoderV1.B_QP_OFFSET, 51)
+        metas = list(metas)
+        if self._ref_blocks is None and metas[0][0] != 0:
+            metas[0] = (0, None, 0)
+        if staged is None:
+            staged = self.stage_chunk(frames, metas, chunk)
+        KR, KB = staged["KR"], staged["KB"]
+        refs_pos, bees_pos = staged["refs_pos"], staged["bees_pos"]
+        nref, nbee = staged["nref"], staged["nbee"]
+        H, W = staged["H"], staged["W"]
+        self._geom = (H // 16, W // 16, H, W)
+        nh, nw, H, W = self._geom
+        tc, tr = cfg.tile_cols, cfg.tile_rows
+        tnh, tnw = nh // tr, nw // tc
+        _t_st = time.perf_counter()
+        staged = staged["staged"]
         kinds = np.array([metas[j][0] for j in refs_pos]
                          + [1] * (KR - nref), np.int32)
         active = np.arange(KR) < nref
@@ -766,6 +805,7 @@ class GopEncoder:
             fetch1.copy_to_host_async()
         except Exception:
             pass
+        GLOBAL_TIMERS.add("disp_dispatch", time.perf_counter() - _t_st)
         if self._pool is None:
             from concurrent.futures import ThreadPoolExecutor
             self._pool = ThreadPoolExecutor(1, "gop-entropy")
@@ -823,6 +863,46 @@ class GopEncoder:
 
         return self._pool.submit(host_stage)
 
+    def _stage_pool(self):
+        if getattr(self, "_spool", None) is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._spool = ThreadPoolExecutor(1, "gop-stage")
+        return self._spool
+
+    def encode_groups_pipelined(self, frames, groups, chunk: int = 8,
+                                qp_for_group=None, lookahead: int = 2):
+        """Drive the chunked path with upload/compute/entropy overlap.
+
+        Generator yielding (group, Future of NALs) in order.  A staging
+        worker thread uploads group N+1's sources while group N's device
+        dispatch + compute + host CABAC proceed, so the loop is device-
+        bound instead of link-bound.  qp_for_group(): optional callable
+        returning the QP for the next dispatch (rate control hook, read
+        at dispatch time, not staging time)."""
+        pool = self._stage_pool()
+        from collections import deque
+        stage_q: deque = deque()
+        gi = 0
+
+        def refill():
+            nonlocal gi
+            while gi < len(groups) and len(stage_q) < lookahead:
+                grp = groups[gi]
+                gi += 1
+                stage_q.append((grp, pool.submit(
+                    self.stage_chunk, [frames[e[0]] for e in grp],
+                    [e[1:] for e in grp], chunk)))
+
+        refill()
+        while stage_q:
+            grp, sf = stage_q.popleft()
+            qp = qp_for_group() if qp_for_group is not None else None
+            fut = self.encode_chunk_async(
+                [frames[e[0]] for e in grp], [e[1:] for e in grp],
+                qp=qp, chunk=chunk, staged=sf.result())
+            refill()
+            yield grp, fut
+
     def encode_video_chunked(self, frames, gop: int = 0, chunk: int = 8):
         """Chunked-path counterpart of encode_video (no recons returned).
 
@@ -831,11 +911,8 @@ class GopEncoder:
         self.reset()
         out = annexb(self.parameter_sets())
         sched = b_schedule(len(frames), gop, self.cfg.bframes)
-        futs = []
-        for grp in chunk_groups(sched, self.cfg.bframes, chunk):
-            futs.append(self.encode_chunk_async(
-                [frames[e[0]] for e in grp], [e[1:] for e in grp],
-                chunk=chunk))
+        futs = [fut for _, fut in self.encode_groups_pipelined(
+            frames, chunk_groups(sched, self.cfg.bframes, chunk), chunk)]
         for fut in futs:
             for nal in fut.result():
                 out += b"\x00\x00\x00\x01" + nal

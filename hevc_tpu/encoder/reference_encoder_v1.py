@@ -337,11 +337,20 @@ class RefIntraEncoderV1:
 
     # ---- B frames (bi-prediction, non-reference, IbPbP GOP) -------------------
     def _mv_search(self, src, ref_y, gx0, gy0, amvp, sl16, bd, ctb):
-        """Two-stage motion search vs one ref: coarse 4x-subsampled full
-        search (+-32 px) centers a full +-8 integer search, then optional
-        subpel refinement.  Effective range +-40 px — the reference's
-        x265-medium runs +-57; the round-1 +-8-only search whiffed on
-        fast pans and fell back to intra."""
+        """Hierarchical motion search vs one ref (effective range +-40 px;
+        the reference's x265-medium runs hex +-57):
+
+          A: coarse 4x-decimated 17x17 full search (+-32 px, center
+             clipped to +-30)
+          B: 2x-decimated 7x7 refine in 2-px steps (+-6) around A
+          C: full-res 9x9 (+-4) around ZERO first (small true motions
+             must never lose to a decimation-aliased center), then 9x9
+             around B; strict < keeps the earlier candidate
+          D: optional subpel refinement (half then quarter)
+
+        Round-2's dual +-8 full windows (2x289 full-res SADs) cost ~2x
+        the device P step; the pyramid covers the same reach with 2x81
+        full-res SADs + cheap decimated stages (VERDICT r2 item 8)."""
         from hevc_tpu.ops import inter as M
 
         def mv_cost(mv):
@@ -365,19 +374,29 @@ class RefIntraEncoderV1:
                                   - pred[::4, ::4].astype(np.int64)).sum())
                 if best4 is None or sad4 < best4[0]:
                     best4 = (sad4, 4 * dx, 4 * dy)      # full-res px
-        cx, cy = best4[1], best4[2]
+        cx = min(max(best4[1], -30), 30)
+        cy = min(max(best4[2], -30), 30)
 
-        # fine: the zero-centered +-8 window first (small true motions must
-        # never lose to a decimation-aliased coarse center), then the
-        # coarse-centered window; strict < keeps the earlier candidate
+        src2 = src[::2, ::2].astype(np.int64)
+        best2 = None
+        for dy in range(-3, 4):
+            for dx in range(-3, 4):
+                ex, ey = cx + 2 * dx, cy + 2 * dy
+                pred = M.mc_luma(ref_y, gx0, gy0, ctb, 4 * ex, 4 * ey, bd)
+                sad2 = int(np.abs(src2
+                                  - pred[::2, ::2].astype(np.int64)).sum())
+                if best2 is None or sad2 < best2[0]:
+                    best2 = (sad2, ex, ey)
+        cx, cy = best2[1], best2[2]
+
         best = None
-        for dy in range(-8, 9):
-            for dx in range(-8, 9):
+        for dy in range(-4, 5):
+            for dx in range(-4, 5):
                 cand = mv_cost((4 * dx, 4 * dy))
                 if best is None or cand[0] < best[0]:
                     best = cand
-        for dy in range(-8, 9):
-            for dx in range(-8, 9):
+        for dy in range(-4, 5):
+            for dx in range(-4, 5):
                 cand = mv_cost((4 * (cx + dx), 4 * (cy + dy)))
                 if cand[0] < best[0]:
                     best = cand

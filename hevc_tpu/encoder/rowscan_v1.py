@@ -141,7 +141,7 @@ def _sse_j(a, b):
     return jnp.sum(d * d, axis=(-2, -1))
 
 
-MARGIN = 48    # padded-ref halo: 32 coarse + 8 fine search + subpel/interp
+MARGIN = 48    # padded-ref halo: +-40 px search reach + subpel/interp taps
 MARGIN_C = 24
 
 
@@ -236,44 +236,59 @@ def _luma_superwin(pad_y, r, c):
 
 def _search_explicit_ref(src, pad_y, r, c, c0mv, c1mv, sl16, bit_depth,
                          subpel, maxv):
-    """Two-stage search against ONE reference pad (device mirror of the
-    numpy _mv_search): coarse 4x-subsampled +-32 px full search centers a
-    +-8 integer search + optional subpel refinement.  Returns (mv_e, mvd
-    bits vs cand0, vs cand1, and the 14-bit pre-weighting prediction
-    intermediate at mv_e)."""
+    """Hierarchical search against ONE reference pad (device mirror of
+    the numpy _mv_search): 4x-decimated 17x17 coarse (+-32, clipped
+    +-30) -> 2x-decimated 7x7 refine (+-6) -> full-res 9x9 around zero
+    then around the refined center -> optional subpel.  Effective reach
+    +-40 px with 2x81 full-res SADs instead of round-2's 2x289
+    (VERDICT r2 item 8).  Returns (mv_e, mvd bits vs cand0, vs cand1,
+    and the 14-bit pre-weighting prediction intermediate at mv_e)."""
     B = src.shape[0]
     WIN = _luma_superwin(pad_y, r, c)
-    # coarse: subsampled SAD over 17x17 decimated offsets (+-32 px)
+    # A: subsampled SAD over 17x17 decimated offsets (+-32 px)
     dec = WIN[:, 16:96:4, 16:96:4]                      # (B, 20, 20)
     src4 = src[:, ::4, ::4]                             # (B, 4, 4)
     rows4 = jnp.stack([dec[:, k:k + 4, :] for k in range(17)], 1)
     cand4 = jnp.stack([rows4[..., k:k + 4] for k in range(17)], 2)
     sad4 = jnp.sum(jnp.abs(src4[:, None, None] - cand4), axis=(3, 4))
     b4 = jnp.argmin(sad4.reshape(B, 289), axis=1).astype(I32)
-    ccx = 4 * (b4 % 17 - 8)                             # full-res px
-    ccy = 4 * (b4 // 17 - 8)
+    ccx = jnp.clip(4 * (b4 % 17 - 8), -30, 30)          # full-res px
+    ccy = jnp.clip(4 * (b4 // 17 - 8), -30, 30)
 
-    # fine +-8 integer search over TWO windows: the zero-centered one
+    # B: 2x-decimated 7x7 refine in 2-px steps (+-6) around the coarse
+    # center (ccx/ccy stay even so decimated indices are exact)
+    dec2 = WIN[:, ::2, ::2]                             # (B, 56, 56)
+    src2 = src[:, ::2, ::2]                             # (B, 8, 8)
+    w2 = jax.vmap(lambda p, yy, xx: jax.lax.dynamic_slice(
+        p, (yy, xx), (14, 14)))(dec2, (ccy >> 1) + 21, (ccx >> 1) + 21)
+    rows2 = jnp.stack([w2[:, k:k + 8, :] for k in range(7)], 1)
+    cnd2 = jnp.stack([rows2[..., k:k + 8] for k in range(7)], 2)
+    sad2 = jnp.sum(jnp.abs(src2[:, None, None] - cnd2), axis=(3, 4))
+    b2 = jnp.argmin(sad2.reshape(B, 49), axis=1).astype(I32)
+    ccx = ccx + 2 * (b2 % 7 - 3)
+    ccy = ccy + 2 * (b2 // 7 - 3)
+
+    # C: full-res 9x9 (+-4) over TWO windows: the zero-centered one
     # first (small true motions must never lose to a decimation-aliased
-    # coarse center), then the coarse-centered one; flat argmin keeps the
-    # earlier candidate on ties (the numpy scan order)
+    # center), then the refined one; flat argmin keeps the earlier
+    # candidate on ties (the numpy scan order)
     def fine_cands(cy0, cx0):
         w = jax.vmap(lambda p, yy, xx: jax.lax.dynamic_slice(
-            p, (yy, xx), (32, 32)))(WIN, cy0 + 40, cx0 + 40)
-        rows_s = jnp.stack([w[:, k:k + 16, :] for k in range(17)], 1)
-        cnd = jnp.stack([rows_s[..., k:k + 16] for k in range(17)], 2)
-        return cnd.reshape(B, 289, 16, 16)
+            p, (yy, xx), (24, 24)))(WIN, cy0 + 44, cx0 + 44)
+        rows_s = jnp.stack([w[:, k:k + 16, :] for k in range(9)], 1)
+        cnd = jnp.stack([rows_s[..., k:k + 16] for k in range(9)], 2)
+        return cnd.reshape(B, 81, 16, 16)
 
     z = jnp.zeros((B,), I32)
     cand = jnp.concatenate([fine_cands(z, z), fine_cands(ccy, ccx)], 1)
     sad = jnp.sum(jnp.abs(src[:, None] - cand), axis=(2, 3))
-    offs = jnp.arange(289, dtype=I32)
-    cx2 = jnp.concatenate([jnp.zeros_like(ccx)[:, None] + offs[None] % 17,
-                           ccx[:, None] + offs[None] % 17], 1) - 8
-    cy2 = jnp.concatenate([jnp.zeros_like(ccy)[:, None] + offs[None] // 17,
-                           ccy[:, None] + offs[None] // 17], 1) - 8
-    mvx_all = 4 * (cx2 + 8 - 8)
-    mvy_all = 4 * (cy2 + 8 - 8)
+    offs = jnp.arange(81, dtype=I32)
+    cx2 = jnp.concatenate([jnp.zeros_like(ccx)[:, None] + offs[None] % 9,
+                           ccx[:, None] + offs[None] % 9], 1) - 4
+    cy2 = jnp.concatenate([jnp.zeros_like(ccy)[:, None] + offs[None] // 9,
+                           ccy[:, None] + offs[None] // 9], 1) - 4
+    mvx_all = 4 * cx2
+    mvy_all = 4 * cy2
     mb0 = _mvd_bits_j(mvx_all - c0mv[:, 0:1]) \
         + _mvd_bits_j(mvy_all - c0mv[:, 1:2])
     mb1 = _mvd_bits_j(mvx_all - c1mv[:, 0:1]) \

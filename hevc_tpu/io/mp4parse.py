@@ -146,6 +146,12 @@ def probe_mp4(path) -> dict:
         info["nb_frames"] = total
         if delta0 and "timescale" in info:
             info["fps"] = Fraction(info["timescale"], delta0)
+    if "/moov/trak/mdia/minf/stbl/stss" in idx:
+        poff, _ = idx["/moov/trak/mdia/minf/stbl/stss"][0]
+        cnt = struct.unpack(">I", data[poff + 4:poff + 8])[0]
+        info["sync_samples"] = [
+            struct.unpack(">I", data[poff + 8 + 4 * i:poff + 12 + 4 * i])[0]
+            for i in range(cnt)]          # 1-based sample numbers
     # faststart check: moov before mdat
     moov_off = idx.get("/moov", [(None, None)])[0][0]
     mdat = [b for b in parse_boxes(data) if b[0] == b"mdat"]

@@ -77,25 +77,45 @@ def target_bitrate_kbps(info: VideoInfo) -> int:
     return kbps
 
 
-def compute_aligned_gop(fps: float, is_hdr: bool, height: int) -> int:
+def compute_aligned_gop(fps: float, is_hdr: bool, height: int,
+                        width: int = 0) -> int:
     """GOP 2.0-3.0 s by HDR/resolution, x1.05 if fps > 60, aligned to
     integer-second boundaries incl. NTSC fractional rates, clamp [2, 240]
-    (reference core/transcoder.py:211-260, 338-353)."""
-    if height >= 2160:
-        seconds = 3.0 if not is_hdr else 2.5
-    elif height >= 1440:
-        seconds = 2.5
+    (reference core/transcoder.py:211-260, 338-353).
+
+    Reference matrix (core/transcoder.py:339-342, max_dim = max(w, h)):
+    HDR -> 2.0 s if >=4K else 2.5 s; SDR -> 2.5 s if >=4K else 3.0 s.
+    """
+    big = max(width, height) >= 3840 or height >= 2160
+    if is_hdr:
+        seconds = 2.0 if big else 2.5
     else:
-        seconds = 2.0
+        seconds = 2.5 if big else 3.0
     if fps > 60:
         seconds *= 1.05
-    frac = Fraction(fps).limit_denominator(1001)
-    target = seconds * fps
-    # align to an integer number of seconds' worth of frames
-    per_sec = frac
-    n_sec = max(1, round(target / float(per_sec)))
-    gop = int(round(n_sec * float(per_sec)))
-    return min(max(gop, 2), 240)
+    # exact reference alignment (core/transcoder.py:211-260): best
+    # integer-second candidate in 1..8 s (ties -> fewer seconds), then a
+    # final integer/NTSC-fps realignment pass
+    fps = max(1.0, fps)
+    approx = max(2.0, min(seconds * fps, 240.0))
+    frac = Fraction(str(fps)).limit_denominator(1001)
+    best, best_diff = None, float("inf")
+    for n in range(1, 9):
+        cand = round(frac.numerator * n / frac.denominator)
+        if cand < 2 or cand > 240:
+            continue
+        diff = abs(cand - approx)
+        if diff < best_diff:
+            best, best_diff = cand, diff
+    if best is None:
+        best = min(max(int(round(approx)), 2), 240)
+    if abs(round(fps) - fps) < 1e-6:
+        n = max(1, round(best / int(round(fps))))
+        best = min(max(int(round(fps)) * n, 2), 240)
+    else:
+        n_sec = max(1, round(best / fps))
+        best = min(240, max(2, round(fps * n_sec)))
+    return best
 
 
 def calculate_dynamic_values(info: VideoInfo) -> RatePlan:
@@ -112,7 +132,7 @@ def calculate_dynamic_values(info: VideoInfo) -> RatePlan:
     vbv_max = min(target, int(max_allowed_kbps * 0.98))
     vbv_buf = min(int(target * 1.5),
                   max(int(vbv_max * 1.2), int(max_allowed_kbits * 0.9)))
-    gop = compute_aligned_gop(info.fps, info.is_hdr, info.height)
+    gop = compute_aligned_gop(info.fps, info.is_hdr, info.height, info.width)
     qp = crf_to_qp(crf, info)
     return RatePlan(crf=crf, cq=cq, vbv_maxrate_kbps=vbv_max,
                     vbv_bufsize_kbits=vbv_buf, gop=gop, qp=qp)

@@ -130,24 +130,51 @@ def _deep_decode(path, cross_check: bool) -> tuple[bool, list[str]]:
             log.warning("libavcodec unavailable; self-decode only")
 
     # Normative decode with the in-framework (pure-Python) decoder: exact but
-    # slow, so bounded to the first DEEP_SELF_DECODE samples in production
-    # (inter frames need the DPB chain from the IDR, so it is a prefix).
-    n_self = min(len(samples), DEEP_SELF_DECODE)
-    prefix = list(ps)
-    for s in samples[:n_self]:
-        off = 0
-        while off + ln <= len(s):
-            sz = int.from_bytes(s[off:off + ln], "big")
-            prefix.append(s[off + ln:off + ln + sz])
-            off += ln + sz
-    frames = decode_annexb(annexb(prefix))
-    if len(frames) != n_self:
-        return False, [f"decoded {len(frames)} frames, expected {n_self}"]
-    if ref is not None:
-        for i, ((ry, rcb, rcr), mine) in enumerate(zip(ref, frames)):
-            for a, k in ((ry, "y"), (rcb, "cb"), (rcr, "cr")):
-                m = mine[k][:a.shape[0], :a.shape[1]]
+    # slow, so bounded in production to the first DEEP_SELF_DECODE samples
+    # plus (late-corruption coverage) the final GOP from its sync sample
+    # (inter frames need the DPB chain from an IDR/sync).
+    def _self_decode_run(first, count, ref_off):
+        n_run = min(len(samples) - first, count)
+        prefix = list(ps)
+        for s in samples[first:first + n_run]:
+            off = 0
+            while off + ln <= len(s):
+                sz = int.from_bytes(s[off:off + ln], "big")
+                prefix.append(s[off + ln:off + ln + sz])
+                off += ln + sz
+        frames = decode_annexb(annexb(prefix))
+        if len(frames) != n_run:
+            return [f"decoded {len(frames)} frames, expected {n_run}"]
+        # decode order runs ahead of display order (B reordering), so the
+        # run's tail may miss display slot(s); compare only the contiguous
+        # display prefix (epoch/poc bookkeeping from decode_annexb)
+        k, exp = 0, None
+        for f in frames:
+            if exp is None or f["epoch"] != exp[0]:
+                exp = (f["epoch"], 0)
+            if f["poc"] != exp[1]:
+                break
+            exp = (exp[0], exp[1] + 1)
+            k += 1
+        if ref is None:
+            return []
+        for i, mine in enumerate(frames[:k]):
+            ry, rcb, rcr = ref[ref_off + i]
+            for a, kk in ((ry, "y"), (rcb, "cb"), (rcr, "cr")):
+                m = mine[kk][:a.shape[0], :a.shape[1]]
                 if not np.array_equal(a.astype(np.int32), m):
-                    msgs.append(f"frame {i} plane {k}: decoder mismatch")
-                    return False, msgs
+                    return [f"frame {ref_off + i} plane {kk}: "
+                            "decoder mismatch"]
+        return []
+
+    bad = _self_decode_run(0, DEEP_SELF_DECODE, 0)
+    if bad:
+        return False, msgs + bad
+    syncs = info.get("sync_samples") or []
+    last_sync = max((s - 1 for s in syncs if s - 1 >= DEEP_SELF_DECODE),
+                    default=None)
+    if last_sync is not None:
+        bad = _self_decode_run(last_sync, DEEP_SELF_DECODE, last_sync)
+        if bad:
+            return False, msgs + bad
     return True, msgs

@@ -79,12 +79,18 @@ def test_vbv_respects_level_limits():
 
 
 def test_gop_alignment():
-    g = compute_aligned_gop(30.0, False, 1080)
-    assert g == 60                       # 2.0 s at 30 fps
-    g = compute_aligned_gop(29.97, False, 1080)
+    # reference matrix (core/transcoder.py:339-342): SDR <4K -> 3.0 s,
+    # SDR >=4K -> 2.5 s; HDR 2.5 / 2.0 s.  Alignment ties (2.5 s at an
+    # integer fps) resolve to FEWER seconds per the reference's
+    # first-win candidate scan (core/transcoder.py:233-241).
+    g = compute_aligned_gop(30.0, False, 1080, 1920)
+    assert g == 90                       # 3.0 s at 30 fps
+    g = compute_aligned_gop(29.97, False, 1080, 1920)
     assert 2 <= g <= 240 and abs(g / 29.97 - round(g / 29.97)) < 0.02
-    assert compute_aligned_gop(30.0, False, 2160) == 90   # 3.0 s
-    assert compute_aligned_gop(120.0, False, 720) <= 240
+    assert compute_aligned_gop(30.0, False, 2160, 3840) == 60   # 2.5 s tie
+    assert compute_aligned_gop(30.0, True, 1080, 1920) == 60    # HDR 2.5 s
+    assert compute_aligned_gop(30.0, True, 2160, 3840) == 60    # HDR 2.0 s
+    assert compute_aligned_gop(120.0, False, 720, 1280) <= 240
 
 
 def test_hdr_detection_rules():

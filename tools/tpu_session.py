@@ -1,0 +1,122 @@
+"""One-attach TPU work session: verify + profile + bench in a single process.
+
+The axon tunnel on this machine tolerates exactly one client attach per
+~10-minute window (a killed or cleanly-exited client leaves the far side
+in cleanup; new attaches hang forever on a futex).  So every piece of TPU
+work this round runs in ONE process, phased:
+
+  python tools/tpu_session.py verify profile bench     # any subset, in order
+
+Phases:
+  verify  — CLI end-to-end on /tmp/vfix fixtures + libavcodec decode-back
+  profile — pipelined-loop stage timers (1080p, 16 frames)
+  bench   — canonical bench.py main() (prints the JSON line)
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "tests")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def phase_verify():
+    log("=== phase: verify ===")
+    from hevc_tpu.cli import main as cli_main
+    rc = cli_main(["-i", "/tmp/vfix", "-o", "/tmp/vout",
+                   "--preset", "medium"])
+    log("CLI rc:", rc)
+    from hevc_tpu.validate import avref
+    from pathlib import Path
+    for p in sorted(Path("/tmp/vout").glob("*.mp4")):
+        try:
+            dec = avref.decode_file(str(p))
+            log(f"{p.name}: decoded {len(dec)} frames {dec[0][0].shape}")
+        except Exception as e:
+            log(f"{p.name}: DECODE ERR {e}")
+    try:
+        log(Path("transcode_log.csv").read_text())
+    except Exception:
+        pass
+    return rc == 0
+
+
+def phase_profile():
+    log("=== phase: profile ===")
+    import numpy as np
+    from collections import deque
+    from generate_test_videos import synth_frame
+    from hevc_tpu.encoder.frame_jax import pick_tile_grid
+    from hevc_tpu.encoder.gop import GopEncoder, b_schedule, chunk_groups
+    from hevc_tpu.entropy.headers import StreamConfig
+    from hevc_tpu.utils.metrics import GLOBAL_TIMERS
+
+    W, H, F, QP = 1920, 1080, 16, 27
+    frames = [tuple(np.asarray(p, np.int32) for p in synth_frame(W, H, t))
+              for t in range(F)]
+    tc, tr = pick_tile_grid((H + 15) // 16, (W + 15) // 16)
+    cfg = StreamConfig(width=W, height=H, qp=QP, tile_cols=tc, tile_rows=tr,
+                       inter=True, bframes=True)
+    enc = GopEncoder(cfg)
+    sched = b_schedule(F, 30, True)
+    groups = chunk_groups(sched, True, 8)
+    t0 = time.time()
+    for grp in groups:
+        enc.encode_chunk_async([frames[e[0]] for e in grp],
+                               [e[1:] for e in grp], chunk=8).result()
+    log(f"compile+first: {time.time()-t0:.1f}s")
+
+    iters = 3
+    t0 = time.time()
+    n = 0
+    for it in range(iters):
+        enc.reset()
+        pending = deque()
+        for grp, fut in enc.encode_groups_pipelined(frames, groups, chunk=8):
+            pending.append(fut)
+            n += len(grp)
+            while len(pending) > 2:
+                tw = time.perf_counter()
+                pending.popleft().result()
+                GLOBAL_TIMERS.add("drain_wait", time.perf_counter() - tw)
+        while pending:
+            tw = time.perf_counter()
+            pending.popleft().result()
+            GLOBAL_TIMERS.add("drain_wait", time.perf_counter() - tw)
+    wall = time.time() - t0
+    log(f"pipelined: {wall/n*1000:.1f} ms/frame = {n/wall:.2f} fps")
+    log(json.dumps(GLOBAL_TIMERS.summary(), indent=1))
+    return True
+
+
+def phase_bench():
+    log("=== phase: bench ===")
+    import bench
+    bench.main()
+    return True
+
+
+def main():
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/.cache/jax_comp")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
+    t0 = time.time()
+    log("devices:", jax.devices(), f"({time.time()-t0:.1f}s)")
+    ok = True
+    for ph in (sys.argv[1:] or ["verify", "profile", "bench"]):
+        ok = globals()[f"phase_{ph}"]() and ok
+    log("session done, ok =", ok)
+
+
+if __name__ == "__main__":
+    main()
