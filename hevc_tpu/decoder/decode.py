@@ -136,18 +136,21 @@ class IntraDecoder:
                                   (self.W + self.ctb - 1) // self.ctb), bool)
         self.skip4 = np.zeros((self.H // 4, self.W // 4), np.int32)
         self.skip_map = np.zeros_like(self.part_map)
-        nh_ctu, nw_ctu = self.part_map.shape
-        self.inter_map = np.zeros((nh_ctu, nw_ctu), bool)
-        self.mv_map = np.zeros((nh_ctu, nw_ctu, 2), np.int32)
-        self.mv1_map = np.zeros((nh_ctu, nw_ctu, 2), np.int32)
-        self.pf_map = np.zeros((nh_ctu, nw_ctu, 2), np.int32)
-        self.cbf_map = np.zeros((nh_ctu, nw_ctu), bool)
+        # motion/cbf maps at 16-granularity (the deblock bS grid); CUs
+        # larger than 16 fan their record out over all covered cells
+        nh16 = (self.H + 15) // 16
+        nw16 = (self.W + 15) // 16
+        self.inter_map = np.zeros((nh16, nw16), bool)
+        self.mv_map = np.zeros((nh16, nw16, 2), np.int32)
+        self.mv1_map = np.zeros((nh16, nw16, 2), np.int32)
+        self.pf_map = np.zeros((nh16, nw16, 2), np.int32)
+        self.cbf_map = np.zeros((nh16, nw16), bool)
         self.p_slice = hdr.slice_type in (0, 1)
         self.b_slice = hdr.slice_type == 0
         self.ref = ref              # L0 reference picture (full, uncropped)
         self.ref1 = ref1            # L1 reference picture (B slices)
         self.pocs = pocs or (0, 0, None)   # (cur, poc_l0, poc_l1)
-        self.rec_map = [[None] * nw_ctu for _ in range(nh_ctu)]
+        self.rec_map = [[None] * nw16 for _ in range(nh16)]
         self.off = off              # this tile's (x, y) offset in the picture
         assert not self.p_slice or ref is not None, "P slice needs a ref pic"
         assert not self.b_slice or ref1 is not None, "B slice needs L1 ref"
@@ -235,8 +238,8 @@ class IntraDecoder:
                 self._inter_cu(x0, y0, size, merge=True, residual=False)
                 return
             if not syn.decode_pred_mode_is_intra():
-                assert log2size == self.sps.log2_ctb == 4, \
-                    "inter CUs only at CTU granularity (v2 profile)"
+                assert log2size in (4, 5), \
+                    "inter CUs only at 16/32 granularity"
                 assert syn.decode_part_mode_inter_is_2nx2n(), \
                     "inter partitions other than 2Nx2N unsupported"
                 if syn.decode_merge_flag():
@@ -295,15 +298,18 @@ class IntraDecoder:
         from hevc_tpu.ops import inter as M
         syn = self.syn
         bd = self.sps.bit_depth
-        cy, cx = y0 >> self.sps.log2_ctb, x0 >> self.sps.log2_ctb
+        cy, cx = y0 >> 4, x0 >> 4
+        ns = size >> 4                     # CU size in 16-cells (1 or 2)
         nh, nw = self.inter_map.shape
-        nbrs = M.neighbor_records(self.rec_map, cy, cx, nh, nw)
+        nbrs = M.neighbor_records_sized(self.rec_map, cy, cx, ns, nh, nw)
         cur_poc, poc0, poc1 = self.pocs
         if merge:
             rec_m = M.merge_cand0_b(nbrs, self.b_slice)
             rqt = 1 if residual else 0
         else:
-            direction = syn.decode_inter_pred_idc() if self.b_slice else 0
+            direction = syn.decode_inter_pred_idc(
+                self.sps.log2_ctb - (size.bit_length() - 1)) \
+                if self.b_slice else 0
             mv0 = mv1 = (0, 0)
             if direction in (0, 2):
                 mvd = syn.decode_mvd()
@@ -319,11 +325,13 @@ class IntraDecoder:
                      1 if direction in (1, 2) else 0, mv0, mv1)
             rqt = syn.decode_rqt_root_cbf()
         pf0, pf1, mv0, mv1 = rec_m
-        self.inter_map[cy, cx] = True
-        self.rec_map[cy][cx] = rec_m
-        self.mv_map[cy, cx] = mv0 if pf0 else mv1
-        self.pf_map[cy, cx] = (pf0, pf1)
-        self.mv1_map[cy, cx] = mv1
+        for qy in range(ns):
+            for qx in range(ns):
+                self.inter_map[cy + qy, cx + qx] = True
+                self.rec_map[cy + qy][cx + qx] = rec_m
+                self.mv_map[cy + qy, cx + qx] = mv0 if pf0 else mv1
+                self.pf_map[cy + qy, cx + qx] = (pf0, pf1)
+                self.mv1_map[cy + qy, cx + qx] = mv1
 
         # MC against the FULL reference picture(s) (tiles don't bound MC)
         ox, oy = self.off
@@ -347,18 +355,9 @@ class IntraDecoder:
             v = mc_i(self.ref if pf0 else self.ref1, mv0 if pf0 else mv1)
             py, pcb, pcr = (M.weight_uni(v[i], bd) for i in range(3))
 
-        cbf_y = cbf_cb = cbf_cr = 0
-        if rqt:
-            cbf_cb = syn.decode_cbf_chroma(0)
-            cbf_cr = syn.decode_cbf_chroma(0)
-            cbf_y = syn.decode_cbf_luma(0) if (cbf_cb or cbf_cr) else 1
-        self.cbf_map[cy, cx] = bool(cbf_y)
-
         bd = self.sps.bit_depth
-        for plane, pred, cbf, c_idx, qpv, (px, pyy, n) in (
-                (self.y, py, cbf_y, 0, self.qp, (x0, y0, size)),
-                (self.cb, pcb, cbf_cb, 1, self.qpc_cb, (xc, yc, cs)),
-                (self.cr, pcr, cbf_cr, 2, self.qpc_cr, (xc, yc, cs))):
+
+        def tu(plane, pred, cbf, c_idx, qpv, px, pyy, n):
             if cbf:
                 log2n = n.bit_length() - 1
                 lvl = syn.decode_residual(log2n, 0, c_idx)  # diagonal scan
@@ -368,6 +367,42 @@ class IntraDecoder:
             else:
                 rec = pred
             plane[pyy:pyy + n, px:px + n] = rec
+
+        if size > (1 << self.sps.log2_max_tb) and rqt:
+            # forced transform split (log2 CB > max TB, spec 7.3.8.8):
+            # parent chroma cbfs at depth 0, then four TU quadrants
+            pcbf_cb = syn.decode_cbf_chroma(0)
+            pcbf_cr = syn.decode_cbf_chroma(0)
+            half = size >> 1
+            for q in range(4):
+                dqx, dqy = (q & 1) * half, (q >> 1) * half
+                cbf_cb_q = syn.decode_cbf_chroma(1) if pcbf_cb else 0
+                cbf_cr_q = syn.decode_cbf_chroma(1) if pcbf_cr else 0
+                cbf_y_q = syn.decode_cbf_luma(1)
+                self.cbf_map[cy + (q >> 1), cx + (q & 1)] = bool(cbf_y_q)
+                hc = half >> 1
+                tu(self.y, py[dqy:dqy + half, dqx:dqx + half], cbf_y_q, 0,
+                   self.qp, x0 + dqx, y0 + dqy, half)
+                tu(self.cb, pcb[dqy // 2:dqy // 2 + hc,
+                                dqx // 2:dqx // 2 + hc], cbf_cb_q, 1,
+                   self.qpc_cb, xc + dqx // 2, yc + dqy // 2, hc)
+                tu(self.cr, pcr[dqy // 2:dqy // 2 + hc,
+                                dqx // 2:dqx // 2 + hc], cbf_cr_q, 2,
+                   self.qpc_cr, xc + dqx // 2, yc + dqy // 2, hc)
+            return
+
+        cbf_y = cbf_cb = cbf_cr = 0
+        if rqt:
+            cbf_cb = syn.decode_cbf_chroma(0)
+            cbf_cr = syn.decode_cbf_chroma(0)
+            cbf_y = syn.decode_cbf_luma(0) if (cbf_cb or cbf_cr) else 1
+        for qy in range(ns):
+            for qx in range(ns):
+                self.cbf_map[cy + qy, cx + qx] = bool(cbf_y)
+
+        tu(self.y, py, cbf_y, 0, self.qp, x0, y0, size)
+        tu(self.cb, pcb, cbf_cb, 1, self.qpc_cb, xc, yc, cs)
+        tu(self.cr, pcr, cbf_cr, 2, self.qpc_cr, xc, yc, cs)
 
     def _decode_chroma_mode(self, luma_mode: int) -> int:
         syn = self.syn

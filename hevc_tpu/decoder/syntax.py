@@ -93,9 +93,11 @@ class SliceSyntaxDecoder:
     def decode_mvp_flag(self) -> int:
         return self.cabac.decode_bin(T.CTX_OFF["mvp_flag"])
 
-    def decode_inter_pred_idc(self) -> int:
-        """0 = PRED_L0, 1 = PRED_L1, 2 = PRED_BI (2Nx2N at depth 0)."""
-        if self.cabac.decode_bin(T.CTX_OFF["inter_pred_idc"] + 0):
+    def decode_inter_pred_idc(self, depth: int = 0) -> int:
+        """0 = PRED_L0, 1 = PRED_L1, 2 = PRED_BI for a 2Nx2N PU.
+
+        First bin ctx = the CU's quadtree depth (spec Table 9-41)."""
+        if self.cabac.decode_bin(T.CTX_OFF["inter_pred_idc"] + depth):
             return 2
         return self.cabac.decode_bin(T.CTX_OFF["inter_pred_idc"] + 4)
 

@@ -747,6 +747,7 @@ class GopEncoder:
 
         lbr, l16r, s16r = lam3(qp)
         prev_in, cur_in = self._ref_blocks
+        _t_g = time.perf_counter()
         heads_r, coefs_r, pad_stack, carry = _gop_chunk_jit(
             staged[0], staged[1], staged[2],
             jnp.asarray(kinds), jnp.asarray(active), prev_in, cur_in,
@@ -756,6 +757,8 @@ class GopEncoder:
             tnh, tnw, tr, tc, cfg.bit_depth,
             self.enable_nxn, self.nxn_p, cfg.deblock, self.subpel)
         self._ref_blocks = carry
+        GLOBAL_TIMERS.add("disp_gop_call", time.perf_counter() - _t_g)
+        _t_b = time.perf_counter()
 
         if nbee:
             # b's L1 = nearest preceding ref in decode order; L0 = the ref
@@ -787,6 +790,7 @@ class GopEncoder:
             coefs = jnp.concatenate([coefs_r, coefs_b])
         else:
             heads, coefs = heads_r, coefs_r
+        GLOBAL_TIMERS.add("disp_b_call", time.perf_counter() - _t_b)
         nrows = KR + (KB if nbee else 0)
         from hevc_tpu.encoder.pack import (FramePackSpec, coef_stream_jit,
                                            split_coef_bitmap)

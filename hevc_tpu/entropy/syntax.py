@@ -124,11 +124,12 @@ class SliceSyntaxEncoder:
     def encode_mvp_flag(self, idx: int) -> None:
         self.cabac.encode_bin(T.CTX_OFF["mvp_flag"], idx)
 
-    def encode_inter_pred_idc(self, direction: int) -> None:
-        """inter_pred_idc for a 2Nx2N PU at depth 0 (9.3.3.8):
-        direction 0 = PRED_L0, 1 = PRED_L1, 2 = PRED_BI."""
+    def encode_inter_pred_idc(self, direction: int, depth: int = 0) -> None:
+        """inter_pred_idc for a 2Nx2N PU (9.3.3.8): direction 0 = PRED_L0,
+        1 = PRED_L1, 2 = PRED_BI.  First bin ctx = CU quadtree depth
+        (spec Table 9-41)."""
         c = self.cabac
-        c.encode_bin(T.CTX_OFF["inter_pred_idc"] + 0, 1 if direction == 2
+        c.encode_bin(T.CTX_OFF["inter_pred_idc"] + depth, 1 if direction == 2
                      else 0)
         if direction != 2:
             c.encode_bin(T.CTX_OFF["inter_pred_idc"] + 4, direction)

@@ -202,23 +202,38 @@ def amvp_list(inter_map, mv_map, cy: int, cx: int, nh: int, nw: int):
 def neighbor_records(rec_map, cy, cx, nh, nw):
     """{'a1','b1','b0','b2'}: motion record of each spatial neighbor or None.
 
-    rec_map[cy][cx] = motion record or None (intra / outside).
+    rec_map[cy][cx] = motion record or None (intra / outside / not yet
+    decoded — rec_map fills in decode order, so z-scan availability is
+    implicit).
     """
-    def at(dy, dx):
-        ny, nx = cy + dy, cx + dx
+    return neighbor_records_sized(rec_map, cy, cx, 1, nh, nw)
+
+
+def neighbor_records_sized(rec_map, cy, cx, ns, nh, nw):
+    """Spatial neighbor records for a CU spanning ns x ns 16-cells at
+    top-left cell (cy, cx) — spec 8.5.3.2.3 positions: A1/A0 at/below the
+    bottom of the left edge, B1/B0 at/right of the top edge, B2 the corner.
+
+    A0 (below-left) is decodable inside a 32 CTB's z-order (a top-right
+    quadrant's left CTB is fully coded); rec_map fills in decode order so
+    not-yet-coded cells are None, which IS the z-scan availability rule.
+    """
+    def at(ny, nx):
         if 0 <= ny < nh and 0 <= nx < nw:
             return rec_map[ny][nx]
         return None
-    return {"a1": at(0, -1), "b1": at(-1, 0), "b0": at(-1, 1),
-            "b2": at(-1, -1)}
+    return {"a1": at(cy + ns - 1, cx - 1), "a0": at(cy + ns, cx - 1),
+            "b1": at(cy - 1, cx + ns - 1),
+            "b0": at(cy - 1, cx + ns), "b2": at(cy - 1, cx - 1)}
 
 
 def merge_cand0_b(nbrs, b_slice: bool):
     """First merge candidate: full motion of the first available spatial
-    neighbor (A1, B1, B0, B2 order; A0 undecoded); else the zero candidate
-    (bi in B slices, L0-uni in P)."""
-    for key in ("a1", "b1", "b0", "b2"):
-        n = nbrs[key]
+    neighbor (spec order A1, B1, B0, A0, B2 — pruning never removes the
+    first available); else the zero candidate (bi in B slices, L0-uni in
+    P)."""
+    for key in ("a1", "b1", "b0", "a0", "b2"):
+        n = nbrs.get(key)
         if n is not None:
             return n
     return (1, 1, (0, 0), (0, 0)) if b_slice else (1, 0, (0, 0), (0, 0))
@@ -263,11 +278,18 @@ def amvp_list_b(nbrs, lx: int, cur_poc: int, poc_l: tuple):
             return tuple(mv)
         return (scale_mv(int(mv[0]), tb, td), scale_mv(int(mv[1]), tb, td))
 
-    a1 = nbrs["a1"]
-    is_scaled = a1 is not None          # A1 coded inter (A0 never available)
-    cand_a = unscaled(a1)
+    a_nbrs = [nbrs.get("a0"), nbrs["a1"]]   # spec scans A0 first
+    is_scaled = any(n is not None for n in a_nbrs)
+    cand_a = None
+    for n in a_nbrs:
+        cand_a = unscaled(n)
+        if cand_a is not None:
+            break
     if cand_a is None and is_scaled:
-        cand_a = scaled(a1)
+        for n in a_nbrs:
+            cand_a = scaled(n)
+            if cand_a is not None:
+                break
     cand_b = None
     for key in ("b0", "b1", "b2"):
         cand_b = unscaled(nbrs[key])

@@ -36,6 +36,64 @@ def synth_frame(w: int, h: int, t: int, seed: int = 0):
     return y, cb, cr
 
 
+def _texture(w: int, h: int, seed: int, detail: float = 1.0) -> np.ndarray:
+    """Band-limited procedural texture in [16, 235] (float32)."""
+    rng = np.random.default_rng(seed)
+    acc = np.zeros((h, w), np.float32)
+    for scale, amp in ((8, 60), (16, 45), (32, 35), (64, 25)):
+        g = rng.standard_normal((h // scale + 2, w // scale + 2)).astype(
+            np.float32) * amp * (detail if scale <= 16 else 1.0)
+        gy = np.repeat(np.repeat(g, scale, 0), scale, 1)[:h, :w]
+        acc += gy
+    acc += rng.standard_normal((h, w)).astype(np.float32) * 2.5 * detail
+    lo, hi = acc.min(), acc.max()
+    return 16 + (acc - lo) * (219.0 / max(hi - lo, 1e-6))
+
+
+def synth_frame_kind(w: int, h: int, t: int, kind: str = "mixed",
+                     seed: int = 0):
+    """Content classes for the quality harness (SURVEY §6 measurement duty):
+
+    mixed  — the default testsrc-like scene (gradients + movers + noise)
+    pan    — textured scene under a 9 px/frame global pan (motion search)
+    detail — static high-frequency texture (intra/RD efficiency)
+    noise  — fresh per-frame noise on flat background (worst-case rate)
+    """
+    if kind == "mixed":
+        return synth_frame(w, h, t, seed)
+    if kind == "pan":
+        key = ("pan", w, h, seed)
+        tex = _PAN_CACHE.get(key)
+        if tex is None:
+            tex = _texture(w + 640, h + 160, seed + 7)
+            _PAN_CACHE[key] = tex
+        ox, oy = 16 + 9 * t, 8 + 2 * t
+        y = tex[oy:oy + h, ox:ox + w]
+        cb = 118 + y[::2, ::2] / 16.0
+        cr = 138 - y[1::2, ::2] / 16.0
+    elif kind == "detail":
+        key = ("detail", w, h, seed)
+        tex = _PAN_CACHE.get(key)
+        if tex is None:
+            tex = _texture(w, h, seed + 13, detail=2.5)
+            _PAN_CACHE[key] = tex
+        y = tex
+        cb = np.full((h // 2, w // 2), 120.0)
+        cr = np.full((h // 2, w // 2), 132.0)
+    elif kind == "noise":
+        rng = np.random.default_rng(seed * 4099 + t)
+        y = 128 + rng.standard_normal((h, w)) * 28.0
+        cb = 128 + rng.standard_normal((h // 2, w // 2)) * 8.0
+        cr = 128 + rng.standard_normal((h // 2, w // 2)) * 8.0
+    else:
+        raise ValueError(kind)
+    to8 = lambda a: np.clip(np.round(a), 16, 235).astype(np.uint8)  # noqa: E731
+    return to8(y), to8(cb), to8(cr)
+
+
+_PAN_CACHE: dict = {}
+
+
 def generate_clip(path: Path, w: int, h: int, frames: int,
                   fps=Fraction(30, 1), seed: int = 0) -> Path:
     if path.exists():

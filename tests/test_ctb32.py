@@ -1,0 +1,102 @@
+"""CTB-32 two-level-quadtree profile: conformance + rate sanity.
+
+The ctb32 numpy encoder (encoder/ctb32_ref.py) is the behavioral spec for
+the device kernel; these tests pin its streams to both decoders.
+"""
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+from generate_test_videos import synth_frame_kind  # noqa: E402
+from hevc_tpu.encoder.ctb32_ref import Ctb32RefEncoder, \
+    make_ctb32_config  # noqa: E402
+from hevc_tpu.decoder.decode import decode_annexb  # noqa: E402
+from hevc_tpu.validate import avref  # noqa: E402
+
+
+def _roundtrip(kind, bframes, W=96, H=64, QP=27, F=5):
+    frames = [tuple(np.asarray(p, np.int32)
+                    for p in synth_frame_kind(W, H, t, kind))
+              for t in range(F)]
+    cfg = make_ctb32_config(width=W, height=H, qp=QP, inter=True,
+                            bframes=bframes)
+    enc = Ctb32RefEncoder(cfg)
+    stream, recons = enc.encode_video(frames, gop=0)
+    dec = decode_annexb(stream)
+    assert len(dec) == F
+    for d, r in zip(dec, recons):
+        for k in ("y", "cb", "cr"):
+            assert np.array_equal(d[k], r[k]), k
+    if avref.available():
+        ref = avref.decode_hevc(stream)
+        assert len(ref) == F
+        for a, r in zip(ref, recons):
+            assert np.array_equal(a[0].astype(np.int32), r["y"][:H, :W])
+            assert np.array_equal(a[1].astype(np.int32),
+                                  r["cb"][:H // 2, :W // 2])
+            assert np.array_equal(a[2].astype(np.int32),
+                                  r["cr"][:H // 2, :W // 2])
+    return stream, recons
+
+
+def test_ctb32_ippp_mixed():
+    _roundtrip("mixed", bframes=False)
+
+
+def test_ctb32_ibpbp_mixed():
+    _roundtrip("mixed", bframes=True)
+
+
+def test_ctb32_ibpbp_pan():
+    _roundtrip("pan", bframes=True)
+
+
+@pytest.mark.slow
+def test_ctb32_detail_noise():
+    _roundtrip("detail", bframes=True)
+    _roundtrip("noise", bframes=False)
+
+
+def test_ctb32_uses_both_levels():
+    """The encoder must actually exercise split and unsplit CTBs."""
+    frames = [tuple(np.asarray(p, np.int32)
+                    for p in synth_frame_kind(128, 96, t, "mixed"))
+              for t in range(3)]
+    cfg = make_ctb32_config(width=128, height=96, qp=27, inter=True)
+    enc = Ctb32RefEncoder(cfg)
+    dec_i, _ = enc.encode_frame_i(*frames[0])
+    s = dec_i["split32"]
+    assert s.any() and not s.all(), "expected a mix of 32 and 16 CUs"
+
+
+@pytest.mark.slow
+def test_ctb32_saves_bits_vs_ctb16():
+    """Where CU-header signaling dominates (smooth content, higher QP),
+    the 32-level toolset must clearly beat CTB-16 at equal QP (VERDICT
+    r2: flat regions pay ~16x CTU-header cost at CTB16; measured -39%
+    at QP42 on smooth pan, -5% at QP37, ~par at QP32 on this tiny clip
+    where residual bits dominate)."""
+    from generate_test_videos import _texture
+    from hevc_tpu.encoder.reference_encoder_v1 import RefIntraEncoderV1
+    from hevc_tpu.entropy.headers import StreamConfig
+    W, H, QP, F = 192, 128, 40, 5
+    tex = _texture(W + 200, H + 40, 3, detail=0.2)
+
+    def fr(t):
+        yv = tex[8 + 2 * t:8 + 2 * t + H, 16 + 9 * t:16 + 9 * t + W]
+        to8 = lambda a: np.clip(np.round(a), 16, 235).astype(np.int32)  # noqa: E731
+        return to8(yv), to8(118 + yv[::2, ::2] / 16), \
+            to8(138 - yv[1::2, ::2] / 16)
+
+    frames = [fr(t) for t in range(F)]
+    cfg32 = make_ctb32_config(width=W, height=H, qp=QP, inter=True,
+                              bframes=True)
+    s32, _ = Ctb32RefEncoder(cfg32).encode_video(frames, gop=0)
+    cfg16 = StreamConfig(width=W, height=H, qp=QP, inter=True, bframes=True)
+    s16, _ = RefIntraEncoderV1(cfg16, enable_nxn=False).encode_video(
+        frames, gop=0)
+    assert len(s32) < 0.9 * len(s16), (len(s32), len(s16))

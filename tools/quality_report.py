@@ -172,13 +172,92 @@ def run(width, height, n_frames, qps, crfs):
     return rows
 
 
+def bd_rate(rate1, psnr1, rate2, psnr2) -> float:
+    """Bjontegaard delta-rate (%) of curve 2 vs curve 1 (negative = curve 2
+    needs fewer bits at equal quality).  Cubic fit of log-rate over PSNR,
+    integrated over the overlapping quality interval."""
+    lr1, lr2 = np.log(np.asarray(rate1, float)), np.log(np.asarray(rate2,
+                                                                   float))
+    p1 = np.polyfit(psnr1, lr1, 3)
+    p2 = np.polyfit(psnr2, lr2, 3)
+    lo = max(min(psnr1), min(psnr2))
+    hi = min(max(psnr1), max(psnr2))
+    if hi <= lo:
+        return float("nan")
+    i1 = np.polyint(p1)
+    i2 = np.polyint(p2)
+    avg1 = (np.polyval(i1, hi) - np.polyval(i1, lo)) / (hi - lo)
+    avg2 = (np.polyval(i2, hi) - np.polyval(i2, lo)) / (hi - lo)
+    return float((np.exp(avg2 - avg1) - 1) * 100)
+
+
+def run_bd(width, height, n_frames, qps, crfs, kinds, gop=30):
+    """Production-path (GopEncoder chunked IbPbP) vs libx265-medium across
+    content classes; prints per-point rows + one BD-rate summary per class
+    (VERDICT r2 item 9: multi-content, multi-QP, BD-rate)."""
+    from generate_test_videos import synth_frame_kind
+    from hevc_tpu.validate import avref
+    from hevc_tpu.encoder.frame_jax import pick_tile_grid
+    from hevc_tpu.encoder.gop import GopEncoder
+    from hevc_tpu.entropy.headers import StreamConfig
+
+    tc, tr = pick_tile_grid((height + 15) // 16, (width + 15) // 16)
+    summary = []
+    for kind in kinds:
+        frames = [tuple(np.asarray(p, np.int32)
+                        for p in synth_frame_kind(width, height, t, kind))
+                  for t in range(n_frames)]
+        u8 = [tuple(np.asarray(p, np.uint8) for p in f) for f in frames]
+        xr, xd = [], []
+        for crf in crfs:
+            bs = avref.encode(u8, "libx265", crf=crf, preset="medium",
+                              opts=f"x265-params=keyint={gop}:no-scenecut=1")
+            dec = avref.decode_hevc(bs)
+            p = float(np.mean([psnr(d[0], f[0])
+                               for d, f in zip(dec, frames)]))
+            xr.append(len(bs) * 8.0)
+            xd.append(p)
+            print(json.dumps(dict(kind=kind, codec="libx265-medium",
+                                  q=f"crf{crf}", bytes=len(bs),
+                                  psnr_y=round(p, 2))))
+        orate, od = [], []
+        for qp in qps:
+            cfg = StreamConfig(width=width, height=height, qp=qp,
+                               tile_cols=tc, tile_rows=tr, deblock=True,
+                               inter=True, bframes=True)
+            t0 = time.time()
+            stream = GopEncoder(cfg).encode_video_chunked(frames, gop=gop)
+            enc_t = time.time() - t0
+            dec = avref.decode_hevc(stream)
+            p = float(np.mean([psnr(d[0], f[0])
+                               for d, f in zip(dec, frames)]))
+            orate.append(len(stream) * 8.0)
+            od.append(p)
+            print(json.dumps(dict(kind=kind, codec="ours-B", q=f"qp{qp}",
+                                  bytes=len(stream), psnr_y=round(p, 2),
+                                  fps=round(n_frames / enc_t, 2))))
+        bd = bd_rate(xr, xd, orate, od)
+        row = dict(kind=kind, bd_rate_vs_x265_medium_pct=round(bd, 1))
+        summary.append(row)
+        print(json.dumps(row))
+    return summary
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--height", type=int, default=384)
     ap.add_argument("--frames", type=int, default=4)
+    ap.add_argument("--bd", action="store_true",
+                    help="BD-rate harness on the production path")
+    ap.add_argument("--kinds", default="mixed,pan,detail")
     args = ap.parse_args()
-    rows = run(args.width, args.height, args.frames,
-               qps=(22, 27, 32, 37), crfs=(18, 23, 28, 33))
-    for r in rows:
-        print(json.dumps(r))
+    if args.bd:
+        run_bd(args.width, args.height, max(args.frames, 8),
+               qps=(22, 27, 32, 37), crfs=(18, 23, 28, 33),
+               kinds=args.kinds.split(","))
+    else:
+        rows = run(args.width, args.height, args.frames,
+                   qps=(22, 27, 32, 37), crfs=(18, 23, 28, 33))
+        for r in rows:
+            print(json.dumps(r))
