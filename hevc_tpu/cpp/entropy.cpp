@@ -767,3 +767,229 @@ extern "C" long hevc_entropy_encode_tile_v1(
   if (!last_tile) c.terminate(1);
   return c.flush_to(out, cap);
 }
+
+// ---- ctb32 profile: two-level coding quadtree (32 -> 4x16) ----------------
+//
+// Mirrors hevc_tpu/entropy/ctb32.py exactly (the Python module is the
+// behavioral spec; tests assert byte-identical output).  CTB 32 / min CB
+// 16 / max TB 16: split CTBs use the CU16 toolset (2Nx2N intra + inter
+// skip/merge/explicit, no PART_NxN) in z-order; unsplit CTBs carry one
+// 32x32 CU whose transform tree is forced to four TU16 quadrants.
+
+extern "C" long hevc_entropy_encode_tile_ctb32(
+    int qp, int th32, int tw32, int last_tile, int p_slice, int b_slice,
+    int bit_depth,
+    const uint8_t *skip, const uint8_t *inter, const uint8_t *merge,
+    const int16_t *mvd, const uint8_t *mvp, const uint8_t *rqt,
+    const uint8_t *cbf_yi, const uint8_t *cbf_cbi, const uint8_t *cbf_cri,
+    const uint8_t *dir, const int16_t *mvd1, const uint8_t *mvp1,
+    const int32_t *modes4, const uint8_t *cbf_y4,
+    const uint8_t *cbf_cb, const uint8_t *cbf_cr,
+    const int16_t *lvl_y, const int16_t *lvl_cb, const int16_t *lvl_cr,
+    const uint8_t *split32, const uint8_t *skip32, const uint8_t *inter32,
+    const uint8_t *merge32, const int32_t *dir32,
+    const int16_t *mvd32, const uint8_t *mvp32,
+    const int16_t *mvd32_1, const uint8_t *mvp32_1, const uint8_t *rqt32,
+    const int32_t *mode32, const uint8_t *cbf32_cb, const uint8_t *cbf32_cr,
+    uint8_t *out, long cap) {
+  (void)bit_depth;
+  Cabac c(qp, p_slice ? (b_slice ? 2 : 1) : 0);
+  int nh = 2 * th32, nw = 2 * tw32;
+  std::vector<int> modes16((size_t)nh * nw, -1);
+  std::vector<uint8_t> skip16((size_t)nh * nw, 0);
+  std::vector<uint8_t> depth16((size_t)nh * nw, 0);
+  std::vector<uint16_t> scan16[3], scan8[3];
+  std::vector<uint16_t> sb16[3], sb8[3];
+  for (int s = 0; s < 3; s++) {
+    scan16[s] = Scans::hier(s, 16);
+    scan8[s] = Scans::hier(s, 8);
+    Scans::flat_scan(s, 4, sb16[s]);
+    Scans::flat_scan(s, 2, sb8[s]);
+  }
+
+  auto code_mvd = [&](int mx, int my) {
+    int ax = mx < 0 ? -mx : mx, ay = my < 0 ? -my : my;
+    c.bin(CTX_MVD, ax ? 1 : 0);
+    c.bin(CTX_MVD, ay ? 1 : 0);
+    if (ax) c.bin(CTX_MVD + 1, ax > 1 ? 1 : 0);
+    if (ay) c.bin(CTX_MVD + 1, ay > 1 ? 1 : 0);
+    if (ax > 1) encode_eg1(c, (uint32_t)(ax - 2));
+    if (ax) c.bypass(mx < 0 ? 1 : 0);
+    if (ay > 1) encode_eg1(c, (uint32_t)(ay - 2));
+    if (ay) c.bypass(my < 0 ? 1 : 0);
+  };
+
+  // returns rqt flag
+  auto inter_pu = [&](int mrg, int dr, int mx0, int my0, int mp0,
+                      int mx1, int my1, int mp1, int rq, int depth) -> int {
+    if (mrg) { c.bin(CTX_MERGE_FLAG, 1); return 1; }
+    c.bin(CTX_MERGE_FLAG, 0);
+    if (b_slice) {
+      c.bin(CTX_INTER_PRED + depth, dr == 2 ? 1 : 0);
+      if (dr != 2) c.bin(CTX_INTER_PRED + 4, dr);
+    }
+    if (dr == 0 || dr == 2) { code_mvd(mx0, my0); c.bin(CTX_MVP, mp0); }
+    if (dr == 1 || dr == 2) { code_mvd(mx1, my1); c.bin(CTX_MVP, mp1); }
+    c.bin(CTX_RQT_ROOT, rq);
+    return rq;
+  };
+
+  int16_t tmp8[64];
+  // TU16 luma + TU8 chroma residual block of one 16-cell
+  auto tu16_cell = [&](long idx, int mode, int pcb, int pcr, int depth) {
+    int fy = cbf_y4[idx * 4];
+    int fcb = cbf_cb[idx], fcr = cbf_cr[idx];
+    if (depth == 0) {
+      c.bin(CTX_CBF_CHROMA + 0, fcb);
+      c.bin(CTX_CBF_CHROMA + 0, fcr);
+      c.bin(CTX_CBF_LUMA + 1, fy);
+    } else {
+      if (pcb) c.bin(CTX_CBF_CHROMA + 1, fcb);
+      if (pcr) c.bin(CTX_CBF_CHROMA + 1, fcr);
+      c.bin(CTX_CBF_LUMA + 0, fy);
+    }
+    if (fy) {
+      int s = mode < 0 ? 0 : intra_scan_idx(4, mode, 0);
+      encode_residual(c, lvl_y + idx * 256, 4, s, 0, scan16[s], sb16[s]);
+    }
+    if (fcb && (depth == 0 || pcb)) {
+      int s = mode < 0 ? 0 : intra_scan_idx(3, mode, 1);
+      encode_residual(c, lvl_cb + idx * 64, 3, s, 1, scan8[s], sb8[s]);
+    }
+    if (fcr && (depth == 0 || pcr)) {
+      int s = mode < 0 ? 0 : intra_scan_idx(3, mode, 1);
+      encode_residual(c, lvl_cr + idx * 64, 3, s, 2, scan8[s], sb8[s]);
+    }
+  };
+  (void)tmp8;
+
+  for (int cy32 = 0; cy32 < th32; cy32++) {
+    for (int cx32 = 0; cx32 < tw32; cx32++) {
+      long i32 = (long)cy32 * tw32 + cx32;
+      int cy = 2 * cy32, cx = 2 * cx32;
+      int ctx = 0;
+      if (cx > 0 && depth16[(size_t)cy * nw + cx - 1] > 0) ctx++;
+      if (cy > 0 && depth16[(size_t)(cy - 1) * nw + cx] > 0) ctx++;
+      int sp = split32[i32];
+      c.bin(CTX_SPLIT_CU + ctx, sp);
+      if (sp) {
+        for (int q = 0; q < 4; q++) {
+          int qy = q >> 1, qx = q & 1;
+          int ry = cy + qy, rx = cx + qx;
+          long idx = (long)ry * nw + rx;
+          depth16[idx] = 1;
+          if (p_slice) {
+            int sk = skip[idx];
+            int l = rx > 0 ? skip16[(size_t)ry * nw + rx - 1] : 0;
+            int a = ry > 0 ? skip16[(size_t)(ry - 1) * nw + rx] : 0;
+            c.bin(CTX_CU_SKIP + l + a, sk);
+            skip16[idx] = (uint8_t)sk;
+            if (sk) continue;
+            if (inter[idx]) {
+              c.bin(CTX_PRED_MODE, 0);
+              c.bin(CTX_PART_MODE, 1);
+              int rq = inter_pu(merge[idx],
+                                b_slice ? dir[idx] : 0,
+                                mvd[idx * 2], mvd[idx * 2 + 1], mvp[idx],
+                                b_slice ? mvd1[idx * 2] : 0,
+                                b_slice ? mvd1[idx * 2 + 1] : 0,
+                                b_slice ? mvp1[idx] : 0,
+                                rqt[idx], 1);
+              if (rq) {
+                int fy = cbf_yi[idx], fcb = cbf_cbi[idx], fcr = cbf_cri[idx];
+                c.bin(CTX_CBF_CHROMA + 0, fcb);
+                c.bin(CTX_CBF_CHROMA + 0, fcr);
+                if (fcb || fcr) c.bin(CTX_CBF_LUMA + 1, fy);
+                if (fy)
+                  encode_residual(c, lvl_y + idx * 256, 4, 0, 0, scan16[0],
+                                  sb16[0]);
+                if (fcb)
+                  encode_residual(c, lvl_cb + idx * 64, 3, 0, 1, scan8[0],
+                                  sb8[0]);
+                if (fcr)
+                  encode_residual(c, lvl_cr + idx * 64, 3, 0, 2, scan8[0],
+                                  sb8[0]);
+              }
+              continue;
+            }
+            c.bin(CTX_PRED_MODE, 1);
+          }
+          int mode = modes4[idx * 4];
+          c.bin(CTX_PART_MODE, 1);           // 2Nx2N (16 == min CB)
+          int a = 1, b = 1;
+          if (rx > 0 && modes16[(size_t)ry * nw + rx - 1] >= 0)
+            a = modes16[(size_t)ry * nw + rx - 1];
+          if ((ry & 1) && modes16[(size_t)(ry - 1) * nw + rx] >= 0)
+            b = modes16[(size_t)(ry - 1) * nw + rx];
+          int cands[3];
+          mpm_list(a, b, cands);
+          encode_luma_mode(c, mode, cands);
+          c.bin(CTX_CHROMA_MODE, 0);
+          modes16[idx] = mode;
+          tu16_cell(idx, mode, 0, 0, 0);
+        }
+      } else {
+        long idx0 = (long)cy * nw + cx;
+        depth16[idx0] = 0;
+        depth16[idx0 + 1] = 0;
+        depth16[idx0 + nw] = 0;
+        depth16[idx0 + nw + 1] = 0;
+        int is_intra32 = 1;
+        if (p_slice) {
+          int sk = skip32[i32];
+          int l = cx > 0 ? skip16[(size_t)cy * nw + cx - 1] : 0;
+          int a = cy > 0 ? skip16[(size_t)(cy - 1) * nw + cx] : 0;
+          c.bin(CTX_CU_SKIP + l + a, sk);
+          skip16[idx0] = skip16[idx0 + 1] = skip16[idx0 + nw] =
+              skip16[idx0 + nw + 1] = (uint8_t)sk;
+          if (sk) goto ctb_done;
+          if (inter32[i32]) {
+            is_intra32 = 0;
+            c.bin(CTX_PRED_MODE, 0);
+            c.bin(CTX_PART_MODE, 1);
+            int rq = inter_pu(merge32[i32],
+                              b_slice ? dir32[i32] : 0,
+                              mvd32[i32 * 2], mvd32[i32 * 2 + 1],
+                              mvp32[i32],
+                              b_slice ? mvd32_1[i32 * 2] : 0,
+                              b_slice ? mvd32_1[i32 * 2 + 1] : 0,
+                              b_slice ? mvp32_1[i32] : 0,
+                              rqt32[i32], 0);
+            if (!rq) goto ctb_done;
+          } else {
+            c.bin(CTX_PRED_MODE, 1);
+          }
+        }
+        {
+          int m32 = -1;
+          if (is_intra32) {
+            m32 = mode32[i32];
+            // 32 > min CB: part_mode absent (inferred 2Nx2N)
+            int a = 1;
+            if (cx > 0 && modes16[(size_t)cy * nw + cx - 1] >= 0)
+              a = modes16[(size_t)cy * nw + cx - 1];
+            int cands[3];
+            mpm_list(a, 1, cands);
+            encode_luma_mode(c, m32, cands);
+            c.bin(CTX_CHROMA_MODE, 0);
+            modes16[idx0] = modes16[idx0 + 1] = modes16[idx0 + nw] =
+                modes16[idx0 + nw + 1] = m32;
+          }
+          // forced-split transform tree: parent chroma cbfs at depth 0
+          int pcb = cbf32_cb[i32], pcr = cbf32_cr[i32];
+          c.bin(CTX_CBF_CHROMA + 0, pcb);
+          c.bin(CTX_CBF_CHROMA + 0, pcr);
+          for (int q = 0; q < 4; q++) {
+            long idx = (long)(cy + (q >> 1)) * nw + cx + (q & 1);
+            tu16_cell(idx, m32, pcb, pcr, 1);
+          }
+        }
+      ctb_done:;
+      }
+      bool last_ctu = (cy32 == th32 - 1 && cx32 == tw32 - 1);
+      c.terminate((last_ctu && last_tile) ? 1 : 0);
+    }
+  }
+  if (!last_tile) c.terminate(1);
+  return c.flush_to(out, cap);
+}

@@ -208,6 +208,23 @@ def _gop_chunk_jit(yp, cbp, crp, kinds, active, prev_pads, cur_pads,
     return heads.reshape(-1), coefs, (pads_y, pads_cb, pads_cr), carry
 
 
+@partial(jax.jit, static_argnames=("cap",))
+def _finalize_chunk_jit(heads_r, coefs_r, heads_b, coefs_b, cap):
+    """Single post-encode dispatch: concat heads/coefs (ref + B), build
+    the bitpacked significance map + compacted value stream, and emit the
+    one flat fetch buffer.  Folding these into one jit saves 4 separate
+    device round trips per group — each dispatch on the tunnel is a
+    blocking RPC (see encode_groups_pipelined)."""
+    from hevc_tpu.encoder.pack import coef_stream
+    if heads_b is not None:
+        heads = jnp.concatenate([heads_r, heads_b])
+        coefs = jnp.concatenate([coefs_r, coefs_b])
+    else:
+        heads, coefs = heads_r, coefs_r
+    bits, vbuf, _ = coef_stream(coefs)
+    return jnp.concatenate([heads, bits, vbuf[:cap * 2]]), vbuf
+
+
 @partial(jax.jit, static_argnames=("tnh", "tnw", "tr", "tc_", "bit_depth",
                                    "nxn_p", "subpel"))
 def _b_batch_jit(yp, cbp, crp, stack_y, stack_cb, stack_cr,
@@ -303,15 +320,16 @@ def b_schedule(n: int, gop: int = 0, bframes: bool = True):
 def chunk_groups(sched, bframes: bool, chunk: int = 8):
     """Split a decode-order schedule into encode groups.
 
-    With bframes: up to 4 reference slots plus their trailing B pictures
-    (matching encode_chunk_async's fixed KR=4/KB=4 graph shapes); B
-    pictures always land in the same group as their L1 reference.
+    With bframes: up to `chunk` reference slots plus their trailing B
+    pictures (matching encode_chunk_async's fixed KR=KB=chunk graph
+    shapes — bigger groups amortize the per-dispatch tunnel round trip);
+    B pictures always land in the same group as their L1 reference.
     Without: plain fixed-size chunks."""
     if not bframes:
         return [sched[i:i + chunk] for i in range(0, len(sched), chunk)]
     groups, cur, nref = [], [], 0
     for e in sched:
-        if e[1] != 2 and nref == 4:
+        if e[1] != 2 and nref == chunk:
             groups.append(cur)
             cur, nref = [], 0
         cur.append(e)
@@ -625,8 +643,8 @@ class GopEncoder:
         encode_chunk_async(staged=...).
         """
         cfg = self.cfg
-        KR = 4 if cfg.bframes else chunk
-        KB = 4 if cfg.bframes else 0
+        KR = chunk
+        KB = chunk if cfg.bframes else 0
         refs_pos = [j for j, m in enumerate(metas) if m[0] != 2]
         bees_pos = [j for j, m in enumerate(metas) if m[0] == 2]
         assert 0 < len(refs_pos) <= KR and len(bees_pos) <= max(KB, 0), \
@@ -786,25 +804,22 @@ class GopEncoder:
                 jnp.asarray(l16b, jnp.int32), jnp.asarray(s16b, jnp.int32),
                 jnp.asarray(dsf_pair(poc0, poc0 - 1, poc0 + 1)),
                 tnh, tnw, tr, tc, cfg.bit_depth, self.nxn_p, self.subpel)
-            heads = jnp.concatenate([heads_r, heads_b])
-            coefs = jnp.concatenate([coefs_r, coefs_b])
         else:
-            heads, coefs = heads_r, coefs_r
+            heads_b = coefs_b = None
         GLOBAL_TIMERS.add("disp_b_call", time.perf_counter() - _t_b)
         nrows = KR + (KB if nbee else 0)
-        from hevc_tpu.encoder.pack import (FramePackSpec, coef_stream_jit,
-                                           split_coef_bitmap)
-        bits, vbuf, _ = coef_stream_jit(coefs)
+        from hevc_tpu.encoder.pack import FramePackSpec, split_coef_bitmap
         spec = FramePackSpec(tnh, tnw, tr * tc)
-        # start the host copy NOW, in stream order right behind this
-        # chunk's compute — a plain device_get in the worker thread would
-        # queue behind the NEXT chunk's dispatch and serialize the
-        # pipeline.  The value-stream length isn't known host-side yet,
-        # so copy a running-capacity prefix and fall back to a second
-        # fetch on rare growth.
-        cap_hint = min(getattr(self, "_cap_hint", 262144),
-                       vbuf.shape[0] // 2)
-        fetch1 = jnp.concatenate([heads, bits, vbuf[:cap_hint * 2]])
+        vhalf = nrows * spec.coef_elems // 2
+        cap_hint = min(getattr(self, "_cap_hint", 262144), vhalf)
+        # ONE finalize dispatch, then start the host copy NOW, in stream
+        # order right behind this chunk's compute — a plain device_get in
+        # the worker thread would queue behind the NEXT chunk's dispatch
+        # and serialize the pipeline.  The value-stream length isn't known
+        # host-side yet, so copy a running-capacity prefix and fall back
+        # to a second fetch on rare growth.
+        fetch1, vbuf = _finalize_chunk_jit(heads_r, coefs_r, heads_b,
+                                           coefs_b, cap_hint)
         try:
             fetch1.copy_to_host_async()
         except Exception:
@@ -873,20 +888,46 @@ class GopEncoder:
             self._spool = ThreadPoolExecutor(1, "gop-stage")
         return self._spool
 
+    def _dispatch_pool(self):
+        if getattr(self, "_dpool", None) is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._dpool = ThreadPoolExecutor(1, "gop-dispatch")
+        return self._dpool
+
     def encode_groups_pipelined(self, frames, groups, chunk: int = 8,
                                 qp_for_group=None, lookahead: int = 2):
         """Drive the chunked path with upload/compute/entropy overlap.
 
-        Generator yielding (group, Future of NALs) in order.  A staging
-        worker thread uploads group N+1's sources while group N's device
-        dispatch + compute + host CABAC proceed, so the loop is device-
-        bound instead of link-bound.  qp_for_group(): optional callable
-        returning the QP for the next dispatch (rate control hook, read
-        at dispatch time, not staging time)."""
+        Generator yielding (group, Future of NALs) in order — a 3-stage
+        thread pipeline:
+          stage  (gop-stage thread):    host prep + flat source upload
+          dispatch (gop-dispatch thread): the jit calls — on the axon
+            tunnel an execute() BLOCKS until the remote computation
+            finishes (measured ~1.9 s/group serial on whatever thread
+            issues it), so the dispatch must own its own thread or it
+            becomes the pipeline wall
+          entropy (gop-entropy thread): packed fetch + host CABAC
+        The single dispatch thread preserves group order, which the DPB
+        carry requires.  qp_for_group(): optional callable giving the QP
+        for the next dispatch (rate control hook, read at dispatch
+        time)."""
         pool = self._stage_pool()
+        dpool = self._dispatch_pool()
         from collections import deque
         stage_q: deque = deque()
         gi = 0
+
+        class _Chained:
+            """Future-of-(entropy Future) flattened for callers."""
+
+            def __init__(self, outer):
+                self._outer = outer
+
+            def result(self, timeout=None):
+                return self._outer.result(timeout).result(timeout)
+
+            def cancel(self):
+                return self._outer.cancel()
 
         def refill():
             nonlocal gi
@@ -897,13 +938,16 @@ class GopEncoder:
                     self.stage_chunk, [frames[e[0]] for e in grp],
                     [e[1:] for e in grp], chunk)))
 
-        refill()
-        while stage_q:
+        def dispatch(grp, staged, qp):
+            return self.encode_chunk_async(
+                [frames[e[0]] for e in grp], [e[1:] for e in grp],
+                qp=qp, chunk=chunk, staged=staged)
+
+        while gi < len(groups) or stage_q:
+            refill()
             grp, sf = stage_q.popleft()
             qp = qp_for_group() if qp_for_group is not None else None
-            fut = self.encode_chunk_async(
-                [frames[e[0]] for e in grp], [e[1:] for e in grp],
-                qp=qp, chunk=chunk, staged=sf.result())
+            fut = _Chained(dpool.submit(dispatch, grp, sf.result(), qp))
             refill()
             yield grp, fut
 

@@ -156,10 +156,9 @@ class FramePackSpec:
         return out
 
 
-@jax.jit
-def coef_stream_jit(dense):
+def coef_stream(dense):
     """(K, coef_elems) int16 -> (bitpacked significance map, compacted
-    value bytes, total nnz).
+    value bytes, total nnz).  Traceable body; see coef_stream_jit.
 
     Positions travel as a dense bitmap (1 bit/coefficient) instead of
     per-record int32s: a 6-byte-row record scatter costs ~1.9 s for 25M
@@ -180,6 +179,9 @@ def coef_stream_jit(dense):
     bits = _bitpack_j(mask)
     return bits, jax.lax.bitcast_convert_type(
         vals, jnp.uint8).reshape(-1), mask.sum(dtype=jnp.int32)
+
+
+coef_stream_jit = jax.jit(coef_stream)
 
 
 def split_coef_bitmap(bitmap: np.ndarray, vals_bytes: np.ndarray,

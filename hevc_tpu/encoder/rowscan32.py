@@ -1,0 +1,725 @@
+"""CTB-32 device kernel: two-level quadtree row scan (JAX, bit-exact).
+
+Device mirror of encoder/ctb32_ref.py (the numpy spec): a lax.scan over
+32x32 CTBs in raster order; each step evaluates the four 16x16 quadrant
+CUs sequentially in z-order (intra 2Nx2N + P skip/merge/explicit RD, no
+PART_NxN) plus the 32-level candidates (P: skip32/merge32/explicit32;
+I: intra32 with forced TU16 split), then selects split vs 32 by the
+summed RD costs.  All tie-break rules replicate the numpy encoder.
+
+Motion state lives at 16-cell granularity (left column / top row /
+above-left lag registers) so the sized spatial-neighbor rules — including
+the A0 below-left candidate reachable in z-order — match ops/inter.py.
+
+Outputs are per-CELL (16-grid) field stacks in z-order plus per-CTB
+32-level fields; `z_to_raster` converts cell stacks to the raster layout
+the shared deblock/pad assembler consumes.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hevc_tpu.encoder.rowscan_v1 import (
+    MARGIN, MARGIN_C, _CQP, _assemble_ref, _chroma_val_ref, _level_bits,
+    _merge_luma_val_ref, _mode_bits, _mpm_jax, _mvd_bits_j, _predict_all,
+    _search_explicit_ref, _search_select, _sse_j, _tu, _weight_uni_j)
+
+I32 = jnp.int32
+INF32 = jnp.asarray(2**31 - 1, I32)
+
+
+def _first_avail_mv(cands):
+    """where-chain: first available (av, mv) in priority order."""
+    mv = jnp.zeros_like(cands[0][1])
+    for av, m in reversed(cands):
+        mv = jnp.where(av[:, None], m, mv)
+    return mv
+
+
+def _amvp_p(a_list, b_list):
+    """P-slice AMVP from (av, mv) lists: A = first of a_list (A0, A1),
+    B = first of b_list (B0, B1, B2); dedupe; zero-fill."""
+    a_av = jnp.zeros(a_list[0][0].shape, bool)
+    a_mv = jnp.zeros_like(a_list[0][1])
+    for av, m in reversed(a_list):
+        a_mv = jnp.where(av[:, None], m, a_mv)
+        a_av = a_av | av
+    b_av = jnp.zeros_like(a_av)
+    b_mv = jnp.zeros_like(a_mv)
+    for av, m in reversed(b_list):
+        b_mv = jnp.where(av[:, None], m, b_mv)
+        b_av = b_av | av
+    dup = a_av & b_av & jnp.all(a_mv == b_mv, -1)
+    c0 = jnp.where(a_av[:, None], a_mv, jnp.where(b_av[:, None], b_mv, 0))
+    c1 = jnp.where((a_av & b_av & ~dup)[:, None], b_mv, 0)
+    return c0, c1
+
+
+@partial(jax.jit, static_argnames=("tnh32", "tnw32", "bit_depth", "subpel",
+                                   "i_slice"))
+def rowscan32_scan_jit(src_y, src_cb, src_cr, qp, lam_bits, lam16, sl16,
+                       pad_y, pad_cb, pad_cr, tnh32, tnw32, bit_depth,
+                       subpel=True, i_slice=False):
+    return _rowscan32_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh32,
+                           tnw32, bit_depth, lam16=lam16, sl16=sl16,
+                           ref_pads=None if i_slice
+                           else (pad_y, pad_cb, pad_cr), subpel=subpel)
+
+
+def _rowscan32_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh32, tnw32,
+                    bit_depth, lam16=None, sl16=None, ref_pads=None,
+                    ref_pads1=None, dsf=None, subpel=True):
+    """Shared ctb32 scan body.  src_y: (B, tnh32, tnw32, 32, 32); chroma
+    (B, tnh32, tnw32, 16, 16).  ref_pads enables the P step; ref_pads1
+    additionally enables the B step (not yet implemented)."""
+    assert ref_pads1 is None, "ctb32 B kernel lands in a follow-up"
+    B = src_y.shape[0]
+    p_mode = ref_pads is not None
+    maxv = (1 << bit_depth) - 1
+    qp_bd = 6 * (bit_depth - 8)
+    qp_eff = qp + qp_bd
+    qpc = jnp.asarray(_CQP)[jnp.clip(qp, 0, 57)] + qp_bd
+    DC = jnp.full((B,), 1, I32)
+    nw16 = 2 * tnw32
+
+    src_y_rows = src_y.transpose(1, 0, 2, 3, 4)
+    src_cb_rows = src_cb.transpose(1, 0, 2, 3, 4)
+    src_cr_rows = src_cr.transpose(1, 0, 2, 3, 4)
+
+    state = dict(
+        top_y=jnp.zeros((B, tnw32 * 32), I32),
+        top_cb=jnp.zeros((B, tnw32 * 16), I32),
+        top_cr=jnp.zeros((B, tnw32 * 16), I32),
+        left_y=jnp.zeros((B, 32), I32),
+        left_cb=jnp.zeros((B, 16), I32),
+        left_cr=jnp.zeros((B, 16), I32),
+        corner_y=jnp.zeros((B,), I32),
+        corner_cb=jnp.zeros((B,), I32),
+        corner_cr=jnp.zeros((B,), I32),
+        left_modes=jnp.full((B, 2), -1, I32),     # right cells of left CTB
+    )
+    if p_mode:
+        state.update(
+            left_inter=jnp.zeros((B, 2), bool),
+            left_mv=jnp.zeros((B, 2, 2), I32),
+            top_inter=jnp.zeros((B, nw16), bool),
+            top_mv=jnp.zeros((B, nw16, 2), I32),
+            al_inter=jnp.zeros((B,), bool),       # above-left cell lag
+            al_mv=jnp.zeros((B, 2), I32),
+            left_skip=jnp.zeros((B, 2), I32),
+            top_skip=jnp.zeros((B, nw16), I32),
+        )
+    state.update(
+        left_depth=jnp.zeros((B,), I32),
+        top_depth=jnp.zeros((B, nw16), I32),
+    )
+
+    zeros16 = jnp.zeros((B, 16), I32)
+    zeros8 = jnp.zeros((B, 8), I32)
+    F = jnp.asarray(False)
+    Tr = jnp.asarray(True)
+
+    if p_mode:
+        pad_py, pad_pcb, pad_pcr = ref_pads
+
+    def step(state, d):
+        r32 = d // tnw32
+        c32 = d % tnw32
+        al = c32 > 0
+        aa = r32 > 0
+        aar = aa & (c32 < tnw32 - 1)
+        cclamp = jnp.minimum(c32 + 1, tnw32 - 1)
+
+        s32 = jax.lax.dynamic_slice(src_y_rows, (r32, 0, c32, 0, 0),
+                                    (1, B, 1, 32, 32)).reshape(B, 32, 32)
+        s32cb = jax.lax.dynamic_slice(src_cb_rows, (r32, 0, c32, 0, 0),
+                                      (1, B, 1, 16, 16)).reshape(B, 16, 16)
+        s32cr = jax.lax.dynamic_slice(src_cr_rows, (r32, 0, c32, 0, 0),
+                                      (1, B, 1, 16, 16)).reshape(B, 16, 16)
+        t_y = jax.lax.dynamic_slice(state["top_y"], (0, c32 * 32), (B, 32))
+        tr_y = jax.lax.dynamic_slice(state["top_y"], (0, cclamp * 32),
+                                     (B, 32))
+        t_cb = jax.lax.dynamic_slice(state["top_cb"], (0, c32 * 16), (B, 16))
+        trcb = jax.lax.dynamic_slice(state["top_cb"], (0, cclamp * 16),
+                                     (B, 16))
+        t_cr = jax.lax.dynamic_slice(state["top_cr"], (0, c32 * 16), (B, 16))
+        trcr = jax.lax.dynamic_slice(state["top_cr"], (0, cclamp * 16),
+                                     (B, 16))
+        if p_mode:
+            top2 = [
+                (jax.lax.dynamic_slice(state["top_inter"], (0, k0),
+                                       (B, 1)).reshape(B),
+                 jax.lax.dynamic_slice(state["top_mv"], (0, k0, 0),
+                                       (B, 1, 2)).reshape(B, 2))
+                for k0 in (2 * c32, 2 * c32 + 1)]
+            k2 = jnp.minimum(2 * c32 + 2, nw16 - 1)
+            top_b0 = (jax.lax.dynamic_slice(state["top_inter"], (0, k2),
+                                            (B, 1)).reshape(B),
+                      jax.lax.dynamic_slice(state["top_mv"], (0, k2, 0),
+                                            (B, 1, 2)).reshape(B, 2))
+            tsk = [jax.lax.dynamic_slice(state["top_skip"], (0, k0),
+                                         (B, 1)).reshape(B)
+                   for k0 in (2 * c32, 2 * c32 + 1)]
+        tdep = [jax.lax.dynamic_slice(state["top_depth"], (0, k0),
+                                      (B, 1)).reshape(B)
+                for k0 in (2 * c32, 2 * c32 + 1)]
+
+        ctb_y = jnp.zeros((B, 32, 32), I32)
+        ctb_cb = jnp.zeros((B, 16, 16), I32)
+        ctb_cr = jnp.zeros((B, 16, 16), I32)
+
+        # per-quadrant provisional records
+        q_mode = []          # (B,) int32, -1 = not intra
+        q_skip = []          # (B,) bool
+        q_inter = []         # (B,) bool (inter incl. skip)
+        q_mv = []            # (B, 2)
+        q_fields = []
+        q_j = []
+
+        def intra_segs(q, buf_y, buf_cb, buf_cr):
+            """Reference segments + avail flags for quadrant q."""
+            if q == 0:
+                y = (state["left_y"][:, 16:32], state["left_y"][:, 0:16],
+                     state["corner_y"], t_y[:, 0:16], t_y[:, 16:32],
+                     al, al, al & aa, aa, aa)
+                cb = (state["left_cb"][:, 8:16], state["left_cb"][:, 0:8],
+                      state["corner_cb"], t_cb[:, 0:8], t_cb[:, 8:16],
+                      al, al, al & aa, aa, aa)
+                cr = (state["left_cr"][:, 8:16], state["left_cr"][:, 0:8],
+                      state["corner_cr"], t_cr[:, 0:8], t_cr[:, 8:16],
+                      al, al, al & aa, aa, aa)
+            elif q == 1:
+                y = (zeros16, buf_y[:, 0:16, 15], t_y[:, 15],
+                     t_y[:, 16:32], tr_y[:, 0:16], F, Tr, aa, aa, aar)
+                cb = (zeros8, buf_cb[:, 0:8, 7], t_cb[:, 7],
+                      t_cb[:, 8:16], trcb[:, 0:8], F, Tr, aa, aa, aar)
+                cr = (zeros8, buf_cr[:, 0:8, 7], t_cr[:, 7],
+                      t_cr[:, 8:16], trcr[:, 0:8], F, Tr, aa, aa, aar)
+            elif q == 2:
+                y = (zeros16, state["left_y"][:, 16:32],
+                     state["left_y"][:, 15], buf_y[:, 15, 0:16],
+                     buf_y[:, 15, 16:32], F, al, al, Tr, Tr)
+                cb = (zeros8, state["left_cb"][:, 8:16],
+                      state["left_cb"][:, 7], buf_cb[:, 7, 0:8],
+                      buf_cb[:, 7, 8:16], F, al, al, Tr, Tr)
+                cr = (zeros8, state["left_cr"][:, 8:16],
+                      state["left_cr"][:, 7], buf_cr[:, 7, 0:8],
+                      buf_cr[:, 7, 8:16], F, al, al, Tr, Tr)
+            else:
+                y = (zeros16, buf_y[:, 16:32, 15], buf_y[:, 15, 15],
+                     buf_y[:, 15, 16:32], zeros16, F, Tr, Tr, Tr, F)
+                cb = (zeros8, buf_cb[:, 8:16, 7], buf_cb[:, 7, 7],
+                      buf_cb[:, 7, 8:16], zeros8, F, Tr, Tr, Tr, F)
+                cr = (zeros8, buf_cr[:, 8:16, 7], buf_cr[:, 7, 7],
+                      buf_cr[:, 7, 8:16], zeros8, F, Tr, Tr, Tr, F)
+            return y, cb, cr
+
+        def mot_nbrs(q):
+            """{a1,a0,b1,b0,b2}: (avail, mv) per neighbor for quadrant q."""
+            li, lmv = state["left_inter"], state["left_mv"]
+            none = (jnp.zeros((B,), bool), jnp.zeros((B, 2), I32))
+            if q == 0:
+                return dict(
+                    a1=(li[:, 0] & al, lmv[:, 0]),
+                    a0=(li[:, 1] & al, lmv[:, 1]),
+                    b1=(top2[0][0] & aa, top2[0][1]),
+                    b0=(top2[1][0] & aa, top2[1][1]),
+                    b2=(state["al_inter"] & al & aa, state["al_mv"]))
+            if q == 1:
+                return dict(
+                    a1=(q_inter[0], q_mv[0]), a0=none,
+                    b1=(top2[1][0] & aa, top2[1][1]),
+                    b0=(top_b0[0] & aar, top_b0[1]),
+                    b2=(top2[0][0] & aa, top2[0][1]))
+            if q == 2:
+                return dict(
+                    a1=(li[:, 1] & al, lmv[:, 1]), a0=none,
+                    b1=(q_inter[0], q_mv[0]),
+                    b0=(q_inter[1], q_mv[1]),
+                    b2=(li[:, 0] & al, lmv[:, 0]))
+            return dict(
+                a1=(q_inter[2], q_mv[2]), a0=none,
+                b1=(q_inter[1], q_mv[1]), b0=none,
+                b2=(q_inter[0], q_mv[0]))
+
+        for q in range(4):
+            qx, qy = q & 1, q >> 1
+            src = s32[:, 16 * qy:16 * qy + 16, 16 * qx:16 * qx + 16]
+            scb = s32cb[:, 8 * qy:8 * qy + 8, 8 * qx:8 * qx + 8]
+            scr = s32cr[:, 8 * qy:8 * qy + 8, 8 * qx:8 * qx + 8]
+            segs_y, segs_cb, segs_cr = intra_segs(q, ctb_y, ctb_cb, ctb_cr)
+
+            # ---- intra 2Nx2N candidate ----
+            ref = _assemble_ref(*segs_y[:5], *segs_y[5:], 16, bit_depth)
+            if q == 0:
+                a_m = jnp.where(al, state["left_modes"][:, 0], -1)
+                b_m = jnp.full((B,), -1, I32)
+            elif q == 1:
+                a_m = q_mode[0]
+                b_m = jnp.full((B,), -1, I32)
+            elif q == 2:
+                a_m = jnp.where(al, state["left_modes"][:, 1], -1)
+                b_m = q_mode[0]
+            else:
+                a_m = q_mode[2]
+                b_m = q_mode[1]
+            c0, c1, c2 = _mpm_jax(jnp.where(a_m >= 0, a_m, DC),
+                                  jnp.where(b_m >= 0, b_m, DC))
+            mode, pred, _ = _search_select(src, ref, 16, lam_bits,
+                                           c0, c1, c2, maxv)
+            lvl_y, cbf_y, rec_y = _tu(src, pred, qp_eff, 16, bit_depth, maxv)
+            refcb = _assemble_ref(*segs_cb[:5], *segs_cb[5:], 8, bit_depth)
+            refcr = _assemble_ref(*segs_cr[:5], *segs_cr[5:], 8, bit_depth)
+            pcb = jnp.take_along_axis(
+                _predict_all(refcb, 8, maxv, fixups=False, luma=False),
+                mode[:, None, None], axis=1).reshape(B, 8, 8)
+            pcr = jnp.take_along_axis(
+                _predict_all(refcr, 8, maxv, fixups=False, luma=False),
+                mode[:, None, None], axis=1).reshape(B, 8, 8)
+            lvl_cb, cbf_cb, rec_cb = _tu(scb, pcb, qpc, 8, bit_depth, maxv)
+            lvl_cr, cbf_cr, rec_cr = _tu(scr, pcr, qpc, 8, bit_depth, maxv)
+            sse_i = _sse_j(src, rec_y) + _sse_j(scb, rec_cb) \
+                + _sse_j(scr, rec_cr)
+            bits_i = jnp.minimum(8 + _level_bits(lvl_y) + _level_bits(lvl_cb)
+                                 + _level_bits(lvl_cr), 2048)
+            j_i = sse_i + ((lam16 * bits_i) >> 4)
+
+            fields = dict(mode=mode, lvl_y=lvl_y, lvl_cb=lvl_cb,
+                          lvl_cr=lvl_cr, cbf_y=cbf_y, cbf_cb=cbf_cb,
+                          cbf_cr=cbf_cr)
+            if not p_mode:
+                q_mode.append(mode)
+                q_j.append(j_i)
+                q_fields.append(fields)
+                ctb_y = ctb_y.at[:, 16 * qy:16 * qy + 16,
+                                 16 * qx:16 * qx + 16].set(rec_y)
+                ctb_cb = ctb_cb.at[:, 8 * qy:8 * qy + 8,
+                                   8 * qx:8 * qx + 8].set(rec_cb)
+                ctb_cr = ctb_cr.at[:, 8 * qy:8 * qy + 8,
+                                   8 * qx:8 * qx + 8].set(rec_cr)
+                continue
+
+            # ---- P candidates ----
+            nb = mot_nbrs(q)
+            mg_mv = _first_avail_mv([nb["a1"], nb["b1"], nb["b0"],
+                                     nb["a0"], nb["b2"]])
+            c0mv, c1mv = _amvp_p([nb["a0"], nb["a1"]],
+                                 [nb["b0"], nb["b1"], nb["b2"]])
+            r16 = 2 * r32 + qy
+            c16 = 2 * c32 + qx
+            mv_e, mb0b, mb1b, val_e = _search_explicit_ref(
+                src, pad_py, r16, c16, c0mv, c1mv, sl16, bit_depth,
+                subpel, maxv)
+            mvp_e = (mb0b > mb1b).astype(I32)
+            mbits_e = jnp.minimum(mb0b, mb1b)
+            pred_e = _weight_uni_j(val_e, bit_depth)
+            valm = _merge_luma_val_ref(pad_py, r16, c16, mg_mv, bit_depth,
+                                       subpel)
+            pred_m = _weight_uni_j(valm, bit_depth)
+            pm_cb = _weight_uni_j(_chroma_val_ref(pad_pcb, r16, c16, mg_mv,
+                                                  bit_depth), bit_depth)
+            pm_cr = _weight_uni_j(_chroma_val_ref(pad_pcr, r16, c16, mg_mv,
+                                                  bit_depth), bit_depth)
+            pe_cb = _weight_uni_j(_chroma_val_ref(pad_pcb, r16, c16, mv_e,
+                                                  bit_depth), bit_depth)
+            pe_cr = _weight_uni_j(_chroma_val_ref(pad_pcr, r16, c16, mv_e,
+                                                  bit_depth), bit_depth)
+
+            lvlm_y, cbfm_y, recm_y = _tu(src, pred_m, qp_eff, 16,
+                                         bit_depth, maxv)
+            lvlm_cb, cbfm_cb, recm_cb = _tu(scb, pm_cb, qpc, 8,
+                                            bit_depth, maxv)
+            lvlm_cr, cbfm_cr, recm_cr = _tu(scr, pm_cr, qpc, 8,
+                                            bit_depth, maxv)
+            lvle_y, cbfe_y, rece_y = _tu(src, pred_e, qp_eff, 16,
+                                         bit_depth, maxv)
+            lvle_cb, cbfe_cb, rece_cb = _tu(scb, pe_cb, qpc, 8,
+                                            bit_depth, maxv)
+            lvle_cr, cbfe_cr, rece_cr = _tu(scr, pe_cr, qpc, 8,
+                                            bit_depth, maxv)
+
+            j_skip = _sse_j(src, pred_m) + _sse_j(scb, pm_cb) \
+                + _sse_j(scr, pm_cr) + ((lam16 * 2) >> 4)
+            any_m = cbfm_y | cbfm_cb | cbfm_cr
+            bits_m = jnp.minimum(12 + _level_bits(lvlm_y)
+                                 + _level_bits(lvlm_cb)
+                                 + _level_bits(lvlm_cr), 2048)
+            j_m = jnp.where(any_m, _sse_j(src, recm_y) + _sse_j(scb, recm_cb)
+                            + _sse_j(scr, recm_cr)
+                            + ((lam16 * bits_m) >> 4), INF32)
+            bits_e = jnp.minimum(16 + mbits_e + _level_bits(lvle_y)
+                                 + _level_bits(lvle_cb)
+                                 + _level_bits(lvle_cr), 2048)
+            j_e = _sse_j(src, rece_y) + _sse_j(scb, rece_cb) \
+                + _sse_j(scr, rece_cr) + ((lam16 * bits_e) >> 4)
+
+            kind = jnp.argmin(jnp.stack([j_skip, j_m, j_e, j_i], 1),
+                              axis=1).astype(I32)
+            skipf = kind == 0
+            is_m = kind == 1
+            is_e = kind == 2
+            inter_sel = kind != 3
+
+            def sel4(a_s, a_m_, a_e, a_i, nd):
+                k = kind.reshape(kind.shape + (1,) * nd)
+                return jnp.where(k == 0, a_s,
+                                 jnp.where(k == 1, a_m_,
+                                           jnp.where(k == 2, a_e, a_i)))
+
+            rec_y_f = sel4(pred_m, recm_y, rece_y, rec_y, 2)
+            rec_cb_f = sel4(pm_cb, recm_cb, rece_cb, rec_cb, 2)
+            rec_cr_f = sel4(pm_cr, recm_cr, rece_cr, rec_cr, 2)
+            mvp_sel = jnp.where(mvp_e[:, None] == 0, c0mv, c1mv)
+            mvd = mv_e - mvp_sel
+            mv_f = jnp.where(is_e[:, None], mv_e,
+                             jnp.where(inter_sel[:, None], mg_mv, 0))
+            rqt_e = (cbfe_y | cbfe_cb | cbfe_cr).astype(I32)
+            fields.update(
+                mode=jnp.where(inter_sel, -1, mode),
+                lvl_y=sel4(lvlm_y, lvlm_y, lvle_y, lvl_y, 2),
+                lvl_cb=sel4(lvlm_cb, lvlm_cb, lvle_cb, lvl_cb, 2),
+                lvl_cr=sel4(lvlm_cr, lvlm_cr, lvle_cr, lvl_cr, 2),
+                cbf_y=jnp.where(inter_sel, F, cbf_y),
+                cbf_cb=jnp.where(inter_sel, F, cbf_cb),
+                cbf_cr=jnp.where(inter_sel, F, cbf_cr),
+                skip=skipf, inter=inter_sel & ~skipf, merge=is_m,
+                mvd=mvd.astype(jnp.int16), mvp=mvp_e.astype(jnp.int8),
+                rqt=jnp.where(is_e, rqt_e, 1).astype(jnp.int8),
+                cbf_yi=jnp.where(is_e, cbfe_y, cbfm_y) & ~skipf
+                & inter_sel,
+                cbf_cbi=jnp.where(is_e, cbfe_cb, cbfm_cb) & ~skipf
+                & inter_sel,
+                cbf_cri=jnp.where(is_e, cbfe_cr, cbfm_cr) & ~skipf
+                & inter_sel,
+                mv=mv_f.astype(jnp.int16))
+            q_mode.append(jnp.where(inter_sel, -1, mode))
+            q_skip.append(skipf)
+            q_inter.append(inter_sel)
+            q_mv.append(mv_f)
+            q_j.append(sel4(j_skip, j_m, j_e, j_i, 0))
+            q_fields.append(fields)
+            ctb_y = ctb_y.at[:, 16 * qy:16 * qy + 16,
+                             16 * qx:16 * qx + 16].set(rec_y_f)
+            ctb_cb = ctb_cb.at[:, 8 * qy:8 * qy + 8,
+                               8 * qx:8 * qx + 8].set(rec_cb_f)
+            ctb_cr = ctb_cr.at[:, 8 * qy:8 * qy + 8,
+                               8 * qx:8 * qx + 8].set(rec_cr_f)
+
+        j16 = sum(q_j)
+
+        # ---- 32-level candidates ----
+        if not p_mode:
+            # intra32: mode by whole-32 SATD on CTB-boundary refs, then
+            # the normative forced-split TU16 chain (sequential refs)
+            tr32 = jax.lax.dynamic_slice(state["top_y"], (0, cclamp * 32),
+                                         (B, 32))
+            ref32 = _assemble_ref(
+                jnp.zeros((B, 32), I32), state["left_y"], state["corner_y"],
+                t_y, tr32, F, al, al & aa, aa, aar, 32, bit_depth)
+            a32 = jnp.where(al, state["left_modes"][:, 0], -1)
+            c0, c1, c2 = _mpm_jax(jnp.where(a32 >= 0, a32, DC), DC)
+            # no DC/edge fixups at nTbS=32 (spec 8.4.4.2.6 gates on n<32)
+            mode32, _, _ = _search_select(s32, ref32, 32, lam_bits,
+                                          c0, c1, c2, maxv, fixups=False)
+            rec32_y = jnp.zeros((B, 32, 32), I32)
+            rec32_cb = jnp.zeros((B, 16, 16), I32)
+            rec32_cr = jnp.zeros((B, 16, 16), I32)
+            lvl32 = []
+            cbf32 = []
+            for q in range(4):
+                qx, qy = q & 1, q >> 1
+                segs_y, segs_cb, segs_cr = intra_segs(q, rec32_y, rec32_cb,
+                                                      rec32_cr)
+                src = s32[:, 16 * qy:16 * qy + 16, 16 * qx:16 * qx + 16]
+                scb = s32cb[:, 8 * qy:8 * qy + 8, 8 * qx:8 * qx + 8]
+                scr = s32cr[:, 8 * qy:8 * qy + 8, 8 * qx:8 * qx + 8]
+                ref = _assemble_ref(*segs_y[:5], *segs_y[5:], 16, bit_depth)
+                pred = jnp.take_along_axis(
+                    _predict_all(ref, 16, maxv, fixups=True),
+                    mode32[:, None, None], axis=1).reshape(B, 16, 16)
+                lvl_y, cbf_y, rec_y = _tu(src, pred, qp_eff, 16,
+                                          bit_depth, maxv)
+                refcb = _assemble_ref(*segs_cb[:5], *segs_cb[5:], 8,
+                                      bit_depth)
+                refcr = _assemble_ref(*segs_cr[:5], *segs_cr[5:], 8,
+                                      bit_depth)
+                pcb = jnp.take_along_axis(
+                    _predict_all(refcb, 8, maxv, fixups=False, luma=False),
+                    mode32[:, None, None], axis=1).reshape(B, 8, 8)
+                pcr = jnp.take_along_axis(
+                    _predict_all(refcr, 8, maxv, fixups=False, luma=False),
+                    mode32[:, None, None], axis=1).reshape(B, 8, 8)
+                lvl_cb, cbf_cb, rec_cb = _tu(scb, pcb, qpc, 8, bit_depth,
+                                             maxv)
+                lvl_cr, cbf_cr, rec_cr = _tu(scr, pcr, qpc, 8, bit_depth,
+                                             maxv)
+                rec32_y = rec32_y.at[:, 16 * qy:16 * qy + 16,
+                                     16 * qx:16 * qx + 16].set(rec_y)
+                rec32_cb = rec32_cb.at[:, 8 * qy:8 * qy + 8,
+                                       8 * qx:8 * qx + 8].set(rec_cb)
+                rec32_cr = rec32_cr.at[:, 8 * qy:8 * qy + 8,
+                                       8 * qx:8 * qx + 8].set(rec_cr)
+                lvl32.append((lvl_y, lvl_cb, lvl_cr))
+                cbf32.append((cbf_y, cbf_cb, cbf_cr))
+            bits32 = 8
+            for (ly, lcb, lcr) in lvl32:
+                bits32 = bits32 + _level_bits(ly) + _level_bits(lcb) \
+                    + _level_bits(lcr)
+            bits32 = jnp.minimum(bits32, 8192)
+            j32 = _sse_j(s32, rec32_y) + _sse_j(s32cb, rec32_cb) \
+                + _sse_j(s32cr, rec32_cr) + ((lam16 * bits32) >> 4)
+            split = j16 < j32
+            kind32 = jnp.zeros((B,), I32)       # 0 = intra32
+        else:
+            li, lmv = state["left_inter"], state["left_mv"]
+            nb32 = dict(
+                a1=(li[:, 1] & al, lmv[:, 1]),
+                b1=(top2[1][0] & aa, top2[1][1]),
+                b0=(top_b0[0] & aar, top_b0[1]),
+                b2=(state["al_inter"] & al & aa, state["al_mv"]))
+            mg32 = _first_avail_mv([nb32["a1"], nb32["b1"], nb32["b0"],
+                                    nb32["b2"]])
+            c0mv, c1mv = _amvp_p([nb32["a1"]],
+                                 [nb32["b0"], nb32["b1"], nb32["b2"]])
+            mv_e32, mb0b, mb1b, val_e32 = _search_explicit_ref(
+                s32, pad_py, r32, c32, c0mv, c1mv, sl16, bit_depth,
+                subpel, maxv, n=32)
+            mvp_e32 = (mb0b > mb1b).astype(I32)
+            mbits32 = jnp.minimum(mb0b, mb1b)
+            pred_e32 = _weight_uni_j(val_e32, bit_depth)
+            valm32 = _merge_luma_val_ref(pad_py, r32, c32, mg32, bit_depth,
+                                         subpel, n=32)
+            pred_m32 = _weight_uni_j(valm32, bit_depth)
+            pm32_cb = _weight_uni_j(_chroma_val_ref(
+                pad_pcb, r32, c32, mg32, bit_depth, nc=16), bit_depth)
+            pm32_cr = _weight_uni_j(_chroma_val_ref(
+                pad_pcr, r32, c32, mg32, bit_depth, nc=16), bit_depth)
+            pe32_cb = _weight_uni_j(_chroma_val_ref(
+                pad_pcb, r32, c32, mv_e32, bit_depth, nc=16), bit_depth)
+            pe32_cr = _weight_uni_j(_chroma_val_ref(
+                pad_pcr, r32, c32, mv_e32, bit_depth, nc=16), bit_depth)
+
+            def tu32(py, pcb_, pcr_):
+                """Forced-split TU16 residual of a 32 CU (per-quadrant)."""
+                ry = jnp.zeros((B, 32, 32), I32)
+                rcb = jnp.zeros((B, 16, 16), I32)
+                rcr = jnp.zeros((B, 16, 16), I32)
+                lvls, cbfs = [], []
+                for q in range(4):
+                    qx, qy = q & 1, q >> 1
+                    ly, cy_, r_ = _tu(
+                        s32[:, 16 * qy:16 * qy + 16, 16 * qx:16 * qx + 16],
+                        py[:, 16 * qy:16 * qy + 16, 16 * qx:16 * qx + 16],
+                        qp_eff, 16, bit_depth, maxv)
+                    lcb, ccb, rcb_ = _tu(
+                        s32cb[:, 8 * qy:8 * qy + 8, 8 * qx:8 * qx + 8],
+                        pcb_[:, 8 * qy:8 * qy + 8, 8 * qx:8 * qx + 8],
+                        qpc, 8, bit_depth, maxv)
+                    lcr, ccr, rcr_ = _tu(
+                        s32cr[:, 8 * qy:8 * qy + 8, 8 * qx:8 * qx + 8],
+                        pcr_[:, 8 * qy:8 * qy + 8, 8 * qx:8 * qx + 8],
+                        qpc, 8, bit_depth, maxv)
+                    ry = ry.at[:, 16 * qy:16 * qy + 16,
+                               16 * qx:16 * qx + 16].set(r_)
+                    rcb = rcb.at[:, 8 * qy:8 * qy + 8,
+                                 8 * qx:8 * qx + 8].set(rcb_)
+                    rcr = rcr.at[:, 8 * qy:8 * qy + 8,
+                                 8 * qx:8 * qx + 8].set(rcr_)
+                    lvls.append((ly, lcb, lcr))
+                    cbfs.append((cy_, ccb, ccr))
+                bits = 0
+                any_cbf = jnp.zeros((B,), bool)
+                for (ly, lcb, lcr), (cy_, ccb, ccr) in zip(lvls, cbfs):
+                    bits = bits + _level_bits(ly) + _level_bits(lcb) \
+                        + _level_bits(lcr)
+                    any_cbf = any_cbf | cy_ | ccb | ccr
+                return ry, rcb, rcr, lvls, cbfs, bits, any_cbf
+
+            m_ry, m_rcb, m_rcr, m_lvls, m_cbfs, m_bits, m_any = \
+                tu32(pred_m32, pm32_cb, pm32_cr)
+            e_ry, e_rcb, e_rcr, e_lvls, e_cbfs, e_bits, e_any = \
+                tu32(pred_e32, pe32_cb, pe32_cr)
+
+            j_skip32 = _sse_j(s32, pred_m32) + _sse_j(s32cb, pm32_cb) \
+                + _sse_j(s32cr, pm32_cr) + ((lam16 * 2) >> 4)
+            j_m32 = jnp.where(
+                m_any,
+                _sse_j(s32, m_ry) + _sse_j(s32cb, m_rcb)
+                + _sse_j(s32cr, m_rcr)
+                + ((lam16 * jnp.minimum(12 + m_bits, 8192)) >> 4), INF32)
+            j_e32 = _sse_j(s32, e_ry) + _sse_j(s32cb, e_rcb) \
+                + _sse_j(s32cr, e_rcr) \
+                + ((lam16 * jnp.minimum(16 + mbits32 + e_bits, 8192)) >> 4)
+            kind32 = jnp.argmin(jnp.stack([j_skip32, j_m32, j_e32], 1),
+                                axis=1).astype(I32)
+            j32 = jnp.minimum(jnp.minimum(j_skip32, j_m32), j_e32)
+            split = j16 < j32
+
+            def sel3(a_s, a_m_, a_e, nd):
+                k = kind32.reshape(kind32.shape + (1,) * nd)
+                return jnp.where(k == 0, a_s,
+                                 jnp.where(k == 1, a_m_, a_e))
+
+            rec32_y = sel3(pred_m32, m_ry, e_ry, 2)
+            rec32_cb = sel3(pm32_cb, m_rcb, e_rcb, 2)
+            rec32_cr = sel3(pm32_cr, m_rcr, e_rcr, 2)
+            mvp_sel32 = jnp.where(mvp_e32[:, None] == 0, c0mv, c1mv)
+            mvd32 = mv_e32 - mvp_sel32
+            mv32_f = jnp.where((kind32 == 2)[:, None], mv_e32, mg32)
+            lvl32 = [tuple(sel3(m_lvls[q][pi], m_lvls[q][pi],
+                                e_lvls[q][pi], 2) for pi in range(3))
+                     for q in range(4)]
+            cbf32 = [tuple(jnp.where(kind32 == 0, F,
+                                     jnp.where(kind32 == 1, m_cbfs[q][pi],
+                                               e_cbfs[q][pi]))
+                           for pi in range(3)) for q in range(4)]
+            rqt32 = (e_any).astype(jnp.int8)
+
+        # ---- final select + state update ----
+        sm = split[:, None, None]
+        fin_y = jnp.where(sm, ctb_y, rec32_y)
+        fin_cb = jnp.where(sm, ctb_cb, rec32_cb)
+        fin_cr = jnp.where(sm, ctb_cr, rec32_cr)
+
+        nxt = dict(state)
+        nxt["corner_y"] = jax.lax.dynamic_slice(
+            state["top_y"], (0, c32 * 32 + 31), (B, 1)).reshape(B)
+        nxt["corner_cb"] = jax.lax.dynamic_slice(
+            state["top_cb"], (0, c32 * 16 + 15), (B, 1)).reshape(B)
+        nxt["corner_cr"] = jax.lax.dynamic_slice(
+            state["top_cr"], (0, c32 * 16 + 15), (B, 1)).reshape(B)
+        nxt["top_y"] = jax.lax.dynamic_update_slice(
+            state["top_y"], fin_y[:, 31, :], (0, c32 * 32))
+        nxt["top_cb"] = jax.lax.dynamic_update_slice(
+            state["top_cb"], fin_cb[:, 15, :], (0, c32 * 16))
+        nxt["top_cr"] = jax.lax.dynamic_update_slice(
+            state["top_cr"], fin_cr[:, 15, :], (0, c32 * 16))
+        nxt["left_y"] = fin_y[:, :, 31]
+        nxt["left_cb"] = fin_cb[:, :, 15]
+        nxt["left_cr"] = fin_cr[:, :, 15]
+        if not p_mode:
+            m32 = mode32
+            lm = jnp.stack([jnp.where(split, q_mode[1], m32),
+                            jnp.where(split, q_mode[3], m32)], 1)
+        else:
+            lm = jnp.stack([jnp.where(split, q_mode[1], -1),
+                            jnp.where(split, q_mode[3], -1)], 1)
+        nxt["left_modes"] = lm
+        nxt["left_depth"] = split.astype(I32)
+        nxt["top_depth"] = jax.lax.dynamic_update_slice(
+            state["top_depth"],
+            jnp.broadcast_to(split.astype(I32)[:, None], (B, 2)),
+            (0, 2 * c32))
+        if p_mode:
+            cell_inter = [jnp.where(split, q_inter[q] | q_skip[q],
+                                    kind32 < 3) for q in range(4)]
+            cell_mv = [jnp.where(sm[:, :, 0], q_mv[q], mv32_f)
+                       for q in range(4)]
+            cell_skip = [jnp.where(split, q_skip[q],
+                                   kind32 == 0).astype(I32)
+                         for q in range(4)]
+            # lag register: the next CTB's above-left cell record
+            k1 = 2 * c32 + 1
+            nxt["al_inter"] = jax.lax.dynamic_slice(
+                state["top_inter"], (0, k1), (B, 1)).reshape(B)
+            nxt["al_mv"] = jax.lax.dynamic_slice(
+                state["top_mv"], (0, k1, 0), (B, 1, 2)).reshape(B, 2)
+            nxt["top_inter"] = jax.lax.dynamic_update_slice(
+                state["top_inter"],
+                jnp.stack([cell_inter[2], cell_inter[3]], 1), (0, 2 * c32))
+            nxt["top_mv"] = jax.lax.dynamic_update_slice(
+                state["top_mv"], jnp.stack([cell_mv[2], cell_mv[3]], 1),
+                (0, 2 * c32, 0))
+            nxt["left_inter"] = jnp.stack([cell_inter[1], cell_inter[3]], 1)
+            nxt["left_mv"] = jnp.stack([cell_mv[1], cell_mv[3]], 1)
+            nxt["top_skip"] = jax.lax.dynamic_update_slice(
+                state["top_skip"],
+                jnp.stack([cell_skip[2], cell_skip[3]], 1), (0, 2 * c32))
+            nxt["left_skip"] = jnp.stack([cell_skip[1], cell_skip[3]], 1)
+
+        # ---- per-step outputs ----
+        rdt = jnp.uint8 if bit_depth == 8 else jnp.uint16
+        cells = []
+        for q in range(4):
+            qx, qy = q & 1, q >> 1
+            f = q_fields[q]
+            lvl_y_c = jnp.where(sm, f["lvl_y"], lvl32[q][0])
+            lvl_cb_c = jnp.where(sm, f["lvl_cb"], lvl32[q][1])
+            lvl_cr_c = jnp.where(sm, f["lvl_cr"], lvl32[q][2])
+            cbf_y_c = jnp.where(split, f["cbf_y"], cbf32[q][0])
+            cbf_cb_c = jnp.where(split, f["cbf_cb"], cbf32[q][1])
+            cbf_cr_c = jnp.where(split, f["cbf_cr"], cbf32[q][2])
+            cell = dict(
+                mode=jnp.where(split, f["mode"],
+                               -1 if p_mode else mode32).astype(jnp.int8),
+                cbf_y=cbf_y_c, cbf_cb=cbf_cb_c, cbf_cr=cbf_cr_c,
+                lvl_y=lvl_y_c.astype(jnp.int16),
+                lvl_cb=lvl_cb_c.astype(jnp.int16),
+                lvl_cr=lvl_cr_c.astype(jnp.int16),
+                rec_y=fin_y[:, 16 * qy:16 * qy + 16,
+                            16 * qx:16 * qx + 16].astype(rdt),
+                rec_cb=fin_cb[:, 8 * qy:8 * qy + 8,
+                              8 * qx:8 * qx + 8].astype(rdt),
+                rec_cr=fin_cr[:, 8 * qy:8 * qy + 8,
+                              8 * qx:8 * qx + 8].astype(rdt),
+            )
+            if p_mode:
+                cell.update(
+                    skip=jnp.where(split, f["skip"], kind32 == 0),
+                    inter=jnp.where(split, f["inter"], kind32 > 0),
+                    merge=jnp.where(split, f["merge"], kind32 == 1),
+                    mvd=jnp.where(sm[:, :, 0], f["mvd"],
+                                  mvd32).astype(jnp.int16),
+                    mvp=jnp.where(split, f["mvp"],
+                                  mvp_e32.astype(jnp.int8)),
+                    rqt=jnp.where(split, f["rqt"],
+                                  jnp.where(kind32 == 1, 1,
+                                            rqt32)).astype(jnp.int8),
+                    cbf_yi=jnp.where(split, f["cbf_yi"], cbf32[q][0]),
+                    cbf_cbi=jnp.where(split, f["cbf_cbi"], cbf32[q][1]),
+                    cbf_cri=jnp.where(split, f["cbf_cri"], cbf32[q][2]),
+                    mv=jnp.where(sm[:, :, 0], f["mv"],
+                                 mv32_f).astype(jnp.int16),
+                    intra_cell=split & ~(f["inter"] | f["skip"]),
+                )
+            else:
+                cell["intra_cell"] = jnp.ones((B,), bool)
+            cells.append(cell)
+
+        out32 = dict(split32=split)
+        if p_mode:
+            out32.update(skip32=~split & (kind32 == 0),
+                         inter32=~split & (kind32 > 0),
+                         merge32=~split & (kind32 == 1),
+                         mvd32=mvd32.astype(jnp.int16),
+                         mvp32=mvp_e32.astype(jnp.int8),
+                         rqt32=rqt32,
+                         cbf32_cb=(cbf32[0][1] | cbf32[1][1] | cbf32[2][1]
+                                   | cbf32[3][1]),
+                         cbf32_cr=(cbf32[0][2] | cbf32[1][2] | cbf32[2][2]
+                                   | cbf32[3][2]))
+        else:
+            out32.update(mode32=mode32.astype(jnp.int8),
+                         cbf32_cb=(cbf32[0][1] | cbf32[1][1] | cbf32[2][1]
+                                   | cbf32[3][1]),
+                         cbf32_cr=(cbf32[0][2] | cbf32[1][2] | cbf32[2][2]
+                                   | cbf32[3][2]))
+
+        out_cells = {k: jnp.stack([c[k] for c in cells], 0)
+                     for k in cells[0]}
+        return nxt, (out_cells, out32)
+
+    _, outs = jax.lax.scan(step, state, jnp.arange(tnh32 * tnw32, dtype=I32))
+    return outs
+
+
+def z_to_raster(a, tnh32, tnw32):
+    """(S32, 4, B, ...) z-ordered cell stack -> (nh16, nw16, B, ...)."""
+    a = np.asarray(a)
+    x = a.reshape((tnh32, tnw32, 2, 2) + a.shape[2:])
+    x = np.swapaxes(x, 1, 2)               # (tnh32, 2, tnw32, 2, ...)
+    return x.reshape((2 * tnh32, 2 * tnw32) + a.shape[2:])

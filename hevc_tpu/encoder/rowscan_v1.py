@@ -225,31 +225,32 @@ def _scale_mv_j(mv, dsf):
     return jnp.clip(jnp.where(s >= 0, mag, -mag), -32768, 32767)
 
 
-def _luma_superwin(pad_y, r, c):
-    """(B, 112, 112) window at pad position (r*16-48, c*16-48): covers the
-    full coarse+fine+subpel motion reach of one CTU."""
+def _luma_superwin(pad_y, r, c, n: int = 16):
+    """(B, n+96, n+96) window at pad position (r*n-48, c*n-48): covers the
+    full coarse+fine+subpel motion reach (+-40 px + taps) of one n-CU."""
     B = pad_y.shape[0]
     return jax.lax.dynamic_slice(
-        pad_y, (0, r * 16 + MARGIN - 48, c * 16 + MARGIN - 48),
-        (B, 112, 112))
+        pad_y, (0, r * n + MARGIN - 48, c * n + MARGIN - 48),
+        (B, n + 96, n + 96))
 
 
 def _search_explicit_ref(src, pad_y, r, c, c0mv, c1mv, sl16, bit_depth,
-                         subpel, maxv):
+                         subpel, maxv, n: int = 16):
     """Hierarchical search against ONE reference pad (device mirror of
-    the numpy _mv_search): 4x-decimated 17x17 coarse (+-32, clipped
-    +-30) -> 2x-decimated 7x7 refine (+-6) -> full-res 9x9 around zero
-    then around the refined center -> optional subpel.  Effective reach
-    +-40 px with 2x81 full-res SADs instead of round-2's 2x289
-    (VERDICT r2 item 8).  Returns (mv_e, mvd bits vs cand0, vs cand1,
-    and the 14-bit pre-weighting prediction intermediate at mv_e)."""
+    the numpy _mv_search, any CU size n): 4x-decimated 17x17 coarse
+    (+-32, clipped +-30) -> 2x-decimated 7x7 refine (+-6) -> full-res
+    9x9 around zero then around the refined center -> optional subpel.
+    Effective reach +-40 px with 2x81 full-res SADs instead of round-2's
+    2x289 (VERDICT r2 item 8).  Returns (mv_e, mvd bits vs cand0, vs
+    cand1, and the 14-bit pre-weighting prediction intermediate)."""
     B = src.shape[0]
-    WIN = _luma_superwin(pad_y, r, c)
+    WIN = _luma_superwin(pad_y, r, c, n)                # (B, n+96, n+96)
     # A: subsampled SAD over 17x17 decimated offsets (+-32 px)
-    dec = WIN[:, 16:96:4, 16:96:4]                      # (B, 20, 20)
-    src4 = src[:, ::4, ::4]                             # (B, 4, 4)
-    rows4 = jnp.stack([dec[:, k:k + 4, :] for k in range(17)], 1)
-    cand4 = jnp.stack([rows4[..., k:k + 4] for k in range(17)], 2)
+    dec = WIN[:, 16:80 + n:4, 16:80 + n:4]              # (B, 16+n/4, ...)
+    src4 = src[:, ::4, ::4]                             # (B, n/4, n/4)
+    n4 = n // 4
+    rows4 = jnp.stack([dec[:, k:k + n4, :] for k in range(17)], 1)
+    cand4 = jnp.stack([rows4[..., k:k + n4] for k in range(17)], 2)
     sad4 = jnp.sum(jnp.abs(src4[:, None, None] - cand4), axis=(3, 4))
     b4 = jnp.argmin(sad4.reshape(B, 289), axis=1).astype(I32)
     ccx = jnp.clip(4 * (b4 % 17 - 8), -30, 30)          # full-res px
@@ -257,12 +258,14 @@ def _search_explicit_ref(src, pad_y, r, c, c0mv, c1mv, sl16, bit_depth,
 
     # B: 2x-decimated 7x7 refine in 2-px steps (+-6) around the coarse
     # center (ccx/ccy stay even so decimated indices are exact)
-    dec2 = WIN[:, ::2, ::2]                             # (B, 56, 56)
-    src2 = src[:, ::2, ::2]                             # (B, 8, 8)
+    dec2 = WIN[:, ::2, ::2]                             # (B, (n+96)/2, ..)
+    src2 = src[:, ::2, ::2]                             # (B, n/2, n/2)
+    n2 = n // 2
     w2 = jax.vmap(lambda p, yy, xx: jax.lax.dynamic_slice(
-        p, (yy, xx), (14, 14)))(dec2, (ccy >> 1) + 21, (ccx >> 1) + 21)
-    rows2 = jnp.stack([w2[:, k:k + 8, :] for k in range(7)], 1)
-    cnd2 = jnp.stack([rows2[..., k:k + 8] for k in range(7)], 2)
+        p, (yy, xx), (n2 + 6, n2 + 6)))(dec2, (ccy >> 1) + 21,
+                                        (ccx >> 1) + 21)
+    rows2 = jnp.stack([w2[:, k:k + n2, :] for k in range(7)], 1)
+    cnd2 = jnp.stack([rows2[..., k:k + n2] for k in range(7)], 2)
     sad2 = jnp.sum(jnp.abs(src2[:, None, None] - cnd2), axis=(3, 4))
     b2 = jnp.argmin(sad2.reshape(B, 49), axis=1).astype(I32)
     ccx = ccx + 2 * (b2 % 7 - 3)
@@ -274,10 +277,10 @@ def _search_explicit_ref(src, pad_y, r, c, c0mv, c1mv, sl16, bit_depth,
     # candidate on ties (the numpy scan order)
     def fine_cands(cy0, cx0):
         w = jax.vmap(lambda p, yy, xx: jax.lax.dynamic_slice(
-            p, (yy, xx), (24, 24)))(WIN, cy0 + 44, cx0 + 44)
-        rows_s = jnp.stack([w[:, k:k + 16, :] for k in range(9)], 1)
-        cnd = jnp.stack([rows_s[..., k:k + 16] for k in range(9)], 2)
-        return cnd.reshape(B, 81, 16, 16)
+            p, (yy, xx), (n + 8, n + 8)))(WIN, cy0 + 44, cx0 + 44)
+        rows_s = jnp.stack([w[:, k:k + n, :] for k in range(9)], 1)
+        cnd = jnp.stack([rows_s[..., k:k + n] for k in range(9)], 2)
+        return cnd.reshape(B, 81, n, n)
 
     z = jnp.zeros((B,), I32)
     cand = jnp.concatenate([fine_cands(z, z), fine_cands(ccy, ccx)], 1)
@@ -311,30 +314,31 @@ def _search_explicit_ref(src, pad_y, r, c, c0mv, c1mv, sl16, bit_depth,
         by = (mv_e[:, 1] >> 2) + 44
         bx = (mv_e[:, 0] >> 2) + 44
         w24 = jax.vmap(lambda p, yy, xx: jax.lax.dynamic_slice(
-            p, (yy, xx), (24, 24)))(WIN, by, bx)
+            p, (yy, xx), (n + 8, n + 8)))(WIN, by, bx)
 
         def hpass(xf):
-            return sum(int(_FL_NP[xf][k]) * w24[:, :, k:k + 17]
+            return sum(int(_FL_NP[xf][k]) * w24[:, :, k:k + n + 1]
                        for k in range(8))
-        hp = [w24[:, :, 3:20] << (14 - bit_depth)] \
+        hp = [w24[:, :, 3:n + 4] << (14 - bit_depth)] \
             + [hpass(f) for f in (1, 2, 3)]
 
         def qval(dqx, dqy):
             xf, ix = dqx & 3, dqx >> 2
             yf, iy = dqy & 3, dqy >> 2
             if xf == 0 and yf == 0:
-                return w24[:, iy + 4:iy + 20, ix + 4:ix + 20] \
+                return w24[:, iy + 4:iy + 4 + n, ix + 4:ix + 4 + n] \
                     << (14 - bit_depth)
             if yf == 0:
-                return hp[xf][:, iy + 4:iy + 20, ix + 1:ix + 17] >> shift1
+                return hp[xf][:, iy + 4:iy + 4 + n, ix + 1:ix + 1 + n] \
+                    >> shift1
             if xf == 0:
-                col = w24[:, :, ix + 4:ix + 20]
+                col = w24[:, :, ix + 4:ix + 4 + n]
                 return sum(int(_FL_NP[yf][k])
-                           * col[:, iy + 1 + k:iy + 17 + k]
+                           * col[:, iy + 1 + k:iy + 1 + n + k]
                            for k in range(8)) >> shift1
             t = hp[xf] >> shift1
             return sum(int(_FL_NP[yf][k])
-                       * t[:, iy + 1 + k:iy + 17 + k, ix + 1:ix + 17]
+                       * t[:, iy + 1 + k:iy + 1 + n + k, ix + 1:ix + 1 + n]
                        for k in range(8)) >> 6
 
         vals_q, costs_q = {}, {}
@@ -383,59 +387,85 @@ def _search_explicit_ref(src, pad_y, r, c, c0mv, c1mv, sl16, bit_depth,
                     for px in range(-3, 4) for py in range(-3, 4))
     else:
         val_e = jnp.take_along_axis(
-            cand, bi[:, None, None, None], 1).reshape(B, 16, 16) \
+            cand, bi[:, None, None, None], 1).reshape(B, n, n) \
             << (14 - bit_depth)
     mb0b, mb1b = mvd_pair(mv_e)
     return mv_e, mb0b, mb1b, val_e
 
 
-def _merge_luma_val_ref(pad_y, r, c, mg_mv, bit_depth, subpel):
+def _merge_luma_val_ref(pad_y, r, c, mg_mv, bit_depth, subpel, n: int = 16):
     """14-bit luma MC intermediate at a merge MV against one pad.
 
     Merge MVs inherit the extended search range (|mv| <= ~41 px), so the
-    taps window is a per-lane slice of the CTU superwindow."""
+    taps window is a per-lane slice of the CU superwindow."""
     B = mg_mv.shape[0]
-    WIN = _luma_superwin(pad_y, r, c)
+    WIN = _luma_superwin(pad_y, r, c, n)
     if subpel:
         shift1 = bit_depth - 8
         bym = (mg_mv[:, 1] >> 2) + 45
         bxm = (mg_mv[:, 0] >> 2) + 45
         w23 = jax.vmap(lambda p, yy, xx: jax.lax.dynamic_slice(
-            p, (yy, xx), (23, 23)))(WIN, bym, bxm)
+            p, (yy, xx), (n + 7, n + 7)))(WIN, bym, bxm)
         xfm = mg_mv[:, 0] & 3
         yfm = mg_mv[:, 1] & 3
         cxm = _sel_coeffs(_FL_NP, xfm, 8)
         cym = _sel_coeffs(_FL_NP, yfm, 8)
-        hm = sum(cxm[:, k, None, None] * w23[:, :, k:k + 16]
+        hm = sum(cxm[:, k, None, None] * w23[:, :, k:k + n]
                  for k in range(8))
-        p00m = w23[:, 3:19, 3:19] << (14 - bit_depth)
-        phm = hm[:, 3:19] >> shift1
-        pvm = sum(cym[:, k, None, None] * w23[:, k:k + 16, 3:19]
+        p00m = w23[:, 3:3 + n, 3:3 + n] << (14 - bit_depth)
+        phm = hm[:, 3:3 + n] >> shift1
+        pvm = sum(cym[:, k, None, None] * w23[:, k:k + n, 3:3 + n]
                   for k in range(8)) >> shift1
         thm = hm >> shift1
-        phvm = sum(cym[:, k, None, None] * thm[:, k:k + 16]
+        phvm = sum(cym[:, k, None, None] * thm[:, k:k + n]
                    for k in range(8)) >> 6
         xzm = (xfm == 0)[:, None, None]
         yzm = (yfm == 0)[:, None, None]
         return jnp.where(xzm & yzm, p00m,
                          jnp.where(yzm, phm, jnp.where(xzm, pvm, phvm)))
     w16 = jax.vmap(lambda p, yy, xx: jax.lax.dynamic_slice(
-        p, (yy, xx), (16, 16)))(WIN, (mg_mv[:, 1] >> 2) + 48,
-                                (mg_mv[:, 0] >> 2) + 48)
+        p, (yy, xx), (n, n)))(WIN, (mg_mv[:, 1] >> 2) + 48,
+                              (mg_mv[:, 0] >> 2) + 48)
     return w16 << (14 - bit_depth)
 
 
-def _chroma_val_ref(pad_c, r, c, mv, bit_depth):
+def _chroma_mc_val_n(win, mvx, mvy, bit_depth, nc: int):
+    """(B, nc+3, nc+3) gathered window -> (B, nc, nc) 14-bit chroma MC
+    intermediate (generalized _chroma_mc_val_j)."""
+    shift1 = bit_depth - 8
+    xf = mvx & 7
+    yf = mvy & 7
+    cx = _sel_coeffs(_FC_NP, xf, 4)
+    cy = _sel_coeffs(_FC_NP, yf, 4)
+
+    def h4(a, c_):
+        return sum(c_[:, k, None, None] * a[..., k:k + nc] for k in range(4))
+
+    def v4(a, c_):
+        return sum(c_[:, k, None, None] * a[:, k:k + nc] for k in range(4))
+
+    p00 = win[:, 1:1 + nc, 1:1 + nc] << (14 - bit_depth)
+    ph = h4(win, cx)[:, 1:1 + nc] >> shift1
+    pv = v4(win[:, :, 1:1 + nc], cy) >> shift1
+    tmp = h4(win, cx) >> shift1
+    phv = v4(tmp, cy) >> 6
+    xz = (xf == 0)[:, None, None]
+    yz = (yf == 0)[:, None, None]
+    return jnp.where(xz & yz, p00,
+                     jnp.where(yz, ph, jnp.where(xz, pv, phv)))
+
+
+def _chroma_val_ref(pad_c, r, c, mv, bit_depth, nc: int = 8):
     """14-bit chroma MC intermediate at a (luma-quarter-pel) MV: per-lane
-    11x11 taps window from the chroma superwindow."""
+    (nc+3)x(nc+3) taps window from the chroma superwindow."""
     B = pad_c.shape[0]
     CWIN = jax.lax.dynamic_slice(
-        pad_c, (0, r * 8 + MARGIN_C - 24, c * 8 + MARGIN_C - 24),
-        (B, 56, 56))
+        pad_c, (0, r * nc + MARGIN_C - 24, c * nc + MARGIN_C - 24),
+        (B, nc + 48, nc + 48))
     wins = jax.vmap(lambda p, yy, xx: jax.lax.dynamic_slice(
-        p, (yy, xx), (11, 11)))(CWIN, (mv[:, 1] >> 3) + 23,
-                                (mv[:, 0] >> 3) + 23)
-    return _chroma_mc_val_j(wins, mv[:, 0], mv[:, 1], bit_depth)
+        p, (yy, xx), (nc + 3, nc + 3)))(CWIN, (mv[:, 1] >> 3) + 23,
+                                        (mv[:, 0] >> 3) + 23)
+    return _chroma_mc_val_n(wins, mv[:, 0], mv[:, 1], bit_depth, nc)
 
 
 def _rowscan_v1_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh, tnw, bit_depth,

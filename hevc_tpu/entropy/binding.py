@@ -51,6 +51,13 @@ def _load():
         + [ctypes.c_int, ctypes.c_void_p]
         + [ctypes.c_int] + [ctypes.c_void_p] * 3
         + [ctypes.c_void_p] * 10 + [ctypes.c_void_p, ctypes.c_long])
+    try:
+        lib.hevc_entropy_encode_tile_ctb32.restype = ctypes.c_long
+        lib.hevc_entropy_encode_tile_ctb32.argtypes = (
+            [ctypes.c_int] * 7 + [ctypes.c_void_p] * 32
+            + [ctypes.c_void_p, ctypes.c_long])
+    except AttributeError:
+        pass                      # stale .so without the ctb32 entry point
     _lib = lib
     return lib
 
@@ -115,6 +122,52 @@ def encode_tile_payload_v1(qp: int, dec: dict, y0: int, x0: int,
         lvl_cr.ctypes.data, out, cap)
     if n < 0:
         raise RuntimeError(f"entropy v1 fast path error {n}")
+    return bytes(bytearray(out[:n]))
+
+
+def encode_tile_payload_ctb32(qp: int, dec: dict, y320: int, x320: int,
+                              th32: int, tw32: int, last_tile: bool,
+                              p_slice: bool = False, bit_depth: int = 8,
+                              b_slice: bool = False) -> bytes | None:
+    """ctb32 tile substream from the entropy/ctb32.py array format."""
+    lib = _load()
+    if not lib or not hasattr(lib, "hevc_entropy_encode_tile_ctb32"):
+        return None
+    s16 = np.s_[2 * y320:2 * (y320 + th32), 2 * x320:2 * (x320 + tw32)]
+    s32 = np.s_[y320:y320 + th32, x320:x320 + tw32]
+    keep = []
+
+    def ptr(key, dt, sl):
+        a = np.ascontiguousarray(dec[key][sl], dtype=dt)
+        keep.append(a)
+        return a.ctypes.data
+
+    args = [qp, th32, tw32, 1 if last_tile else 0, 1 if p_slice else 0,
+            1 if b_slice else 0, bit_depth]
+    for key, dt in (("skip", np.uint8), ("inter", np.uint8),
+                    ("merge", np.uint8), ("mvd", np.int16),
+                    ("mvp", np.uint8), ("rqt", np.uint8),
+                    ("cbf_yi", np.uint8), ("cbf_cbi", np.uint8),
+                    ("cbf_cri", np.uint8), ("dir", np.uint8),
+                    ("mvd1", np.int16), ("mvp1", np.uint8),
+                    ("modes4", np.int32), ("cbf_y4", np.uint8),
+                    ("cbf_cb", np.uint8), ("cbf_cr", np.uint8),
+                    ("lvl_y", np.int16), ("lvl_cb", np.int16),
+                    ("lvl_cr", np.int16)):
+        args.append(ptr(key, dt, s16))
+    for key, dt in (("split32", np.uint8), ("skip32", np.uint8),
+                    ("inter32", np.uint8), ("merge32", np.uint8),
+                    ("dir32", np.int32), ("mvd32", np.int16),
+                    ("mvp32", np.uint8), ("mvd32_1", np.int16),
+                    ("mvp32_1", np.uint8), ("rqt32", np.uint8),
+                    ("mode32", np.int32), ("cbf32_cb", np.uint8),
+                    ("cbf32_cr", np.uint8)):
+        args.append(ptr(key, dt, s32))
+    cap = max(1 << 16, int(np.asarray(dec["lvl_y"][s16]).nbytes * 2))
+    out = (ctypes.c_ubyte * cap)()
+    n = lib.hevc_entropy_encode_tile_ctb32(*args, out, cap)
+    if n < 0:
+        raise RuntimeError(f"entropy ctb32 fast path error {n}")
     return bytes(bytearray(out[:n]))
 
 

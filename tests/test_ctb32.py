@@ -61,6 +61,36 @@ def test_ctb32_detail_noise():
     _roundtrip("noise", bframes=False)
 
 
+def test_ctb32_cpp_entropy_identity():
+    """C++ ctb32 fast path must be byte-identical to the Python walk."""
+    from hevc_tpu.entropy import binding
+    if not binding.available() or \
+            not hasattr(binding, "encode_tile_payload_ctb32"):
+        pytest.skip("C++ entropy unavailable")
+    import hevc_tpu.encoder.ctb32_ref as CR
+    frames = [tuple(np.asarray(p, np.int32)
+                    for p in synth_frame_kind(96, 64, t, "mixed"))
+              for t in range(4)]
+    for bflag in (False, True):
+        cfg = make_ctb32_config(width=96, height=64, qp=27, inter=True,
+                                bframes=bflag)
+        orig = CR.entropy_encode_frame_ctb32
+        diffs = []
+
+        def both(cfg2, dec, **kw):
+            py = orig(cfg2, dec, use_cpp=False, **kw)
+            cp = orig(cfg2, dec, use_cpp=True, **kw)
+            diffs.append(py == cp)
+            return py
+
+        CR.entropy_encode_frame_ctb32 = both
+        try:
+            Ctb32RefEncoder(cfg).encode_video(frames, gop=0)
+        finally:
+            CR.entropy_encode_frame_ctb32 = orig
+        assert all(diffs), diffs
+
+
 def test_ctb32_uses_both_levels():
     """The encoder must actually exercise split and unsplit CTBs."""
     frames = [tuple(np.asarray(p, np.int32)

@@ -95,6 +95,92 @@ def phase_profile():
     return True
 
 
+def phase_diag():
+    """Ground-truth per-dispatch costs on the tunnel: RPC overhead,
+    upload/fetch rates, and each production dispatch timed in isolation."""
+    log("=== phase: diag ===")
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from generate_test_videos import synth_frame
+    from hevc_tpu.encoder.frame_jax import pick_tile_grid
+    from hevc_tpu.encoder.gop import GopEncoder, b_schedule, chunk_groups
+    from hevc_tpu.entropy.headers import StreamConfig
+
+    W, H, F, QP = 1920, 1080, 16, 27
+    frames = [tuple(np.asarray(p, np.int32) for p in synth_frame(W, H, t))
+              for t in range(F)]
+    tc, tr = pick_tile_grid((H + 15) // 16, (W + 15) // 16)
+    cfg = StreamConfig(width=W, height=H, qp=QP, tile_cols=tc, tile_rows=tr,
+                       inter=True, bframes=True)
+    enc = GopEncoder(cfg)
+    sched = b_schedule(F, 30, True)
+    groups = chunk_groups(sched, True, 8)
+    for grp in groups:          # warm/compile + build DPB state
+        enc.encode_chunk_async([frames[e[0]] for e in grp],
+                               [e[1:] for e in grp], chunk=8).result()
+
+    # tiny jit call = pure RPC overhead
+    f_tiny = jax.jit(lambda x: x + 1)
+    x = jnp.zeros((8,), jnp.int32)
+    jax.block_until_ready(f_tiny(x))
+    for name, fn in (("tiny_jit", lambda: jax.block_until_ready(f_tiny(x))),):
+        t0 = time.time()
+        for _ in range(10):
+            fn()
+        log(f"[diag] {name}: {(time.time()-t0)*100:.1f} ms/call")
+
+    # upload 25 MB flat
+    buf = np.zeros(25 << 20, np.uint8)
+    t0 = time.time()
+    for _ in range(3):
+        jax.block_until_ready(jnp.asarray(buf))
+    log(f"[diag] 25MB flat upload: {(time.time()-t0)/3*1000:.0f} ms")
+
+    # fetch 1 MB
+    dv = jnp.zeros(1 << 20, jnp.uint8) + 1
+    jax.block_until_ready(dv)
+    t0 = time.time()
+    for _ in range(3):
+        np.asarray(dv)
+    log(f"[diag] 1MB fetch: {(time.time()-t0)/3*1000:.0f} ms")
+
+    # one steady-state group, each dispatch blocked-until-ready in turn
+    from hevc_tpu.utils.metrics import GLOBAL_TIMERS
+    grp = groups[0]
+    staged = enc.stage_chunk([frames[e[0]] for e in grp],
+                             [e[1:] for e in grp], 8)
+    import hevc_tpu.encoder.gop as G
+    orig_gop = G._gop_chunk_jit
+    orig_b = G._b_batch_jit
+
+    def timed_gop(*a, **k):
+        t0 = time.time()
+        out = orig_gop(*a, **k)
+        jax.block_until_ready(out)
+        log(f"[diag] gop_chunk blocked: {(time.time()-t0)*1000:.0f} ms")
+        return out
+
+    def timed_b(*a, **k):
+        t0 = time.time()
+        out = orig_b(*a, **k)
+        jax.block_until_ready(out)
+        log(f"[diag] b_batch blocked: {(time.time()-t0)*1000:.0f} ms")
+        return out
+
+    G._gop_chunk_jit = timed_gop
+    G._b_batch_jit = timed_b
+    t0 = time.time()
+    enc.encode_chunk_async([frames[e[0]] for e in grp],
+                           [e[1:] for e in grp], chunk=8,
+                           staged=staged).result()
+    log(f"[diag] whole group (serial, blocked): {(time.time()-t0)*1000:.0f}"
+        " ms")
+    G._gop_chunk_jit = orig_gop
+    G._b_batch_jit = orig_b
+    return True
+
+
 def phase_bench():
     log("=== phase: bench ===")
     import bench
