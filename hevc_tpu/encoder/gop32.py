@@ -158,12 +158,17 @@ class Ctb32DeviceEncoder:
             )
 
         if not i_slice:
-            # numpy stores no levels for skip CUs (the device graph routes
-            # the merge candidate's levels there; entropy reads neither)
+            # numpy stores no levels for skip CUs, and mvd/mvp/rqt only on
+            # explicit CU16 cells (the device graph routes candidate values
+            # everywhere; entropy reads neither)
             sk16 = dec["skip"] | np.repeat(np.repeat(dec["skip32"], 2, 0),
                                            2, 1)
             for k in ("lvl_y", "lvl_cb", "lvl_cr"):
                 dec[k] = np.where(sk16[:, :, None, None], 0, dec[k])
+            expl16 = split16 & dec["inter"] & ~dec["merge"]
+            dec["mvd"] = np.where(expl16[:, :, None], dec["mvd"], 0)
+            dec["mvp"] = np.where(expl16, dec["mvp"], 0)
+            dec["rqt"] = np.where(expl16, dec["rqt"], 0)
 
         def plane(k, bs):
             a = z_to_raster(cells[k], t32h, t32w)[:, :, 0]
