@@ -148,6 +148,31 @@ def bench_res(W, H, F, QP, label, synth_frame, baseline=False):
     return fps, base_fps
 
 
+def bench_ctb32(W, H, F, QP, synth_frame):
+    """ctb32-preset (32/16 quadtree IPPP) fps + bitrate at 1080p."""
+    from hevc_tpu.encoder.frame_jax import pick_tile_grid
+    from hevc_tpu.encoder.gop32 import Ctb32GopEncoder, make_ctb32_config
+    frames = [tuple(np.asarray(p, np.int32) for p in synth_frame(W, H, t))
+              for t in range(F)]
+    tc, tr = pick_tile_grid((H + 31) // 32, (W + 31) // 32, ctb=32)
+    cfg = make_ctb32_config(width=W, height=H, qp=QP, tile_cols=tc,
+                            tile_rows=tr, inter=True)
+    enc = Ctb32GopEncoder(cfg)
+    t0 = time.time()
+    bs = enc.encode_video(frames, gop=30)
+    log(f"[ctb32] compile+first: {time.time()-t0:.1f}s, {len(bs)} bytes "
+        f"({len(bs)*8*30/F/1e6:.2f} Mbps @30fps)")
+    t0 = time.time()
+    n = 0
+    for _ in range(2):
+        enc.encode_video(frames, gop=30)
+        n += F
+    fps = n / (time.time() - t0)
+    log(f"[ctb32] pipelined end-to-end: {1000/fps:.1f} ms/frame "
+        f"= {fps:.2f} fps")
+    return fps
+
+
 def main():
     import jax
     try:
@@ -162,6 +187,10 @@ def main():
 
     fps, base_fps = bench_res(1920, 1080, 16, 27, "1080p", synth_frame,
                               baseline=True)
+    try:
+        bench_ctb32(1920, 1080, 16, 27, synth_frame)
+    except Exception as e:
+        log("ctb32 bench failed:", e)
     try:
         fps4k, _ = bench_res(3840, 2160, 8, 27, "4k", synth_frame)
         log(f"[4k] {fps4k:.2f} fps (north star: 30)")

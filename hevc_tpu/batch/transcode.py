@@ -144,6 +144,7 @@ def convert_video(file_path, out_dir, progress_callback=None, debug=False,
                                 audio=audio, src_path=file_path, resume=resume,
                                 nxn=pr.nxn, sao=pr.sao,
                                 bframes=pr.bframes,
+                                ctb32=getattr(pr, "ctb32", False),
                                 rate_plan=plan if qp_override is None else None,
                                 gop=plan.gop if pr.inter else 0)
             if ok == "CANCELLED":
@@ -216,6 +217,82 @@ def convert_video(file_path, out_dir, progress_callback=None, debug=False,
     return result
 
 
+def _encode_to_mp4_ctb32(frames, info, level, qp, out_path,
+                         progress_callback, file_name, stop_event, deadline,
+                         audio, rate_plan, gop, fps, bit_depth):
+    """ctb32-preset encode: 32/16 quadtree IPPP on the fused device path."""
+    from collections import deque
+    from hevc_tpu.encoder.frame_jax import pick_tile_grid
+    from hevc_tpu.encoder.gop32 import Ctb32GopEncoder, make_ctb32_config
+    from hevc_tpu.entropy.headers import write_vps, write_sps, write_pps, \
+        write_aud
+    from hevc_tpu.io.mp4 import mux_mp4
+    from hevc_tpu.utils.bitio import length_prefixed
+
+    h, w = frames[0][0].shape
+    nh32 = (h + 31) // 32
+    nw32 = (w + 31) // 32
+    tc, tr = pick_tile_grid(nh32, nw32, ctb=32)
+    cfg = make_ctb32_config(
+        width=w, height=h, qp=qp, fps=fps, bit_depth=bit_depth,
+        level_idc=level.level_idc, tier_high=level.tier_high,
+        profile_idc=2 if level.profile == "main10" else 1,
+        color_primaries=info.color_primaries,
+        color_transfer=info.color_transfer, color_space=info.color_space,
+        full_range=info.color_range == "pc", chromaloc=info.chromaloc,
+        hdr=info.is_hdr, tile_cols=tc, tile_rows=tr, inter=True)
+    rc = None
+    if rate_plan is not None:
+        from hevc_tpu.encoder.rc import RateController
+        rc = RateController(base_qp=qp,
+                            target_bps=rate_plan.vbv_maxrate_kbps * 1000
+                            * 0.85,
+                            vbv_max_bps=rate_plan.vbv_maxrate_kbps * 1000,
+                            vbv_buf_bits=rate_plan.vbv_bufsize_kbits * 1000,
+                            fps=float(fps))
+    enc = Ctb32GopEncoder(cfg)
+    samples = []
+    total = len(frames)
+    pending: deque = deque()
+
+    def drain_one():
+        idx, kind, fut = pending.popleft()
+        nal = fut.result()
+        samples.append(length_prefixed([write_aud(min(kind, 2)), nal]))
+        if rc is not None:
+            rc.update(len(nal) * 8)
+        if progress_callback:
+            try:
+                progress_callback(file_name, idx + 1, total)
+            except Exception:
+                pass
+
+    for i, f in enumerate(frames):
+        if stop_event is not None and stop_event.is_set():
+            for _, _, fut in pending:
+                fut.cancel()
+            return "CANCELLED"
+        if time.time() > deadline:
+            raise TimeoutError("per-file encode timeout")
+        is_idr = i == 0 or (gop and i % gop == 0)
+        cur_qp = rc.qp if rc is not None else cfg.qp
+        fut = enc.encode_next_async(
+            np.asarray(f[0], np.int32), np.asarray(f[1], np.int32),
+            np.asarray(f[2], np.int32), idr=is_idr, qp=cur_qp)
+        pending.append((i, 0 if is_idr else 1, fut))
+        while len(pending) > 3:
+            drain_one()
+    while pending:
+        drain_one()
+    from hevc_tpu.planner.hdr import build_hdr_metadata
+    syncs = [k + 1 for k in range(total) if k == 0 or (gop and k % gop == 0)]
+    mux_mp4(out_path, samples, cfg, fps=fps,
+            vps=write_vps(cfg), sps=write_sps(cfg), pps=write_pps(cfg),
+            sync_samples=syncs, hdr_metadata=build_hdr_metadata(info),
+            audio=audio)
+    return "SUCCESS"
+
+
 def _prepare_audio(file_path: Path):
     """Decode source audio and re-encode per the AAC policy (SURVEY C8).
 
@@ -249,7 +326,7 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
                    file_name: str, stop_event, deadline: float, audio=None,
                    src_path=None, resume: bool = False, nxn: bool = True,
                    rate_plan=None, gop: int = 0, sao: bool = False,
-                   bframes: bool = False):
+                   bframes: bool = False, ctb32: bool = False):
     from hevc_tpu.entropy.headers import StreamConfig
     from hevc_tpu.encoder.toplevel import VideoEncoder, entropy_encode_frame
     from hevc_tpu.io.mp4 import mux_mp4
@@ -272,6 +349,11 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
         frames = [tuple(np.asarray(p, np.int32) << 2 for p in f)
                   for f in frames]
     use_inter = gop > 1 and backend == "jax"
+    if ctb32 and use_inter:
+        return _encode_to_mp4_ctb32(frames, info, level, qp, out_path,
+                                    progress_callback, file_name,
+                                    stop_event, deadline, audio, rate_plan,
+                                    gop, fps, bit_depth)
     cfg = StreamConfig(
         width=w, height=h, qp=qp, fps=fps, bit_depth=bit_depth,
         level_idc=level.level_idc, tier_high=level.tier_high,

@@ -29,7 +29,6 @@ class IntraDecoder:
         self.sps = sps
         self.pps = pps
         assert not pps.cu_qp_delta_enabled, "cu_qp_delta unsupported (v0)"
-        assert not pps.sign_data_hiding, "sign data hiding unsupported (v0)"
         assert not pps.transform_skip, "transform skip unsupported (v0)"
         assert not pps.constrained_intra, "constrained intra unsupported"
         self.W = sps.pic_width
@@ -154,7 +153,8 @@ class IntraDecoder:
         self.off = off              # this tile's (x, y) offset in the picture
         assert not self.p_slice or ref is not None, "P slice needs a ref pic"
         assert not self.b_slice or ref1 is not None, "B slice needs L1 ref"
-        self.syn = SliceSyntaxDecoder(payload, hdr.qp, hdr.init_type)
+        self.syn = SliceSyntaxDecoder(payload, hdr.qp, hdr.init_type,
+                                      sdh=pps.sign_data_hiding)
         ctbs_w = (self.W + self.ctb - 1) // self.ctb
         ctbs_h = (self.H + self.ctb - 1) // self.ctb
         use_sao = self.sps.sao_enabled and (hdr.sao_luma or hdr.sao_chroma)
@@ -553,11 +553,15 @@ def _decode_tiled_slice(payload: bytes, hdr, sps: Sps, pps: Pps,
     skip_map = np.zeros((nh, nw), bool)
     sao_y = [[None] * nw for _ in range(nh)]
     sao_c = [[None] * nw for _ in range(nh)]
-    cu_maps = {"intra": np.ones((nh, nw), bool),
-               "cbf": np.zeros((nh, nw), bool),
-               "mv": np.zeros((nh, nw, 2), np.int32),
-               "mv1": np.zeros((nh, nw, 2), np.int32),
-               "pf": np.zeros((nh, nw, 2), np.int32)}
+    # motion/cbf maps live on the 16-sample deblock bS grid, NOT the CTB
+    # grid (they only coincide at CTB=16)
+    s16 = ctb // 16
+    nh16, nw16 = nh * s16, nw * s16
+    cu_maps = {"intra": np.ones((nh16, nw16), bool),
+               "cbf": np.zeros((nh16, nw16), bool),
+               "mv": np.zeros((nh16, nw16, 2), np.int32),
+               "mv1": np.zeros((nh16, nw16, 2), np.int32),
+               "pf": np.zeros((nh16, nw16, 2), np.int32)}
     k = 0
     y0 = 0
     for th in rows:
@@ -580,7 +584,8 @@ def _decode_tiled_slice(payload: bytes, hdr, sps: Sps, pps: Pps,
             part_map[y0:y0 + th, x0:x0 + tw] = f["part_map"]
             skip_map[y0:y0 + th, x0:x0 + tw] = f["skip_map"]
             for kk in ("intra", "cbf", "mv", "mv1", "pf"):
-                cu_maps[kk][y0:y0 + th, x0:x0 + tw] = f["cu_maps"][kk]
+                cu_maps[kk][y0 * s16:(y0 + th) * s16,
+                            x0 * s16:(x0 + tw) * s16] = f["cu_maps"][kk]
             fy, fc = f["sao"]
             for j in range(th):
                 sao_y[y0 + j][x0:x0 + tw] = fy[j]

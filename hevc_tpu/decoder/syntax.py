@@ -15,8 +15,10 @@ from hevc_tpu.entropy.cabac import CabacDecoder
 class SliceSyntaxDecoder:
     """Decodes intra-slice CTU syntax from CABAC bins."""
 
-    def __init__(self, data: bytes, qp: int, init_type: int = 0):
+    def __init__(self, data: bytes, qp: int, init_type: int = 0,
+                 sdh: bool = False):
         self.cabac = CabacDecoder(data, qp, init_type)
+        self.sdh = sdh              # pps.sign_data_hiding_enabled_flag
 
     # ---- intra mode signaling ----------------------------------------------
     def decode_luma_mode(self, cands: list[int]) -> int:
@@ -247,7 +249,13 @@ class SliceSyntaxDecoder:
                 ctx = T.CTX_OFF["gt2"] + (4 if c_idx else 0) + ctx_set
                 levels[first_g1_idx] += c.decode_bin(ctx)
 
-            signs = [c.decode_bypass() for _ in range(num_nz)]
+            # sign of the firstSigScanPos coefficient is hidden when the
+            # sub-block's significant span exceeds 3 (spec 7.4.9.11): it
+            # is inferred from the parity of the level sum, parsed below
+            sign_hidden = self.sdh and \
+                (sig_positions[0] - sig_positions[-1]) > 3
+            signs = [c.decode_bypass()
+                     for _ in range(num_nz - (1 if sign_hidden else 0))]
 
             rice = 0
             first_coeff2 = 1
@@ -260,6 +268,9 @@ class SliceSyntaxDecoder:
                         rice = min(rice + 1, 4)
                 if levels[k] >= 2:
                     first_coeff2 = 0
+
+            if sign_hidden:
+                signs.append(1 if (sum(levels) & 1) else 0)
 
             for k, ns in enumerate(sig_positions):
                 gpos = i * 16 + ns

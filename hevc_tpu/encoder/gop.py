@@ -148,13 +148,59 @@ def _gop_chunk_jit(yp, cbp, crp, kinds, active, prev_pads, cur_pads,
     encoder/pack.py): two packed fetches per chunk instead of ~26 arrays
     per frame — SURVEY §2's GOP-segment pipelining.
     """
-    from hevc_tpu.encoder.pack import FramePackSpec
-    from hevc_tpu.ops.deblock_jax import assemble_deblock_pad_jit
-    spec = FramePackSpec(tnh, tnw, tr * tc_)
-    S, T = tnh * tnw, tr * tc_
     ya = _split_tiles_j(yp, tr, tc_, tnh, tnw, 16)
     cba = _split_tiles_j(cbp, tr, tc_, tnh, tnw, 8)
     cra = _split_tiles_j(crp, tr, tc_, tnh, tnw, 8)
+    return _gop_chunk_blocks(ya, cba, cra, kinds, active, prev_pads,
+                             cur_pads, qp_v, lam_bits_v, lam16_v, sl16_v,
+                             tnh, tnw, tr, tc_, bit_depth, enable_nxn,
+                             nxn_p, deblock, subpel)
+
+
+def _gop_chunk_blocks(ya, cba, cra, kinds, active, prev_pads, cur_pads,
+                      qp_v, lam_bits_v, lam16_v, sl16_v,
+                      tnh, tnw, tr, tc_, bit_depth, enable_nxn, nxn_p,
+                      deblock, subpel, streams=1):
+    """Traceable chunk-scan body over pre-split tile blocks (K, T, ...)
+    with T = streams * tr * tc_.
+
+    Lanes never interact in the scan — the DPB carry is per-lane — so
+    this body shards cleanly over a device mesh (encode_chunk_sharded):
+    multi-stream production encoding IS lane-axis data parallelism.  The
+    deblock/pad assembly is per-STREAM (vmapped over the stream axis) so
+    MC halos only ever carry a stream's own picture pixels.
+    """
+    from hevc_tpu.encoder.pack import FramePackSpec
+    from hevc_tpu.ops.deblock_jax import assemble_deblock_pad_jit
+    T1 = tr * tc_
+    T = streams * T1
+    spec = FramePackSpec(tnh, tnw, T)
+    S = tnh * tnw
+
+    def _assemble(ry, rcb, rcr, qp, intra, cbf, mv, nxn, do_pad):
+        if streams == 1:
+            return assemble_deblock_pad_jit.__wrapped__(
+                ry, rcb, rcr, qp, intra, cbf, mv, nxn,
+                tnh, tnw, tr, tc_, bit_depth, deblock, do_pad=do_pad)
+
+        def split(a):     # (steps, S*T1, ...) -> (S, steps, T1, ...)
+            x = a.reshape((a.shape[0], streams, T1) + a.shape[2:])
+            return jnp.moveaxis(x, 1, 0)
+
+        def one(args):
+            ry_, rcb_, rcr_, it_, cb_, mv_, nx_ = args
+            d = assemble_deblock_pad_jit.__wrapped__(
+                ry_, rcb_, rcr_, qp, it_, cb_, mv_, nx_,
+                tnh, tnw, tr, tc_, bit_depth, deblock, do_pad=do_pad)
+            return tuple(d[3:6])
+
+        pads = jax.vmap(one)((split(ry), split(rcb), split(rcr),
+                              split(intra), split(cbf), split(mv),
+                              split(nxn)))
+        # (S, T1, h, w) -> (S*T1, h, w); pad front with 3 dummy slots so
+        # the d[3:6] indexing below stays uniform
+        merged = tuple(p.reshape((T,) + p.shape[2:]) for p in pads)
+        return (None, None, None) + merged
 
     def body(carry, xs):
         sy, scb, scr, kind, act, qp, lam_bits, lam16, sl16 = xs
@@ -166,10 +212,10 @@ def _gop_chunk_jit(yp, cbp, crp, kinds, active, prev_pads, cur_pads,
             outs = _rowscan_v1_scan(fy, fcb, fcr, qp, lam_bits, tnh, tnw,
                                     bit_depth, enable_nxn=enable_nxn)
             st = outs[0].shape
-            d = assemble_deblock_pad_jit.__wrapped__(
+            d = _assemble(
                 outs[10], outs[11], outs[12], qp, jnp.ones(st, bool),
                 jnp.zeros(st, bool), jnp.zeros(st + (2,), jnp.int16),
-                outs[0], tnh, tnw, tr, tc_, bit_depth, deblock, do_pad=True)
+                outs[0], do_pad=True)
             fields = dict(_zfields_j(S, T), **_intra_fields_j(outs))
             return fields, (outs[7], outs[8], outs[9]), (cur3, tuple(d[3:6]))
 
@@ -180,10 +226,10 @@ def _gop_chunk_jit(yp, cbp, crp, kinds, active, prev_pads, cur_pads,
                                     sl16=sl16, enable_nxn=nxn_p,
                                     subpel=subpel)
             inter_s = outs[13] | outs[14]
-            d = assemble_deblock_pad_jit.__wrapped__(
+            d = _assemble(
                 outs[10], outs[11], outs[12], qp, ~inter_s,
                 outs[14] & outs[19], outs[22], outs[0] & ~inter_s,
-                tnh, tnw, tr, tc_, bit_depth, deblock, do_pad=True)
+                do_pad=True)
             fields = dict(_zfields_j(S, T), **_intra_fields_j(outs))
             fields.update(skip=outs[13], inter=outs[14], merge=outs[15],
                           mvd=outs[16], mvp=outs[17], rqt=outs[18],
@@ -328,8 +374,9 @@ def chunk_groups(sched, bframes: bool, chunk: int = 8):
     if not bframes:
         return [sched[i:i + chunk] for i in range(0, len(sched), chunk)]
     groups, cur, nref = [], [], 0
+    cap = min(chunk, 4)
     for e in sched:
-        if e[1] != 2 and nref == chunk:
+        if e[1] != 2 and nref == cap:
             groups.append(cur)
             cur, nref = [], 0
         cur.append(e)
@@ -643,8 +690,11 @@ class GopEncoder:
         encode_chunk_async(staged=...).
         """
         cfg = self.cfg
-        KR = chunk
-        KB = chunk if cfg.bframes else 0
+        # 4-ref groups measured best end-to-end: the 8-ref variant made
+        # the B batch a 2.2 s serial block on the tunnel and pushed the
+        # 16-frame 4K graph past the remote compiler's limits
+        KR = min(chunk, 4) if cfg.bframes else chunk
+        KB = min(chunk, 4) if cfg.bframes else 0
         refs_pos = [j for j, m in enumerate(metas) if m[0] != 2]
         bees_pos = [j for j, m in enumerate(metas) if m[0] == 2]
         assert 0 < len(refs_pos) <= KR and len(bees_pos) <= max(KB, 0), \

@@ -1,12 +1,17 @@
-"""Host driver for the ctb32 device kernel (per-frame, correctness-first).
+"""Host drivers for the ctb32 device kernel.
 
-Runs rowscan32_scan_jit frame by frame, converts the z-ordered cell
-outputs into the entropy array format (entropy/ctb32.py), deblocks on
-host, and chains deblocked references — mirroring Ctb32RefEncoder's
-encode_video exactly (tests assert bit-identical streams).  The chunked
-multi-frame dispatch and the B kernel land on top of this.
+Two layers:
+  * Ctb32DeviceEncoder — per-frame correctness driver (array fetches, no
+    tiles); tests assert bit-identical streams vs the numpy spec.
+  * Ctb32GopEncoder — the PRODUCTION driver: tile lanes, one fused
+    device dispatch per frame (scan + deblock + DPB pad + device-side
+    packing + fetch-buffer assembly), device-resident DPB, and the same
+    dispatch/entropy worker-thread pipeline as encoder/gop.GopEncoder.
 """
 from __future__ import annotations
+
+import time
+from functools import partial
 
 import numpy as np
 import jax
@@ -16,7 +21,8 @@ from hevc_tpu.encoder.ctb32_ref import make_ctb32_config  # noqa: F401
 from hevc_tpu.encoder.reference_encoder import pad_to_ctb
 from hevc_tpu.encoder.ctu_modes import skip_lambda16
 from hevc_tpu.encoder.rowscan_v1 import MARGIN, MARGIN_C, RowScanEncoderV1
-from hevc_tpu.encoder.rowscan32 import rowscan32_scan_jit, z_to_raster
+from hevc_tpu.encoder.rowscan32 import (rowscan32_scan_jit, z_to_raster,
+                                        zr_j, _rowscan32_scan)
 from hevc_tpu.entropy.ctb32 import entropy_encode_frame_ctb32
 from hevc_tpu.entropy.headers import StreamConfig, write_vps, write_sps, \
     write_pps
@@ -227,3 +233,371 @@ class Ctb32DeviceEncoder:
             ref = disp
             recons.append(disp)
         return out, recons
+
+
+# ---- production path: fused per-frame dispatch + device packing -----------
+
+# 16-grid per-cell fields (name, dtype, elems) and bools, pack order
+_INT_C = (("mode", np.int8, 1), ("mvp", np.int8, 1), ("rqt", np.int8, 1),
+          ("mvd", np.int16, 2), ("mv", np.int16, 2))
+_BOOL_C = ("skip", "inter", "merge", "cbf_y", "cbf_cb", "cbf_cr",
+           "cbf_yi", "cbf_cbi", "cbf_cri", "intra_cell")
+# 32-grid fields
+_INT_G = (("mode32", np.int8, 1), ("mvp32", np.int8, 1),
+          ("rqt32", np.int8, 1), ("mvd32", np.int16, 2))
+_BOOL_G = ("split32", "skip32", "inter32", "merge32", "cbf32_cb",
+           "cbf32_cr")
+
+
+class Ctb32PackSpec:
+    """Device-packed per-frame syntax layout for the ctb32 profile."""
+
+    def __init__(self, tnh32: int, tnw32: int, T: int):
+        self.s32 = tnh32 * tnw32
+        self.s16 = 4 * self.s32
+        self.T = T
+        n16 = self.s16 * T
+        n32 = self.s32 * T
+        self.int_bytes = sum(np.dtype(d).itemsize * k
+                             for _, d, k in _INT_C) * n16 \
+            + sum(np.dtype(d).itemsize * k for _, d, k in _INT_G) * n32
+        nbool = len(_BOOL_C) * n16 + len(_BOOL_G) * n32
+        self.bool_pad = (-nbool) % 8
+        self.bool_bytes = (nbool + self.bool_pad) // 8
+        self.coef_elems = (256 + 64 + 64) * n16
+        self.head_bytes = self.int_bytes + self.bool_bytes + 4
+
+    def pack_head(self, c16: dict, c32: dict, nnz):
+        from hevc_tpu.encoder.pack import _u8, _bitpack_j
+        parts = []
+        for nm, dt, k in _INT_C:
+            parts.append(_u8(c16[nm]))
+        for nm, dt, k in _INT_G:
+            parts.append(_u8(c32[nm]))
+        bools = jnp.concatenate(
+            [c16[nm].reshape(-1) for nm in _BOOL_C]
+            + [c32[nm].reshape(-1) for nm in _BOOL_G])
+        if self.bool_pad:
+            bools = jnp.concatenate([bools,
+                                     jnp.zeros(self.bool_pad, bool)])
+        parts.append(_bitpack_j(bools))
+        parts.append(_u8(nnz.astype(jnp.int32).reshape(1)))
+        return jnp.concatenate(parts)
+
+    def unpack_head(self, buf: np.ndarray):
+        s16, s32, T = self.s16, self.s32, self.T
+        off = 0
+        out = {}
+        for nm, dt, k in _INT_C:
+            nb = np.dtype(dt).itemsize * k * s16 * T
+            out[nm] = buf[off:off + nb].view(dt).reshape(
+                (s16, T) if k == 1 else (s16, T, k))
+            off += nb
+        for nm, dt, k in _INT_G:
+            nb = np.dtype(dt).itemsize * k * s32 * T
+            out[nm] = buf[off:off + nb].view(dt).reshape(
+                (s32, T) if k == 1 else (s32, T, k))
+            off += nb
+        bits = np.unpackbits(buf[off:off + self.bool_bytes],
+                             bitorder="little")
+        off += self.bool_bytes
+        boff = 0
+        for nm in _BOOL_C:
+            out[nm] = bits[boff:boff + s16 * T].astype(bool).reshape(s16, T)
+            boff += s16 * T
+        for nm in _BOOL_G:
+            out[nm] = bits[boff:boff + s32 * T].astype(bool).reshape(s32, T)
+            boff += s32 * T
+        nnz = int(buf[off:off + 4].view(np.int32)[0])
+        return out, nnz
+
+
+def _split32_j(p, tr, tc_, tnh32, tnw32, bs):
+    """(Hp, Wp) plane -> (T, tnh32, tnw32, bs, bs) tile blocks (bs=32/16)."""
+    x = p.reshape(tr, tnh32, bs, tc_, tnw32, bs)
+    x = x.transpose(0, 3, 1, 4, 2, 5)
+    return x.reshape(tr * tc_, tnh32, tnw32, bs, bs)
+
+
+@partial(jax.jit, static_argnames=("tnh32", "tnw32", "tr", "tc_",
+                                   "bit_depth", "idr", "subpel", "deblock",
+                                   "cap"))
+def _gop32_step_jit(flat, pad_y, pad_cb, pad_cr, qp, lam_bits, lam16, sl16,
+                    tnh32, tnw32, tr, tc_, bit_depth, idr, subpel, deblock,
+                    cap):
+    """One fused ctb32 frame dispatch: stage sources from the flat upload,
+    scan, deblock + DPB pad, device-pack the syntax, and assemble the one
+    fetch buffer.  Single round trip per frame on the tunnel."""
+    from hevc_tpu.encoder.pack import coef_stream
+    from hevc_tpu.ops.deblock_jax import assemble_deblock_pad_jit
+    T = tr * tc_
+    H = tr * tnh32 * 32
+    W = tc_ * tnw32 * 32
+    off = 0
+    yp = jax.lax.dynamic_slice(flat, (0,), (H * W,)).reshape(H, W)
+    off = H * W
+    cbp = jax.lax.dynamic_slice(flat, (off,), (H * W // 4,)).reshape(
+        H // 2, W // 2)
+    off += H * W // 4
+    crp = jax.lax.dynamic_slice(flat, (off,), (H * W // 4,)).reshape(
+        H // 2, W // 2)
+    ya = _split32_j(yp.astype(jnp.int32), tr, tc_, tnh32, tnw32, 32)
+    cba = _split32_j(cbp.astype(jnp.int32), tr, tc_, tnh32, tnw32, 16)
+    cra = _split32_j(crp.astype(jnp.int32), tr, tc_, tnh32, tnw32, 16)
+    cells, o32 = _rowscan32_scan(
+        ya, cba, cra, qp, lam_bits, tnh32, tnw32, bit_depth,
+        lam16=lam16, sl16=sl16,
+        ref_pads=None if idr else (pad_y, pad_cb, pad_cr), subpel=subpel)
+
+    def zr(a):
+        return zr_j(a, tnh32, tnw32)
+
+    tnh16, tnw16 = 2 * tnh32, 2 * tnw32
+    rec_y = zr(cells["rec_y"])
+    rec_cb = zr(cells["rec_cb"])
+    rec_cr = zr(cells["rec_cr"])
+    S16 = tnh16 * tnw16
+    if idr:
+        intra_s = jnp.ones((S16, T), bool)
+        cbf_s = jnp.zeros((S16, T), bool)
+        mv_s = jnp.zeros((S16, T, 2), jnp.int16)
+    else:
+        intra_s = zr(cells["intra_cell"])
+        cbf_s = jnp.where(intra_s, zr(cells["cbf_y"]), zr(cells["cbf_yi"]))
+        mv_s = zr(cells["mv"])
+    nxn_s = jnp.zeros((S16, T), bool)
+    d = assemble_deblock_pad_jit.__wrapped__(
+        rec_y, rec_cb, rec_cr, qp, intra_s, cbf_s, mv_s, nxn_s,
+        tnh16, tnw16, tr, tc_, bit_depth, deblock, do_pad=True)
+
+    spec = Ctb32PackSpec(tnh32, tnw32, T)
+    z16 = jnp.zeros((S16, T), jnp.int8)
+    z16v = jnp.zeros((S16, T, 2), jnp.int16)
+    z32 = jnp.zeros((spec.s32, T), jnp.int8)
+    z32v = jnp.zeros((spec.s32, T, 2), jnp.int16)
+    zb16 = jnp.zeros((S16, T), bool)
+    zb32 = jnp.zeros((spec.s32, T), bool)
+    c16 = {"mode": zr(cells["mode"]),
+           "cbf_y": zr(cells["cbf_y"]), "cbf_cb": zr(cells["cbf_cb"]),
+           "cbf_cr": zr(cells["cbf_cr"])}
+    if idr:
+        c16.update(mvp=z16, rqt=z16, mvd=z16v, mv=z16v, skip=zb16,
+                   inter=zb16, merge=zb16, cbf_yi=zb16, cbf_cbi=zb16,
+                   cbf_cri=zb16, intra_cell=jnp.ones((S16, T), bool))
+        g32 = {"mode32": o32["mode32"], "mvp32": z32, "rqt32": z32,
+               "mvd32": z32v, "split32": o32["split32"], "skip32": zb32,
+               "inter32": zb32, "merge32": zb32,
+               "cbf32_cb": o32["cbf32_cb"], "cbf32_cr": o32["cbf32_cr"]}
+    else:
+        c16.update(mvp=zr(cells["mvp"]).astype(jnp.int8),
+                   rqt=zr(cells["rqt"]).astype(jnp.int8),
+                   mvd=zr(cells["mvd"]), mv=zr(cells["mv"]),
+                   skip=zr(cells["skip"]), inter=zr(cells["inter"]),
+                   merge=zr(cells["merge"]), cbf_yi=zr(cells["cbf_yi"]),
+                   cbf_cbi=zr(cells["cbf_cbi"]),
+                   cbf_cri=zr(cells["cbf_cri"]),
+                   intra_cell=zr(cells["intra_cell"]))
+        g32 = {"mode32": z32, "mvp32": o32["mvp32"].astype(jnp.int8),
+               "rqt32": o32["rqt32"].astype(jnp.int8),
+               "mvd32": o32["mvd32"], "split32": o32["split32"],
+               "skip32": o32["skip32"], "inter32": o32["inter32"],
+               "merge32": o32["merge32"],
+               "cbf32_cb": o32["cbf32_cb"], "cbf32_cr": o32["cbf32_cr"]}
+    lvl_y = zr(cells["lvl_y"])
+    lvl_cb = zr(cells["lvl_cb"])
+    lvl_cr = zr(cells["lvl_cr"])
+    flat_coef = jnp.concatenate([lvl_y.astype(jnp.int16).reshape(-1),
+                                 lvl_cb.astype(jnp.int16).reshape(-1),
+                                 lvl_cr.astype(jnp.int16).reshape(-1)])
+    nnz = (flat_coef != 0).sum(dtype=jnp.int32)
+    head = spec.pack_head(c16, g32, nnz)
+    bits, vbuf, _ = coef_stream(flat_coef[None])
+    fetch = jnp.concatenate([head, bits, vbuf[:cap * 2]])
+    return fetch, vbuf, d[3], d[4], d[5]
+
+
+class Ctb32GopEncoder:
+    """Production ctb32 driver: tile lanes, fused per-frame dispatches,
+    device-resident DPB, dispatch + entropy worker threads (GopEncoder's
+    pipeline shape at log2_ctb = 5)."""
+
+    def __init__(self, cfg: StreamConfig, subpel: bool = True):
+        assert cfg.log2_ctb == 5 and cfg.log2_min_cb == 4 and not cfg.sao
+        assert not cfg.bframes, "ctb32 B kernel lands in a follow-up"
+        from hevc_tpu.utils.jaxcfg import ensure_compile_cache
+        ensure_compile_cache()
+        self.cfg = cfg
+        self.subpel = subpel
+        self.reset()
+
+    def reset(self):
+        self._pads = None
+        self._poc = 0
+        self._pool = None
+        self._cap_hint = 65536
+
+    def parameter_sets(self):
+        return [write_vps(self.cfg), write_sps(self.cfg),
+                write_pps(self.cfg)]
+
+    def _geometry(self):
+        cfg = self.cfg
+        H, W = cfg.pic_height, cfg.pic_width
+        tr, tc = cfg.tile_rows, cfg.tile_cols
+        tnh32, tnw32 = H // 32 // tr, W // 32 // tc
+        return H, W, tr, tc, tnh32, tnw32
+
+    def encode_next_async(self, y, cb, cr, idr: bool = False,
+                          qp: int | None = None):
+        """Dispatch one frame now; returns a Future of the slice NAL."""
+        import dataclasses
+        cfg = self.cfg
+        qp = cfg.qp if qp is None else qp
+        cfg_f = dataclasses.replace(cfg, qp=qp) if qp != cfg.qp else cfg
+        H, W, tr, tc, tnh32, tnw32 = self._geometry()
+        T = tr * tc
+        sdt = np.uint8 if cfg.bit_depth == 8 else np.uint16
+        ys = pad_to_ctb(np.asarray(y), 32).astype(sdt)
+        cbs = pad_to_ctb(np.asarray(cb), 16).astype(sdt)
+        crs = pad_to_ctb(np.asarray(cr), 16).astype(sdt)
+        flat = jnp.asarray(np.concatenate([ys.ravel(), cbs.ravel(),
+                                           crs.ravel()]))
+        is_idr = idr or self._pads is None
+        if self._pads is None:
+            th, tw = H // tr, W // tc
+            self._pads = (
+                jnp.zeros((T, th + 2 * MARGIN, tw + 2 * MARGIN), jnp.int32),
+                jnp.zeros((T, th // 2 + 2 * MARGIN_C,
+                           tw // 2 + 2 * MARGIN_C), jnp.int32),
+                jnp.zeros((T, th // 2 + 2 * MARGIN_C,
+                           tw // 2 + 2 * MARGIN_C), jnp.int32))
+        qp_eff = qp + 6 * (cfg.bit_depth - 8)
+        rs = RowScanEncoderV1(qp, cfg.bit_depth)
+        lam16 = jnp.asarray(skip_lambda16(qp_eff), jnp.int32)
+        sl16 = jnp.asarray(int(np.sqrt(0.85 * 2.0 ** ((qp_eff - 12) / 3.0))
+                               * 16), jnp.int32)
+        spec = Ctb32PackSpec(tnh32, tnw32, T)
+        cap = min(self._cap_hint, spec.coef_elems // 2)
+        fetch, vbuf, py, pcb, pcr = _gop32_step_jit(
+            flat, *self._pads, jnp.asarray(qp), rs.lam_bits, lam16, sl16,
+            tnh32, tnw32, tr, tc, cfg.bit_depth, is_idr, self.subpel,
+            cfg.deblock, cap)
+        self._pads = (py, pcb, pcr)
+        try:
+            fetch.copy_to_host_async()
+        except Exception:
+            pass
+        self._poc = 0 if is_idr else self._poc + 1
+        poc = None if is_idr else self._poc
+        if self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(1, "gop32-entropy")
+
+        def host_stage():
+            from hevc_tpu.encoder.pack import split_coef_bitmap
+            f1 = np.asarray(jax.device_get(fetch))
+            hn = f1[:spec.head_bytes]
+            fields, nnz = spec.unpack_head(hn)
+            nbits = spec.coef_elems // 8
+            bmap = f1[spec.head_bytes:spec.head_bytes + nbits]
+            if nnz <= cap:
+                vb = f1[spec.head_bytes + nbits:
+                        spec.head_bytes + nbits + nnz * 2]
+            else:
+                cap2 = min(-(-nnz // 65536) * 65536, spec.coef_elems // 2)
+                vb = np.concatenate(
+                    [f1[spec.head_bytes + nbits:],
+                     np.asarray(jax.device_get(
+                         vbuf[cap * 2:cap2 * 2]))])[:nnz * 2]
+            self._cap_hint = min(max(-(-nnz * 5 // (4 * 65536)) * 65536,
+                                     65536), spec.coef_elems // 2)
+            coef = split_coef_bitmap(bmap, vb, spec.coef_elems, [nnz])
+            pos, val = coef[0]
+            dense = np.zeros(spec.coef_elems, np.int16)
+            dense[pos] = val
+            dec = self._to_entropy_arrays(fields, dense, tnh32, tnw32,
+                                          tr, tc)
+            return entropy_encode_frame_ctb32(cfg_f, dec, poc=poc)
+
+        return self._pool.submit(host_stage)
+
+    def _unstep(self, a, tnh, tnw, tr, tc, to=None):
+        """(S, T, ...) tile-lane stacks -> global (nh, nw, ...) grid."""
+        s = a.shape
+        x = np.moveaxis(a.reshape(tnh, tnw, 1, tr * tc, *s[2:]),
+                        (2, 3), (0, 1))
+        x = x.reshape(tr, tc, tnh, tnw, *s[2:])
+        x = x.swapaxes(1, 2).reshape(tr * tnh, tc * tnw, *s[2:])
+        return x.astype(to) if to is not None else x
+
+    def _to_entropy_arrays(self, f, dense, tnh32, tnw32, tr, tc):
+        tnh16, tnw16 = 2 * tnh32, 2 * tnw32
+        nh16, nw16 = tr * tnh16, tc * tnw16
+        nh32, nw32 = tr * tnh32, tc * tnw32
+        S16, T = tnh16 * tnw16, tr * tc
+        ny = S16 * T * 256
+        nc = S16 * T * 64
+        lvl_y = self._unstep(dense[:ny].reshape(S16, T, 16, 16),
+                             tnh16, tnw16, tr, tc, np.int32)
+        lvl_cb = self._unstep(dense[ny:ny + nc].reshape(S16, T, 8, 8),
+                              tnh16, tnw16, tr, tc, np.int32)
+        lvl_cr = self._unstep(dense[ny + nc:].reshape(S16, T, 8, 8),
+                              tnh16, tnw16, tr, tc, np.int32)
+
+        def u16(k, to=None):
+            return self._unstep(f[k], tnh16, tnw16, tr, tc, to)
+
+        def u32(k, to=None):
+            return self._unstep(f[k], tnh32, tnw32, tr, tc, to)
+
+        z = np.zeros
+        mode = u16("mode", np.int32)
+        cbf_y4 = z((nh16, nw16, 4), bool)
+        cbf_y4[:, :, 0] = u16("cbf_y", bool)
+        dec = {
+            "modes4": np.repeat(np.maximum(mode, 0)[:, :, None], 4, 2),
+            "cbf_y4": cbf_y4,
+            "cbf_cb": u16("cbf_cb", bool), "cbf_cr": u16("cbf_cr", bool),
+            "cbf_cb4": z((nh16, nw16, 4), bool),
+            "cbf_cr4": z((nh16, nw16, 4), bool),
+            "part_nxn": z((nh16, nw16), bool),
+            "lvl_y": lvl_y, "lvl_cb": lvl_cb, "lvl_cr": lvl_cr,
+            "skip": u16("skip", bool), "inter": u16("inter", bool),
+            "merge": u16("merge", bool),
+            "mvd": u16("mvd", np.int32), "mvp": u16("mvp", np.int32),
+            "rqt": u16("rqt", np.int32),
+            "cbf_yi": u16("cbf_yi", bool), "cbf_cbi": u16("cbf_cbi", bool),
+            "cbf_cri": u16("cbf_cri", bool),
+            "dir": z((nh16, nw16), np.int32),
+            "mvd1": z((nh16, nw16, 2), np.int32),
+            "mvp1": z((nh16, nw16), np.int32),
+            "split32": u32("split32", bool),
+            "skip32": u32("skip32", bool),
+            "inter32": u32("inter32", bool),
+            "merge32": u32("merge32", bool),
+            "mvd32": u32("mvd32", np.int32), "mvp32": u32("mvp32", np.int32),
+            "rqt32": u32("rqt32", np.int32),
+            "mode32": u32("mode32", np.int32),
+            "cbf32_cb": u32("cbf32_cb", bool),
+            "cbf32_cr": u32("cbf32_cr", bool),
+            "mvd32_1": z((nh32, nw32, 2), np.int32),
+            "mvp32_1": z((nh32, nw32), np.int32),
+            "dir32": z((nh32, nw32), np.int32),
+        }
+        return dec
+
+    def encode_video(self, frames, gop: int = 0):
+        """Pipelined IPPP encode -> annexb bytes (no recons returned)."""
+        from collections import deque
+        self.reset()
+        out = annexb(self.parameter_sets())
+        pending: deque = deque()
+        for i, fr in enumerate(frames):
+            fut = self.encode_next_async(
+                *fr, idr=bool(i == 0 or (gop and i % gop == 0)))
+            pending.append(fut)
+            while len(pending) > 3:
+                out += b"\x00\x00\x00\x01" + pending.popleft().result()
+        while pending:
+            out += b"\x00\x00\x00\x01" + pending.popleft().result()
+        return out

@@ -723,3 +723,10 @@ def z_to_raster(a, tnh32, tnw32):
     x = a.reshape((tnh32, tnw32, 2, 2) + a.shape[2:])
     x = np.swapaxes(x, 1, 2)               # (tnh32, 2, tnw32, 2, ...)
     return x.reshape((2 * tnh32, 2 * tnw32) + a.shape[2:])
+
+
+def zr_j(a, tnh32, tnw32):
+    """Device z->raster: (S32, 4, B, ...) -> (S16, B, ...) 16-raster."""
+    x = a.reshape((tnh32, tnw32, 2, 2) + a.shape[2:])
+    x = jnp.swapaxes(x, 1, 2)
+    return x.reshape((4 * tnh32 * tnw32,) + a.shape[2:])

@@ -18,6 +18,7 @@ class Preset:
     inter: bool = True     # GOP with motion-compensated P frames
     sao: bool = False      # sample-adaptive offset (GOP path)
     bframes: bool = False  # IbPbP GOP (non-reference B pictures)
+    ctb32: bool = False    # 32/16 two-level coding quadtree (IPPP)
 
 
 PRESETS = {
@@ -25,6 +26,9 @@ PRESETS = {
     "medium": Preset("medium", nxn=True, batch_frames=8, bframes=True),
     # slow runs SAO, which still uses the per-frame (P-only) pipeline
     "slow": Preset("slow", nxn=True, batch_frames=4, sao=True),
+    # ctb32: the 32/16 quadtree encoder (x265's large-CU analogue); IPPP
+    # until the ctb32 B kernel lands
+    "ctb32": Preset("ctb32", nxn=False, batch_frames=8, ctb32=True),
 }
 
 

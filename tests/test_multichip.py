@@ -122,3 +122,133 @@ def test_streams8_end_to_end():
         assert np.array_equal(rec["y"], ry), f"stream {s}"
     print(f"streams8: {S} streams, one dispatch, {S/dt:.1f} frames/s "
           "aggregate (virtual mesh)")
+
+
+@pytest.mark.slow
+def test_sharded_chunk_equals_local_and_decodes():
+    """VERDICT r2 item 7: the PRODUCTION chunked GOP dispatch (DPB-carry
+    scan, device packing) sharded over the mesh — 8 streams x 8 GOP
+    frames at 416x240 — must match the single-device dispatch bit-exactly
+    and every stream must decode back through libavcodec."""
+    import jax.numpy as jnp
+    from hevc_tpu.parallel.streams import make_stream_mesh, \
+        encode_chunk_sharded
+    from hevc_tpu.encoder.gop import (GopEncoder, _gop_chunk_jit,
+                                      _split_tiles_j)
+    from hevc_tpu.encoder.rowscan_v1 import MARGIN, MARGIN_C, \
+        RowScanEncoderV1
+    from hevc_tpu.encoder.ctu_modes import skip_lambda16
+    from hevc_tpu.encoder.pack import FramePackSpec, coef_stream_jit, \
+        split_coef_bitmap
+    from hevc_tpu.entropy.headers import StreamConfig, write_vps, \
+        write_sps, write_pps
+    from hevc_tpu.entropy.tiled_v1 import entropy_encode_frame_v1
+    from hevc_tpu.utils.bitio import annexb
+    from generate_test_videos import synth_frame_kind
+
+    S, K = 8, 8                      # streams, GOP frames per stream
+    W, H, QP = 416, 240, 30
+    tr = tc = 1                      # one tile per stream at this size
+    tnh, tnw = (H + 15) // 16, (W + 15) // 16
+    T = S * tr * tc
+    from hevc_tpu.encoder.reference_encoder import pad_to_ctb
+
+    # per-stream sources (different seeds = different content)
+    frames = [[tuple(np.asarray(p, np.int32)
+                     for p in synth_frame_kind(W, H, t, "pan", seed=s))
+               for t in range(K)] for s in range(S)]
+
+    def blocks(fr):
+        y = pad_to_ctb(fr[0], 16)
+        cb = pad_to_ctb(fr[1], 8)
+        cr = pad_to_ctb(fr[2], 8)
+        return y, cb, cr
+
+    # (K, T, tnh, tnw, n, n): stream s -> lane s
+    ya = np.zeros((K, T, tnh, tnw, 16, 16), np.int32)
+    cba = np.zeros((K, T, tnh, tnw, 8, 8), np.int32)
+    cra = np.zeros((K, T, tnh, tnw, 8, 8), np.int32)
+    for s in range(S):
+        for k in range(K):
+            y, cb, cr = blocks(frames[s][k])
+            ya[k, s] = np.asarray(_split_tiles_j(
+                jnp.asarray(y[None]), tr, tc, tnh, tnw, 16))[0, 0]
+            cba[k, s] = np.asarray(_split_tiles_j(
+                jnp.asarray(cb[None]), tr, tc, tnh, tnw, 8))[0, 0]
+            cra[k, s] = np.asarray(_split_tiles_j(
+                jnp.asarray(cr[None]), tr, tc, tnh, tnw, 8))[0, 0]
+
+    kinds = np.array([0] + [1] * (K - 1), np.int32)
+    active = np.ones(K, bool)
+    bd_off = 0
+    lb = np.asarray(RowScanEncoderV1(QP).lam_bits)
+    l16 = skip_lambda16(QP + bd_off)
+    s16 = int(np.sqrt(0.85 * 2.0 ** ((QP + bd_off - 12) / 3.0)) * 16)
+
+    def zp(t):
+        return (jnp.zeros((t, tnh * 16 + 2 * MARGIN,
+                           tnw * 16 + 2 * MARGIN), jnp.int32),
+                jnp.zeros((t, tnh * 8 + 2 * MARGIN_C,
+                           tnw * 8 + 2 * MARGIN_C), jnp.int32),
+                jnp.zeros((t, tnh * 8 + 2 * MARGIN_C,
+                           tnw * 8 + 2 * MARGIN_C), jnp.int32))
+
+    args = (jnp.asarray(kinds), jnp.asarray(active), zp(T), zp(T),
+            jnp.full(K, QP, jnp.int32),
+            jnp.asarray(np.tile(lb[None], (K, 1))),
+            jnp.full(K, l16, jnp.int32), jnp.full(K, s16, jnp.int32))
+
+    mesh = make_stream_mesh()
+    h_sh, c_sh, pads_sh, carry_sh = encode_chunk_sharded(
+        mesh, jnp.asarray(ya), jnp.asarray(cba), jnp.asarray(cra), *args,
+        tnh=tnh, tnw=tnw, tr=tr, tc=tc, streams=S, nxn_p=False)
+
+    # single-device reference: per-stream plane dispatches
+    spec1 = FramePackSpec(tnh, tnw, tr * tc)
+    specS = FramePackSpec(tnh, tnw, T)
+    h_sh = np.asarray(h_sh).reshape(K, specS.head_bytes)
+    c_sh = np.asarray(c_sh)
+    cfg = StreamConfig(width=W, height=H, qp=QP, inter=True,
+                       tile_cols=tc, tile_rows=tr)
+    from hevc_tpu.validate import avref
+    for s in range(S):
+        yp = np.stack([pad_to_ctb(frames[s][k][0], 16) for k in range(K)])
+        cbp = np.stack([pad_to_ctb(frames[s][k][1], 8) for k in range(K)])
+        crp = np.stack([pad_to_ctb(frames[s][k][2], 8) for k in range(K)])
+        h1, c1, _, _ = _gop_chunk_jit(
+            jnp.asarray(yp), jnp.asarray(cbp), jnp.asarray(crp), *args[:2],
+            zp(tr * tc), zp(tr * tc), *args[4:], tnh, tnw, tr, tc, 8,
+            True, False, True, True)
+        # bit-exactness: the stream's packed syntax equals its lanes of
+        # the sharded dispatch
+        h1 = np.asarray(h1).reshape(K, spec1.head_bytes)
+        f1 = [spec1.unpack_head(h1[k]) for k in range(K)]
+        fS = [specS.unpack_head(h_sh[k]) for k in range(K)]
+        for k in range(K):
+            d1, _ = f1[k]
+            dS, _ = fS[k]
+            for key in d1:
+                a = d1[key][:, 0]
+                b = dS[key][:, s]
+                assert np.array_equal(a, b), (s, k, key)
+        # decode-back: rebuild NALs from the single-device dispatch
+        bits, vbuf, _ = coef_stream_jit(c1)
+        total = int(sum(nnz for _, nnz in f1))
+        vb = np.asarray(vbuf)[:total * 2]
+        coef = split_coef_bitmap(np.asarray(bits), vb, spec1.coef_elems,
+                                 [nnz for _, nnz in f1])
+        enc = GopEncoder(cfg)
+        enc._geom = (tnh, tnw, tnh * 16, tnw * 16)
+        nals = []
+        for k in range(K):
+            fields, _ = f1[k]
+            lvls = spec1.unpack_coefs(*coef[k])
+            dec = enc._dec_from_outs(
+                spec1.outs_list(fields, lvls), p_mc=kinds[k] == 1)
+            nals.append(entropy_encode_frame_v1(
+                cfg, dec, poc=None if kinds[k] == 0 else int(k)))
+        stream = annexb([write_vps(cfg), write_sps(cfg), write_pps(cfg)]
+                        + nals)
+        if avref.available():
+            ref = avref.decode_hevc(stream)
+            assert len(ref) == K

@@ -188,6 +188,45 @@ def phase_bench():
     return True
 
 
+def phase_ctb32():
+    """Validate the production ctb32 path on device: tiled small clip,
+    stream identical to the numpy spec, decode-back in libavcodec."""
+    log("=== phase: ctb32 ===")
+    import numpy as np
+    from generate_test_videos import synth_frame_kind
+    from hevc_tpu.encoder.ctb32_ref import Ctb32RefEncoder, \
+        make_ctb32_config
+    from hevc_tpu.encoder.gop32 import Ctb32GopEncoder
+    from hevc_tpu.validate import avref
+
+    W, H, QP, F = 128, 64, 27, 4          # 2 x 1 tile grid forced below
+    frames = [tuple(np.asarray(p, np.int32)
+                    for p in synth_frame_kind(W, H, t, "mixed"))
+              for t in range(F)]
+    cfg = make_ctb32_config(width=W, height=H, qp=QP, inter=True,
+                            tile_cols=2, tile_rows=1)
+    sn, rn = Ctb32RefEncoder(cfg).encode_video(frames, gop=0)
+    sd = Ctb32GopEncoder(cfg).encode_video(frames, gop=0)
+    log("ctb32 prod stream:",
+        "IDENTICAL" if sn == sd else f"DIFFER {len(sn)} vs {len(sd)}")
+    ref = avref.decode_hevc(sd)
+    ok = all(np.array_equal(a[0].astype(np.int32), r["y"][:H, :W])
+             for a, r in zip(ref, rn))
+    log("ctb32 prod decode-back:", "OK" if ok else "BAD")
+    return sn == sd and ok
+
+
+def phase_bd():
+    """BD-rate harness: production path vs libx265-medium, multi-content."""
+    log("=== phase: bd ===")
+    sys.path.insert(0, "tools")
+    from quality_report import run_bd
+    summary = run_bd(1280, 720, 16, qps=(22, 27, 32, 37),
+                     crfs=(18, 23, 28, 33), kinds=("mixed", "pan", "detail"))
+    log("BD summary:", json.dumps(summary))
+    return True
+
+
 def main():
     import jax
     try:
