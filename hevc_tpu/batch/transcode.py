@@ -145,6 +145,7 @@ def convert_video(file_path, out_dir, progress_callback=None, debug=False,
                                 nxn=pr.nxn, sao=pr.sao,
                                 bframes=pr.bframes,
                                 ctb32=getattr(pr, "ctb32", False),
+                                sdh=getattr(pr, "sdh", False),
                                 rate_plan=plan if qp_override is None else None,
                                 gop=plan.gop if pr.inter else 0)
             if ok == "CANCELLED":
@@ -219,7 +220,8 @@ def convert_video(file_path, out_dir, progress_callback=None, debug=False,
 
 def _encode_to_mp4_ctb32(frames, info, level, qp, out_path,
                          progress_callback, file_name, stop_event, deadline,
-                         audio, rate_plan, gop, fps, bit_depth):
+                         audio, rate_plan, gop, fps, bit_depth,
+                         sdh: bool = False):
     """ctb32-preset encode: 32/16 quadtree IPPP on the fused device path."""
     from collections import deque
     from hevc_tpu.encoder.frame_jax import pick_tile_grid
@@ -240,7 +242,7 @@ def _encode_to_mp4_ctb32(frames, info, level, qp, out_path,
         color_primaries=info.color_primaries,
         color_transfer=info.color_transfer, color_space=info.color_space,
         full_range=info.color_range == "pc", chromaloc=info.chromaloc,
-        hdr=info.is_hdr, tile_cols=tc, tile_rows=tr, inter=True)
+        hdr=info.is_hdr, tile_cols=tc, tile_rows=tr, inter=True, sdh=sdh)
     rc = None
     if rate_plan is not None:
         from hevc_tpu.encoder.rc import RateController
@@ -326,7 +328,8 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
                    file_name: str, stop_event, deadline: float, audio=None,
                    src_path=None, resume: bool = False, nxn: bool = True,
                    rate_plan=None, gop: int = 0, sao: bool = False,
-                   bframes: bool = False, ctb32: bool = False):
+                   bframes: bool = False, ctb32: bool = False,
+                   sdh: bool = False):
     from hevc_tpu.entropy.headers import StreamConfig
     from hevc_tpu.encoder.toplevel import VideoEncoder, entropy_encode_frame
     from hevc_tpu.io.mp4 import mux_mp4
@@ -353,7 +356,7 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
         return _encode_to_mp4_ctb32(frames, info, level, qp, out_path,
                                     progress_callback, file_name,
                                     stop_event, deadline, audio, rate_plan,
-                                    gop, fps, bit_depth)
+                                    gop, fps, bit_depth, sdh)
     cfg = StreamConfig(
         width=w, height=h, qp=qp, fps=fps, bit_depth=bit_depth,
         level_idc=level.level_idc, tier_high=level.tier_high,
@@ -366,6 +369,7 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
         tile_cols=tile_cols, tile_rows=tile_rows,
         inter=use_inter, sao=sao and use_inter,
         bframes=bframes and use_inter and not sao,
+        sdh=sdh and backend == "jax",
     )
     enc = VideoEncoder(cfg, backend=backend)
     rc = None

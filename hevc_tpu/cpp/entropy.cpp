@@ -264,7 +264,7 @@ void encode_remaining(Cabac &c, int value, int rice) {
 
 void encode_residual(Cabac &c, const int16_t *coeffs, int log2, int scan_idx,
                      int cidx, const std::vector<uint16_t> &scan,
-                     const std::vector<uint16_t> &sb_scan) {
+                     const std::vector<uint16_t> &sb_scan, int sdh = 0) {
   int n = 1 << log2;
   int nn = n * n;
   int sbw = n > 4 ? (n >> 2) : 1;
@@ -354,7 +354,12 @@ void encode_residual(Cabac &c, const int16_t *coeffs, int log2, int scan_idx,
     }
     if (first_g1 >= 0)
       c.bin(CTX_GT2 + (cidx ? 4 : 0) + ctx_set, abs_v[first_g1] > 2);
-    for (int k = 0; k < nsig; k++) c.bypass(sign_v[k]);
+    // sign-data hiding: the firstSigScanPos sign (last of this
+    // reverse-scan list) is inferred from the level-sum parity when the
+    // sub-block's significant span exceeds 3 (the quantizer fix-up
+    // guarantees the parity matches; mirror of entropy/syntax.py)
+    int hide = (sdh && sig_pos[0] - sig_pos[nsig - 1] > 3) ? 1 : 0;
+    for (int k = 0; k < nsig - hide; k++) c.bypass(sign_v[k]);
 
     int rice = 0, first2 = 1;
     for (int k = 0; k < nsig; k++) {
@@ -374,7 +379,7 @@ extern "C" long hevc_entropy_encode_tile_v0(
     int qp, int nh, int nw, int last_tile, const int32_t *modes,
     const uint8_t *cbf_y, const uint8_t *cbf_cb, const uint8_t *cbf_cr,
     const int16_t *lvl_y, const int16_t *lvl_cb, const int16_t *lvl_cr,
-    uint8_t *out, long cap) {
+    int sdh, uint8_t *out, long cap) {
   Cabac c(qp);
   std::vector<uint16_t> scan_y[3], scan_c[3], sb_y, sb_c1;
   for (int s = 0; s < 3; s++) {
@@ -421,11 +426,14 @@ extern "C" long hevc_entropy_encode_tile_v0(
       c.bin(CTX_CBF_LUMA + 1, fy);
       // v0: TB16 luma / TB8 chroma always use diagonal scan
       if (fy)
-        encode_residual(c, lvl_y + (long)idx * 256, 4, 0, 0, scan_y[0], sby[0]);
+        encode_residual(c, lvl_y + (long)idx * 256, 4, 0, 0, scan_y[0],
+                        sby[0], sdh);
       if (fcb)
-        encode_residual(c, lvl_cb + (long)idx * 64, 3, 0, 1, scan_c[0], sbc[0]);
+        encode_residual(c, lvl_cb + (long)idx * 64, 3, 0, 1, scan_c[0],
+                        sbc[0], sdh);
       if (fcr)
-        encode_residual(c, lvl_cr + (long)idx * 64, 3, 0, 2, scan_c[0], sbc[0]);
+        encode_residual(c, lvl_cr + (long)idx * 64, 3, 0, 2, scan_c[0],
+                        sbc[0], sdh);
       bool last_ctu = (cy == nh - 1 && cx == nw - 1);
       c.terminate((last_ctu && last_tile) ? 1 : 0);
     }
@@ -442,9 +450,10 @@ extern "C" long hevc_entropy_encode_slice_v0(
     int qp, int nh, int nw, const int32_t *modes,
     const uint8_t *cbf_y, const uint8_t *cbf_cb, const uint8_t *cbf_cr,
     const int16_t *lvl_y, const int16_t *lvl_cb, const int16_t *lvl_cr,
-    uint8_t *out, long cap) {
+    int sdh, uint8_t *out, long cap) {
   return hevc_entropy_encode_tile_v0(qp, nh, nw, 1, modes, cbf_y, cbf_cb,
-                                     cbf_cr, lvl_y, lvl_cb, lvl_cr, out, cap);
+                                     cbf_cr, lvl_y, lvl_cb, lvl_cr, sdh,
+                                     out, cap);
 }
 
 // ---- v1 profile: 2Nx2N / NxN intra CUs ------------------------------------
@@ -563,7 +572,7 @@ extern "C" long hevc_entropy_encode_tile_v1(
     const uint8_t *cbf_y4, const uint8_t *cbf_cb, const uint8_t *cbf_cr,
     const uint8_t *cbf_cb4, const uint8_t *cbf_cr4,
     const int16_t *lvl_y, const int16_t *lvl_cb, const int16_t *lvl_cr,
-    uint8_t *out, long cap) {
+    int sdh, uint8_t *out, long cap) {
   Cabac c(qp, p_slice ? (b_slice ? 2 : 1) : 0);
   std::vector<uint8_t> above_skip(nw, 0);
   std::vector<uint16_t> scan16[3], scan8[3], scan4[3];
@@ -650,13 +659,13 @@ extern "C" long hevc_entropy_encode_tile_v1(
             if (fcb || fcr) c.bin(CTX_CBF_LUMA + 1, fy);
             if (fy)
               encode_residual(c, lvl_y + idx * 256, 4, 0, 0, scan16[0],
-                              sb16[0]);
+                              sb16[0], sdh);
             if (fcb)
               encode_residual(c, lvl_cb + idx * 64, 3, 0, 1, scan8[0],
-                              sb8[0]);
+                              sb8[0], sdh);
             if (fcr)
               encode_residual(c, lvl_cr + idx * 64, 3, 0, 2, scan8[0],
-                              sb8[0]);
+                              sb8[0], sdh);
           }
           ltr = lbr = 1;
           left_skip = 0;
@@ -684,15 +693,15 @@ extern "C" long hevc_entropy_encode_tile_v1(
         c.bin(CTX_CBF_LUMA + 1, fy);
         if (fy) {
           int s = intra_scan_idx(4, mode, 0);
-          encode_residual(c, lvl_y + idx * 256, 4, s, 0, scan16[s], sb16[s]);
+          encode_residual(c, lvl_y + idx * 256, 4, s, 0, scan16[s], sb16[s], sdh);
         }
         if (fcb) {
           int s = intra_scan_idx(3, mode, 1);
-          encode_residual(c, lvl_cb + idx * 64, 3, s, 1, scan8[s], sb8[s]);
+          encode_residual(c, lvl_cb + idx * 64, 3, s, 1, scan8[s], sb8[s], sdh);
         }
         if (fcr) {
           int s = intra_scan_idx(3, mode, 1);
-          encode_residual(c, lvl_cr + idx * 64, 3, s, 2, scan8[s], sb8[s]);
+          encode_residual(c, lvl_cr + idx * 64, 3, s, 2, scan8[s], sb8[s], sdh);
         }
         ltr = lbr = mode;
       } else {
@@ -739,7 +748,7 @@ extern "C" long hevc_entropy_encode_tile_v1(
               for (int x2 = 0; x2 < 8; x2++)
                 tmp8[r2 * 8 + x2] = lvl_y[idx * 256 + (dy + r2) * 16 + dx + x2];
             int s = intra_scan_idx(3, m4[i], 0);
-            encode_residual(c, tmp8, 3, s, 0, scan8[s], sb8[s]);
+            encode_residual(c, tmp8, 3, s, 0, scan8[s], sb8[s], sdh);
           }
           int cdx = (i & 1) * 4, cdy = (i >> 1) * 4;
           if (fcb_i) {
@@ -747,14 +756,14 @@ extern "C" long hevc_entropy_encode_tile_v1(
               for (int x2 = 0; x2 < 4; x2++)
                 tmp4[r2 * 4 + x2] = lvl_cb[idx * 64 + (cdy + r2) * 8 + cdx + x2];
             int s = intra_scan_idx(2, chroma_mode, 1);
-            encode_residual(c, tmp4, 2, s, 1, scan4[s], sb4[s]);
+            encode_residual(c, tmp4, 2, s, 1, scan4[s], sb4[s], sdh);
           }
           if (fcr_i) {
             for (int r2 = 0; r2 < 4; r2++)
               for (int x2 = 0; x2 < 4; x2++)
                 tmp4[r2 * 4 + x2] = lvl_cr[idx * 64 + (cdy + r2) * 8 + cdx + x2];
             int s = intra_scan_idx(2, chroma_mode, 1);
-            encode_residual(c, tmp4, 2, s, 2, scan4[s], sb4[s]);
+            encode_residual(c, tmp4, 2, s, 2, scan4[s], sb4[s], sdh);
           }
         }
         ltr = m4[1];
@@ -791,7 +800,7 @@ extern "C" long hevc_entropy_encode_tile_ctb32(
     const int16_t *mvd32, const uint8_t *mvp32,
     const int16_t *mvd32_1, const uint8_t *mvp32_1, const uint8_t *rqt32,
     const int32_t *mode32, const uint8_t *cbf32_cb, const uint8_t *cbf32_cr,
-    uint8_t *out, long cap) {
+    int sdh, uint8_t *out, long cap) {
   (void)bit_depth;
   Cabac c(qp, p_slice ? (b_slice ? 2 : 1) : 0);
   int nh = 2 * th32, nw = 2 * tw32;
@@ -850,15 +859,15 @@ extern "C" long hevc_entropy_encode_tile_ctb32(
     }
     if (fy) {
       int s = mode < 0 ? 0 : intra_scan_idx(4, mode, 0);
-      encode_residual(c, lvl_y + idx * 256, 4, s, 0, scan16[s], sb16[s]);
+      encode_residual(c, lvl_y + idx * 256, 4, s, 0, scan16[s], sb16[s], sdh);
     }
     if (fcb && (depth == 0 || pcb)) {
       int s = mode < 0 ? 0 : intra_scan_idx(3, mode, 1);
-      encode_residual(c, lvl_cb + idx * 64, 3, s, 1, scan8[s], sb8[s]);
+      encode_residual(c, lvl_cb + idx * 64, 3, s, 1, scan8[s], sb8[s], sdh);
     }
     if (fcr && (depth == 0 || pcr)) {
       int s = mode < 0 ? 0 : intra_scan_idx(3, mode, 1);
-      encode_residual(c, lvl_cr + idx * 64, 3, s, 2, scan8[s], sb8[s]);
+      encode_residual(c, lvl_cr + idx * 64, 3, s, 2, scan8[s], sb8[s], sdh);
     }
   };
   (void)tmp8;
@@ -902,13 +911,13 @@ extern "C" long hevc_entropy_encode_tile_ctb32(
                 if (fcb || fcr) c.bin(CTX_CBF_LUMA + 1, fy);
                 if (fy)
                   encode_residual(c, lvl_y + idx * 256, 4, 0, 0, scan16[0],
-                                  sb16[0]);
+                                  sb16[0], sdh);
                 if (fcb)
                   encode_residual(c, lvl_cb + idx * 64, 3, 0, 1, scan8[0],
-                                  sb8[0]);
+                                  sb8[0], sdh);
                 if (fcr)
                   encode_residual(c, lvl_cr + idx * 64, 3, 0, 2, scan8[0],
-                                  sb8[0]);
+                                  sb8[0], sdh);
               }
               continue;
             }

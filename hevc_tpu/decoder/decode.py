@@ -154,7 +154,7 @@ class IntraDecoder:
         assert not self.p_slice or ref is not None, "P slice needs a ref pic"
         assert not self.b_slice or ref1 is not None, "B slice needs L1 ref"
         self.syn = SliceSyntaxDecoder(payload, hdr.qp, hdr.init_type,
-                                      sdh=pps.sign_data_hiding)
+                                      sdh=self.pps.sign_data_hiding)
         ctbs_w = (self.W + self.ctb - 1) // self.ctb
         ctbs_h = (self.H + self.ctb - 1) // self.ctb
         use_sao = self.sps.sao_enabled and (hdr.sao_luma or hdr.sao_chroma)

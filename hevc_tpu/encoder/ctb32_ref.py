@@ -65,6 +65,10 @@ class Ctb32RefEncoder:
             and cfg.log2_max_tb == 4 and not cfg.sao
         self.cfg = cfg
         self.subpel = subpel
+        # every ctb32-profile TB is diag-scanned (TU16 luma / TB8 chroma,
+        # spec 7.4.9.11 mode-dependent scans only reach log2 sizes 2-3
+        # luma): one static sdh scan for the parity fix-up
+        self._sdh_scan = 0 if cfg.sdh else None
 
     def parameter_sets(self) -> list[bytes]:
         return [write_vps(self.cfg), write_sps(self.cfg),
@@ -86,7 +90,7 @@ class Ctb32RefEncoder:
         out = []
         for (s, p, q) in ((src3[0], pred3[0], qp), (src3[1], pred3[1], qpc),
                           (src3[2], pred3[2], qpc)):
-            out.append(encode_tu(s, p, q, bd))
+            out.append(encode_tu(s, p, q, bd, sdh_scan=self._sdh_scan, rdoq=self.cfg.rdoq))
         return out
 
     def _tu32(self, src3, pred3, qp, qpc, bd):
@@ -104,7 +108,8 @@ class Ctb32RefEncoder:
                 d2x, d2y = (dx, dy) if pi == 0 else (dx // 2, dy // 2)
                 lvl, cbf, rec = encode_tu(
                     src3[pi][d2y:d2y + n, d2x:d2x + n],
-                    pred3[pi][d2y:d2y + n, d2x:d2x + n], qv, self.cfg.bit_depth)
+                    pred3[pi][d2y:d2y + n, d2x:d2x + n], qv,
+                    self.cfg.bit_depth, sdh_scan=self._sdh_scan, rdoq=self.cfg.rdoq)
                 lvl3[pi][d2y:d2y + n, d2x:d2x + n] = lvl
                 rec3[pi][d2y:d2y + n, d2x:d2x + n] = rec
                 cbfs[pi].append(int(cbf))
@@ -132,7 +137,8 @@ class Ctb32RefEncoder:
             if best is None or cost < best[0]:
                 best = (cost, mode, pred)
         mode = best[1]
-        lvl_y, cbf_y, rec = encode_tu(src, best[2], qp, bd)
+        lvl_y, cbf_y, rec = encode_tu(src, best[2], qp, bd,
+                                      sdh_scan=self._sdh_scan, rdoq=self.cfg.rdoq)
         ry[y0:y0 + 16, x0:x0 + 16] = rec
         xc, yc = x0 // 2, y0 // 2
         out_c = []
@@ -140,7 +146,8 @@ class Ctb32RefEncoder:
             refc = self._intra_refs(recp, xc, yc, 8, al, aa, lv2, tv2, bd)
             predc = R.predict_intra(refc, mode, 8, 1, bd)
             lvlc, cbfc, recc = encode_tu(plane[yc:yc + 8, xc:xc + 8],
-                                         predc, qpc, bd)
+                                         predc, qpc, bd,
+                                         sdh_scan=self._sdh_scan, rdoq=self.cfg.rdoq)
             recp[yc:yc + 8, xc:xc + 8] = recc
             out_c.append((lvlc, cbfc))
         return dict(mode=mode, lvl_y=lvl_y, cbf_y=int(cbf_y),
@@ -175,7 +182,7 @@ class Ctb32RefEncoder:
                 if R.use_filtered_ref(mode, 16, 0) else refq
             pred = R.predict_intra(rq, mode, 16, 0, bd)
             lvl, cbf, rec = encode_tu(vy[y1:y1 + 16, x1:x1 + 16], pred,
-                                      qp, bd)
+                                      qp, bd, sdh_scan=self._sdh_scan, rdoq=self.cfg.rdoq)
             lvl_y[16 * qy:16 * qy + 16, 16 * qx:16 * qx + 16] = lvl
             ry[y1:y1 + 16, x1:x1 + 16] = rec
             cbf_yq.append(int(cbf))
@@ -192,7 +199,8 @@ class Ctb32RefEncoder:
                                         qtv2, bd)
                 predc = R.predict_intra(refc, mode, 8, 1, bd)
                 lvlc, cbfc, recc = encode_tu(plane[y1:y1 + 8, x1:x1 + 8],
-                                             predc, qpc, bd)
+                                             predc, qpc, bd,
+                                             sdh_scan=self._sdh_scan, rdoq=self.cfg.rdoq)
                 lvl_c[pi][8 * qy:8 * qy + 8, 8 * qx:8 * qx + 8] = lvlc
                 recp[y1:y1 + 8, x1:x1 + 8] = recc
                 cbf_cq[pi].append(int(cbfc))

@@ -75,10 +75,23 @@ def search_block(src, recon, x0, y0, n, cands, sqrt_lam, avail_left,
     return best[0], best[1], best_cost
 
 
-def encode_tu(src, pred, qp, bit_depth, dst=False):
-    """Transform/quant/recon one TB; returns (lvl, cbf, rec)."""
+def encode_tu(src, pred, qp, bit_depth, dst=False, sdh_scan=None,
+              rdoq=False):
+    """Transform/quant/recon one TB; returns (lvl, cbf, rec).
+
+    sdh_scan: when not None, apply the sign-data-hiding parity fix-up
+    with this coefficient scan index (the TB's entropy scan) so the
+    reconstruction matches the decoder's inferred signs.  rdoq switches
+    the deadzone quantizer for the RD-aware one (ops/reference.py
+    quantize_rdoq).
+    """
     coef = R.forward_transform(src - pred, dst=dst, bit_depth=bit_depth)
-    lvl = R.quantize(coef, qp, bit_depth)
+    if rdoq:
+        lvl = R.quantize_rdoq(coef, qp, bit_depth)
+    else:
+        lvl = R.quantize(coef, qp, bit_depth)
+    if sdh_scan is not None:
+        lvl = R.sdh_fixup(lvl, coef, qp, sdh_scan, bit_depth)
     cbf = int(np.any(lvl))
     if cbf:
         resi = R.inverse_transform(R.dequantize(lvl, qp, bit_depth), dst=dst,
@@ -113,12 +126,20 @@ def nxn_mpm_cands(pu_idx: int, modes_so_far: list[int],
 
 def encode_ctu_v1(ys, cbs, crs, rec_y, rec_cb, rec_cr, cx, cy, ctb,
                   qp, qpc, base_qp_cands, sqrt_lam, left_modes, bit_depth,
-                  hadamard_satd, enable_nxn=True, lam_part_bits=0):
+                  hadamard_satd, enable_nxn=True, lam_part_bits=0,
+                  sdh=False, rdoq=False):
     """Encode one CTU with 2Nx2N vs NxN decision; mutates recon planes.
 
     Returns a decision dict for the entropy stage plus (tr_mode, br_mode)
-    for the next CTU's left_modes state.
+    for the next CTU's left_modes state.  sdh applies the sign-data-
+    hiding fix-up on every TB with its entropy scan (mode-dependent for
+    the NxN TU8 luma / TU4 chroma, spec 7.4.9.11).
     """
+    from hevc_tpu.entropy.tables import intra_scan_idx
+
+    def sc(log2, mode, c_idx):
+        return intra_scan_idx(log2, mode, c_idx) if sdh else None
+
     x0, y0 = cx * ctb, cy * ctb
     n = ctb
     h = n // 2
@@ -147,7 +168,8 @@ def encode_ctu_v1(ys, cbs, crs, rec_y, rec_cb, rec_cr, cx, cy, ctb,
             sub = ys[ysv:ysv + h, xs:xs + h]
             m, p, c = search_block(sub, scratch, xs, ysv, h, cands, sqrt_lam,
                                    al, aa, bit_depth, hadamard_satd, lv, tv)
-            lvl, cbf, rec = encode_tu(sub, p, qp, bit_depth)
+            lvl, cbf, rec = encode_tu(sub, p, qp, bit_depth,
+                                      sdh_scan=sc(3, m, 0), rdoq=rdoq)
             scratch[ysv:ysv + h, xs:xs + h] = rec
             modes4.append(m)
             preds4.append((p, lvl, cbf, rec))
@@ -169,7 +191,8 @@ def encode_ctu_v1(ys, cbs, crs, rec_y, rec_cb, rec_cr, cx, cy, ctb,
         chroma_mode = modes4[0]
         tr_mode, br_mode = modes4[1], modes4[3]
     else:
-        lvl, cbf, rec = encode_tu(src, pred2n, qp, bit_depth)
+        lvl, cbf, rec = encode_tu(src, pred2n, qp, bit_depth,
+                                  sdh_scan=sc(4, mode2n, 0), rdoq=rdoq)
         rec_y[y0:y0 + n, x0:x0 + n] = rec
         dec.update(modes=[mode2n] * 4, cbf_y4=[cbf] * 4, lvl_y=lvl)
         chroma_mode = mode2n
@@ -184,7 +207,9 @@ def encode_ctu_v1(ys, cbs, crs, rec_y, rec_cb, rec_cr, cx, cy, ctb,
                                      bit_depth)
             predc = R.predict_intra(refc, chroma_mode, nc, 1, bit_depth)
             lvlc, cbfc, recc = encode_tu(plane[yc:yc + nc, xc:xc + nc],
-                                         predc, qpc, bit_depth)
+                                         predc, qpc, bit_depth,
+                                         sdh_scan=sc(3, chroma_mode, 1),
+                                         rdoq=rdoq)
             recp[yc:yc + nc, xc:xc + nc] = recc
             dec[f"lvl_{key}"] = lvlc
             dec[f"cbf_{key}"] = cbfc
@@ -204,7 +229,8 @@ def encode_ctu_v1(ys, cbs, crs, rec_y, rec_cb, rec_cr, cx, cy, ctb,
                                          lv, tv)
                 predc = R.predict_intra(refc, chroma_mode, hc, 1, bit_depth)
                 lvlc, cbfc, recc = encode_tu(
-                    plane[ysv:ysv + hc, xs:xs + hc], predc, qpc, bit_depth)
+                    plane[ysv:ysv + hc, xs:xs + hc], predc, qpc, bit_depth,
+                    sdh_scan=sc(2, chroma_mode, 1), rdoq=rdoq)
                 recp[ysv:ysv + hc, xs:xs + hc] = recc
                 lvlc_full[dy:dy + hc, dx:dx + hc] = lvlc
                 cbfs.append(cbfc)

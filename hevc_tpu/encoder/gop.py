@@ -34,10 +34,11 @@ from hevc_tpu.utils.bitio import annexb
 
 @partial(jax.jit, static_argnames=("tnh", "tnw", "tr", "tc_", "bit_depth",
                                    "enable_nxn", "deblock", "idr", "sao",
-                                   "subpel"))
+                                   "subpel", "sdh", "rdoq"))
 def _gop_step_jit(ya, cba, cra, pad_y, pad_cb, pad_cr, qp, lam_bits,
                   lam16, sl16, tnh, tnw, tr, tc_, bit_depth,
-                  enable_nxn, deblock, idr, sao=False, subpel=True):
+                  enable_nxn, deblock, idr, sao=False, subpel=True,
+                  sdh=False, rdoq=False):
     """One fused GOP step: encode kernel + deblock (+ SAO) + ref padding.
 
     A single device dispatch per frame — on hosts with high dispatch
@@ -49,7 +50,8 @@ def _gop_step_jit(ya, cba, cra, pad_y, pad_cb, pad_cr, qp, lam_bits,
     import jax.numpy as jnp
     if idr:
         outs = _rowscan_v1_scan(ya, cba, cra, qp, lam_bits, tnh, tnw,
-                                bit_depth, enable_nxn=enable_nxn)
+                                bit_depth, enable_nxn=enable_nxn, sdh=sdh,
+                                rdoq=rdoq)
         st = outs[0].shape
         intra_s = jnp.ones(st, bool)
         cbf_s = jnp.zeros(st, bool)
@@ -59,7 +61,8 @@ def _gop_step_jit(ya, cba, cra, pad_y, pad_cb, pad_cr, qp, lam_bits,
         outs = _rowscan_v1_scan(ya, cba, cra, qp, lam_bits, tnh, tnw,
                                 bit_depth, lam16=lam16,
                                 ref_pads=(pad_y, pad_cb, pad_cr), sl16=sl16,
-                                enable_nxn=enable_nxn, subpel=subpel)
+                                enable_nxn=enable_nxn, subpel=subpel,
+                                sdh=sdh, rdoq=rdoq)
         inter_s = outs[13] | outs[14]
         intra_s = ~inter_s
         cbf_s = outs[14] & outs[19]
@@ -125,11 +128,12 @@ def _intra_fields_j(outs):
 
 @partial(jax.jit, static_argnames=("tnh", "tnw", "tr", "tc_", "bit_depth",
                                    "enable_nxn", "nxn_p", "deblock",
-                                   "subpel"))
+                                   "subpel", "sdh", "rdoq"))
 def _gop_chunk_jit(yp, cbp, crp, kinds, active, prev_pads, cur_pads,
                    qp_v, lam_bits_v, lam16_v, sl16_v,
                    tnh, tnw, tr, tc_,
-                   bit_depth, enable_nxn, nxn_p, deblock, subpel):
+                   bit_depth, enable_nxn, nxn_p, deblock, subpel,
+                   sdh=False, rdoq=False):
     """Encode a chunk of REFERENCE frames (IDR/P, decode order) in one
     device dispatch.
 
@@ -154,13 +158,13 @@ def _gop_chunk_jit(yp, cbp, crp, kinds, active, prev_pads, cur_pads,
     return _gop_chunk_blocks(ya, cba, cra, kinds, active, prev_pads,
                              cur_pads, qp_v, lam_bits_v, lam16_v, sl16_v,
                              tnh, tnw, tr, tc_, bit_depth, enable_nxn,
-                             nxn_p, deblock, subpel)
+                             nxn_p, deblock, subpel, sdh=sdh, rdoq=rdoq)
 
 
 def _gop_chunk_blocks(ya, cba, cra, kinds, active, prev_pads, cur_pads,
                       qp_v, lam_bits_v, lam16_v, sl16_v,
                       tnh, tnw, tr, tc_, bit_depth, enable_nxn, nxn_p,
-                      deblock, subpel, streams=1):
+                      deblock, subpel, streams=1, sdh=False, rdoq=False):
     """Traceable chunk-scan body over pre-split tile blocks (K, T, ...)
     with T = streams * tr * tc_.
 
@@ -210,7 +214,8 @@ def _gop_chunk_blocks(ya, cba, cra, kinds, active, prev_pads, cur_pads,
         def idr_branch(carry):
             prev3, cur3 = carry
             outs = _rowscan_v1_scan(fy, fcb, fcr, qp, lam_bits, tnh, tnw,
-                                    bit_depth, enable_nxn=enable_nxn)
+                                    bit_depth, enable_nxn=enable_nxn,
+                                    sdh=sdh, rdoq=rdoq)
             st = outs[0].shape
             d = _assemble(
                 outs[10], outs[11], outs[12], qp, jnp.ones(st, bool),
@@ -224,7 +229,7 @@ def _gop_chunk_blocks(ya, cba, cra, kinds, active, prev_pads, cur_pads,
             outs = _rowscan_v1_scan(fy, fcb, fcr, qp, lam_bits, tnh, tnw,
                                     bit_depth, lam16=lam16, ref_pads=cur3,
                                     sl16=sl16, enable_nxn=nxn_p,
-                                    subpel=subpel)
+                                    subpel=subpel, sdh=sdh, rdoq=rdoq)
             inter_s = outs[13] | outs[14]
             d = _assemble(
                 outs[10], outs[11], outs[12], qp, ~inter_s,
@@ -272,10 +277,11 @@ def _finalize_chunk_jit(heads_r, coefs_r, heads_b, coefs_b, cap):
 
 
 @partial(jax.jit, static_argnames=("tnh", "tnw", "tr", "tc_", "bit_depth",
-                                   "nxn_p", "subpel"))
+                                   "nxn_p", "subpel", "sdh", "rdoq"))
 def _b_batch_jit(yp, cbp, crp, stack_y, stack_cb, stack_cr,
                  idx0, idx1, act, qp, lam_bits, lam16, sl16, dsf,
-                 tnh, tnw, tr, tc_, bit_depth, nxn_p, subpel):
+                 tnh, tnw, tr, tc_, bit_depth, nxn_p, subpel, sdh=False,
+                 rdoq=False):
     """Encode Kb non-reference B pictures in ONE batched dispatch.
 
     B pictures are mutually independent, so frames fold into the lane
@@ -305,7 +311,8 @@ def _b_batch_jit(yp, cbp, crp, stack_y, stack_cb, stack_cr,
     outs = _rowscan_v1_scan(lanes(ya), lanes(cba), lanes(cra), qp, lam_bits,
                             tnh, tnw, bit_depth, lam16=lam16,
                             ref_pads=pads0, ref_pads1=pads1, sl16=sl16,
-                            dsf=dsf, enable_nxn=nxn_p, subpel=subpel)
+                            dsf=dsf, enable_nxn=nxn_p, subpel=subpel,
+                            sdh=sdh, rdoq=rdoq)
 
     def unlane(a):
         # (S, Kb*T, ...) -> (Kb, S, T, ...)
@@ -485,7 +492,7 @@ class GopEncoder:
         if ref_blocks is None:
             outs = encode_tiles_rowscan_v1_jit(
                 ya, cba, cra, jnp.asarray(qp), rs.lam_bits,
-                tnh, tnw, cfg.bit_depth, self.enable_nxn)
+                tnh, tnw, cfg.bit_depth, self.enable_nxn, sdh=cfg.sdh, rdoq=cfg.rdoq)
         elif self.mc:
             sl16 = int(np.sqrt(0.85 * 2.0 ** (
                 (qp + 6 * (cfg.bit_depth - 8) - 12) / 3.0)) * 16)
@@ -493,12 +500,13 @@ class GopEncoder:
                 ya, cba, cra, *ref_blocks, jnp.asarray(qp),
                 rs.lam_bits, jnp.asarray(lam16, jnp.int32),
                 jnp.asarray(sl16, jnp.int32),
-                tnh, tnw, cfg.bit_depth, self.nxn_p, self.subpel)
+                tnh, tnw, cfg.bit_depth, self.nxn_p, self.subpel,
+                sdh=cfg.sdh, rdoq=cfg.rdoq)
         else:
             outs = encode_tiles_rowscan_p_jit(
                 ya, cba, cra, *ref_blocks, jnp.asarray(qp),
                 rs.lam_bits, jnp.asarray(lam16, jnp.int32),
-                tnh, tnw, cfg.bit_depth, self.enable_nxn)
+                tnh, tnw, cfg.bit_depth, self.enable_nxn, sdh=cfg.sdh, rdoq=cfg.rdoq)
         dev = {"rec_y": outs[10], "rec_cb": outs[11], "rec_cr": outs[12],
                "part": outs[0]}
         if ref_blocks is not None and self.mc:
@@ -823,7 +831,8 @@ class GopEncoder:
             jnp.asarray(np.tile(lbr[None], (KR, 1))),
             jnp.full(KR, l16r, jnp.int32), jnp.full(KR, s16r, jnp.int32),
             tnh, tnw, tr, tc, cfg.bit_depth,
-            self.enable_nxn, self.nxn_p, cfg.deblock, self.subpel)
+            self.enable_nxn, self.nxn_p, cfg.deblock, self.subpel,
+            sdh=cfg.sdh, rdoq=cfg.rdoq)
         self._ref_blocks = carry
         GLOBAL_TIMERS.add("disp_gop_call", time.perf_counter() - _t_g)
         _t_b = time.perf_counter()
@@ -853,7 +862,8 @@ class GopEncoder:
                 jnp.asarray(qp_b), jnp.asarray(lbb),
                 jnp.asarray(l16b, jnp.int32), jnp.asarray(s16b, jnp.int32),
                 jnp.asarray(dsf_pair(poc0, poc0 - 1, poc0 + 1)),
-                tnh, tnw, tr, tc, cfg.bit_depth, self.nxn_p, self.subpel)
+                tnh, tnw, tr, tc, cfg.bit_depth, self.nxn_p, self.subpel,
+                sdh=cfg.sdh, rdoq=cfg.rdoq)
         else:
             heads_b = coefs_b = None
         GLOBAL_TIMERS.add("disp_b_call", time.perf_counter() - _t_b)
@@ -1048,7 +1058,7 @@ class GopEncoder:
             jnp.asarray(lam16, jnp.int32), jnp.asarray(sl16, jnp.int32),
             tnh, tnw, tr, tc, cfg.bit_depth,
             self.enable_nxn if is_idr else self.nxn_p, cfg.deblock, is_idr,
-            cfg.sao, self.subpel)
+            cfg.sao, self.subpel, sdh=cfg.sdh, rdoq=cfg.rdoq)
         nk = 13 if is_idr else 23
         if cfg.sao:
             from hevc_tpu.ops.deblock_jax import sao_pad_jit
@@ -1150,7 +1160,8 @@ class GopEncoder:
                 *pads0, *pads1, jnp.asarray(qp_b), rs.lam_bits,
                 jnp.asarray(lam16, jnp.int32), jnp.asarray(sl16, jnp.int32),
                 jnp.asarray(dsf_pair(*pocs)),
-                nh // tr, nw // tc, cfg.bit_depth, self.nxn_p, self.subpel)
+                nh // tr, nw // tc, cfg.bit_depth, self.nxn_p, self.subpel,
+                sdh=cfg.sdh, rdoq=cfg.rdoq)
             host = jax.device_get(list(outs))
             dec = self._dec_from_outs(host, p_mc=False, p_b=True)
             recon = {

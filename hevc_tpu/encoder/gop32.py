@@ -84,7 +84,8 @@ class Ctb32DeviceEncoder:
             pads = self._pads(ref)
         cells, o32 = rowscan32_scan_jit(
             ya, cba, cra, jnp.asarray(cfg.qp), rs.lam_bits, lam16, sl16,
-            *pads, t32h, t32w, cfg.bit_depth, self.subpel, i_slice)
+            *pads, t32h, t32w, cfg.bit_depth, self.subpel, i_slice,
+            sdh=cfg.sdh, rdoq=cfg.rdoq)
         cells = {k: np.asarray(v) for k, v in cells.items()}
         o32 = {k: np.asarray(v) for k, v in o32.items()}
         nh16, nw16 = 2 * t32h, 2 * t32w

@@ -77,7 +77,7 @@ class RefIntraEncoder:
         lam = 0.85 * 2.0 ** ((qp - 12) / 3.0)
         sqrt_lam = np.sqrt(lam)
 
-        syn = SliceSyntaxEncoder(cfg.qp)     # CABAC init uses SliceQpY
+        syn = SliceSyntaxEncoder(cfg.qp, sdh=cfg.sdh)  # CABAC init: SliceQpY
         mode_row = np.full(nw, INTRA_DC, dtype=np.int32)  # left-neighbor modes
 
         for cy in range(nh):
@@ -105,6 +105,9 @@ class RefIntraEncoder:
                 coef = R.forward_transform(src - pred, dst=False,
                                            bit_depth=cfg.bit_depth)
                 lvl = R.quantize(coef, qp, cfg.bit_depth)
+                if cfg.sdh:
+                    lvl = R.sdh_fixup(lvl, coef, qp, 0,
+                                      cfg.bit_depth)   # TU16 luma: diag
                 cbf_y = int(np.any(lvl))
                 if cbf_y:
                     resi = R.inverse_transform(
@@ -131,6 +134,9 @@ class RefIntraEncoder:
                     coefc = R.forward_transform(srcc - predc,
                                                 bit_depth=cfg.bit_depth)
                     lvlc = R.quantize(coefc, qpcc, cfg.bit_depth)
+                    if cfg.sdh:
+                        lvlc = R.sdh_fixup(lvlc, coefc, qpcc, 0,
+                                           cfg.bit_depth)  # TB8: diag
                     cbf_c = int(np.any(lvlc))
                     if cbf_c:
                         resic = R.inverse_transform(

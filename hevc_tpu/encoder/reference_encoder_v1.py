@@ -89,7 +89,7 @@ class RefIntraEncoderV1:
                 dec, left_modes = encode_ctu_v1(
                     vy, vcb, vcr, ry, rcb, rcr, cx, cy, ctb, qp, qpc, None,
                     sqrt_lam, left_modes, cfg.bit_depth, hadamard_satd,
-                    enable_nxn=self.enable_nxn)
+                    enable_nxn=self.enable_nxn, sdh=cfg.sdh, rdoq=cfg.rdoq)
                 ctus[ty0 + cy][tx0 + cx] = dec
 
     def encode_frame(self, y, cb, cr):
@@ -173,7 +173,7 @@ class RefIntraEncoderV1:
                 dec, lm = encode_ctu_v1(
                     vy, vcb, vcr, ry, rcb, rcr, cx, cy, ctb, qp, qpc, None,
                     sqrt_lam, left_modes, cfg.bit_depth, hadamard_satd,
-                    enable_nxn=self.enable_nxn)
+                    enable_nxn=self.enable_nxn, sdh=cfg.sdh, rdoq=cfg.rdoq)
                 sse_intra = _sse(vy[sl], ry[sl]) + _sse(vcb[slc], rcb[slc]) \
                     + _sse(vcr[slc], rcr[slc])
                 bits = min(8 + level_bits_estimate(
@@ -215,11 +215,13 @@ class RefIntraEncoderV1:
 
         def tu3(src3, pred3):
             """(lvl, cbf, rec) per plane for one inter CU's residual."""
+            sdh_scan = 0 if cfg.sdh else None   # inter TBs: diag scan
             out = []
             for (s, p, q) in ((src3[0], pred3[0], qp),
                               (src3[1], pred3[1], qpc),
                               (src3[2], pred3[2], qpc)):
-                out.append(encode_tu(s, p, q, bd))
+                out.append(encode_tu(s, p, q, bd, sdh_scan=sdh_scan,
+                                     rdoq=cfg.rdoq))
             return out
 
         for cy in range(th):
@@ -288,7 +290,7 @@ class RefIntraEncoderV1:
                 dec, lm = encode_ctu_v1(
                     vy, vcb, vcr, ry, rcb, rcr, cx, cy, ctb, qp, qpc, None,
                     sqrt_lam, left_modes, bd, hadamard_satd,
-                    enable_nxn=self.nxn_p)
+                    enable_nxn=self.nxn_p, sdh=cfg.sdh, rdoq=cfg.rdoq)
                 sse_i = _sse(vy[sl], ry[sl]) + _sse(vcb[slc], rcb[slc]) \
                     + _sse(vcr[slc], rcr[slc])
                 bits = min(8 + level_bits_estimate(
@@ -453,9 +455,11 @@ class RefIntraEncoderV1:
                    "pf": np.zeros((nh, nw, 2), np.int32)}
 
         def tu3(src3, pred3):
-            return [encode_tu(s, p, q, bd) for (s, p, q) in
-                    ((src3[0], pred3[0], qp), (src3[1], pred3[1], qpc),
-                     (src3[2], pred3[2], qpc))]
+            sdh_scan = 0 if cfg.sdh else None   # inter TBs: diag scan
+            return [encode_tu(s, p, q, bd, sdh_scan=sdh_scan,
+                              rdoq=cfg.rdoq) for (s, p, q)
+                    in ((src3[0], pred3[0], qp), (src3[1], pred3[1], qpc),
+                        (src3[2], pred3[2], qpc))]
 
         def mc_rec(rec):
             pf0, pf1, mv0, mv1 = rec
@@ -536,7 +540,7 @@ class RefIntraEncoderV1:
                         dec, lm = encode_ctu_v1(
                             vy, vcb, vcr, ry, rcb, rcr, cx, cy, ctb, qp, qpc,
                             None, sqrt_lam, left_modes, bd, hadamard_satd,
-                            enable_nxn=self.nxn_p)
+                            enable_nxn=self.nxn_p, sdh=cfg.sdh, rdoq=cfg.rdoq)
                         sse_i = _sse(vy[sl], ry[sl]) \
                             + _sse(vcb[slc], rcb[slc]) \
                             + _sse(vcr[slc], rcr[slc])

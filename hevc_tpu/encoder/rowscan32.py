@@ -26,7 +26,7 @@ import numpy as np
 from hevc_tpu.encoder.rowscan_v1 import (
     MARGIN, MARGIN_C, _CQP, _assemble_ref, _chroma_val_ref, _level_bits,
     _merge_luma_val_ref, _mode_bits, _mpm_jax, _mvd_bits_j, _predict_all,
-    _search_explicit_ref, _search_select, _sse_j, _tu, _weight_uni_j)
+    _search_explicit_ref, _search_select, _sse_j, _tu_q, _weight_uni_j)
 
 I32 = jnp.int32
 INF32 = jnp.asarray(2**31 - 1, I32)
@@ -60,19 +60,21 @@ def _amvp_p(a_list, b_list):
 
 
 @partial(jax.jit, static_argnames=("tnh32", "tnw32", "bit_depth", "subpel",
-                                   "i_slice"))
+                                   "i_slice", "sdh", "rdoq"))
 def rowscan32_scan_jit(src_y, src_cb, src_cr, qp, lam_bits, lam16, sl16,
                        pad_y, pad_cb, pad_cr, tnh32, tnw32, bit_depth,
-                       subpel=True, i_slice=False):
+                       subpel=True, i_slice=False, sdh=False, rdoq=False):
     return _rowscan32_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh32,
                            tnw32, bit_depth, lam16=lam16, sl16=sl16,
                            ref_pads=None if i_slice
-                           else (pad_y, pad_cb, pad_cr), subpel=subpel)
+                           else (pad_y, pad_cb, pad_cr), subpel=subpel,
+                           sdh=sdh, rdoq=rdoq)
 
 
 def _rowscan32_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh32, tnw32,
                     bit_depth, lam16=None, sl16=None, ref_pads=None,
-                    ref_pads1=None, dsf=None, subpel=True):
+                    ref_pads1=None, dsf=None, subpel=True, sdh=False,
+                    rdoq=False):
     """Shared ctb32 scan body.  src_y: (B, tnh32, tnw32, 32, 32); chroma
     (B, tnh32, tnw32, 16, 16).  ref_pads enables the P step; ref_pads1
     additionally enables the B step (not yet implemented)."""
@@ -80,6 +82,9 @@ def _rowscan32_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh32, tnw32,
     B = src_y.shape[0]
     p_mode = ref_pads is not None
     maxv = (1 << bit_depth) - 1
+    # every ctb32-profile TB is diag-scanned; one static sdh_scan arg
+    shs0 = 0 if sdh else None
+    _tu = partial(_tu_q, rdoq=rdoq)
     qp_bd = 6 * (bit_depth - 8)
     qp_eff = qp + qp_bd
     qpc = jnp.asarray(_CQP)[jnp.clip(qp, 0, 57)] + qp_bd
@@ -271,7 +276,7 @@ def _rowscan32_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh32, tnw32,
                                   jnp.where(b_m >= 0, b_m, DC))
             mode, pred, _ = _search_select(src, ref, 16, lam_bits,
                                            c0, c1, c2, maxv)
-            lvl_y, cbf_y, rec_y = _tu(src, pred, qp_eff, 16, bit_depth, maxv)
+            lvl_y, cbf_y, rec_y = _tu(src, pred, qp_eff, 16, bit_depth, maxv, sdh_scan=shs0)
             refcb = _assemble_ref(*segs_cb[:5], *segs_cb[5:], 8, bit_depth)
             refcr = _assemble_ref(*segs_cr[:5], *segs_cr[5:], 8, bit_depth)
             pcb = jnp.take_along_axis(
@@ -280,8 +285,8 @@ def _rowscan32_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh32, tnw32,
             pcr = jnp.take_along_axis(
                 _predict_all(refcr, 8, maxv, fixups=False, luma=False),
                 mode[:, None, None], axis=1).reshape(B, 8, 8)
-            lvl_cb, cbf_cb, rec_cb = _tu(scb, pcb, qpc, 8, bit_depth, maxv)
-            lvl_cr, cbf_cr, rec_cr = _tu(scr, pcr, qpc, 8, bit_depth, maxv)
+            lvl_cb, cbf_cb, rec_cb = _tu(scb, pcb, qpc, 8, bit_depth, maxv, sdh_scan=shs0)
+            lvl_cr, cbf_cr, rec_cr = _tu(scr, pcr, qpc, 8, bit_depth, maxv, sdh_scan=shs0)
             sse_i = _sse_j(src, rec_y) + _sse_j(scb, rec_cb) \
                 + _sse_j(scr, rec_cr)
             bits_i = jnp.minimum(8 + _level_bits(lvl_y) + _level_bits(lvl_cb)
@@ -330,17 +335,17 @@ def _rowscan32_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh32, tnw32,
                                                   bit_depth), bit_depth)
 
             lvlm_y, cbfm_y, recm_y = _tu(src, pred_m, qp_eff, 16,
-                                         bit_depth, maxv)
+                                         bit_depth, maxv, sdh_scan=shs0)
             lvlm_cb, cbfm_cb, recm_cb = _tu(scb, pm_cb, qpc, 8,
-                                            bit_depth, maxv)
+                                            bit_depth, maxv, sdh_scan=shs0)
             lvlm_cr, cbfm_cr, recm_cr = _tu(scr, pm_cr, qpc, 8,
-                                            bit_depth, maxv)
+                                            bit_depth, maxv, sdh_scan=shs0)
             lvle_y, cbfe_y, rece_y = _tu(src, pred_e, qp_eff, 16,
-                                         bit_depth, maxv)
+                                         bit_depth, maxv, sdh_scan=shs0)
             lvle_cb, cbfe_cb, rece_cb = _tu(scb, pe_cb, qpc, 8,
-                                            bit_depth, maxv)
+                                            bit_depth, maxv, sdh_scan=shs0)
             lvle_cr, cbfe_cr, rece_cr = _tu(scr, pe_cr, qpc, 8,
-                                            bit_depth, maxv)
+                                            bit_depth, maxv, sdh_scan=shs0)
 
             j_skip = _sse_j(src, pred_m) + _sse_j(scb, pm_cb) \
                 + _sse_j(scr, pm_cr) + ((lam16 * 2) >> 4)
@@ -442,7 +447,7 @@ def _rowscan32_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh32, tnw32,
                     _predict_all(ref, 16, maxv, fixups=True),
                     mode32[:, None, None], axis=1).reshape(B, 16, 16)
                 lvl_y, cbf_y, rec_y = _tu(src, pred, qp_eff, 16,
-                                          bit_depth, maxv)
+                                          bit_depth, maxv, sdh_scan=shs0)
                 refcb = _assemble_ref(*segs_cb[:5], *segs_cb[5:], 8,
                                       bit_depth)
                 refcr = _assemble_ref(*segs_cr[:5], *segs_cr[5:], 8,
@@ -454,9 +459,9 @@ def _rowscan32_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh32, tnw32,
                     _predict_all(refcr, 8, maxv, fixups=False, luma=False),
                     mode32[:, None, None], axis=1).reshape(B, 8, 8)
                 lvl_cb, cbf_cb, rec_cb = _tu(scb, pcb, qpc, 8, bit_depth,
-                                             maxv)
+                                             maxv, sdh_scan=shs0)
                 lvl_cr, cbf_cr, rec_cr = _tu(scr, pcr, qpc, 8, bit_depth,
-                                             maxv)
+                                             maxv, sdh_scan=shs0)
                 rec32_y = rec32_y.at[:, 16 * qy:16 * qy + 16,
                                      16 * qx:16 * qx + 16].set(rec_y)
                 rec32_cb = rec32_cb.at[:, 8 * qy:8 * qy + 8,
@@ -514,15 +519,15 @@ def _rowscan32_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh32, tnw32,
                     ly, cy_, r_ = _tu(
                         s32[:, 16 * qy:16 * qy + 16, 16 * qx:16 * qx + 16],
                         py[:, 16 * qy:16 * qy + 16, 16 * qx:16 * qx + 16],
-                        qp_eff, 16, bit_depth, maxv)
+                        qp_eff, 16, bit_depth, maxv, sdh_scan=shs0)
                     lcb, ccb, rcb_ = _tu(
                         s32cb[:, 8 * qy:8 * qy + 8, 8 * qx:8 * qx + 8],
                         pcb_[:, 8 * qy:8 * qy + 8, 8 * qx:8 * qx + 8],
-                        qpc, 8, bit_depth, maxv)
+                        qpc, 8, bit_depth, maxv, sdh_scan=shs0)
                     lcr, ccr, rcr_ = _tu(
                         s32cr[:, 8 * qy:8 * qy + 8, 8 * qx:8 * qx + 8],
                         pcr_[:, 8 * qy:8 * qy + 8, 8 * qx:8 * qx + 8],
-                        qpc, 8, bit_depth, maxv)
+                        qpc, 8, bit_depth, maxv, sdh_scan=shs0)
                     ry = ry.at[:, 16 * qy:16 * qy + 16,
                                16 * qx:16 * qx + 16].set(r_)
                     rcb = rcb.at[:, 8 * qy:8 * qy + 8,

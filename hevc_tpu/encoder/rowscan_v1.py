@@ -104,9 +104,21 @@ def _mode_bits(c0, c1, c2, lam_bits):
                                lam_bits[1], lam_bits[2]))
 
 
-def _tu(src, pred, qp, n, bit_depth, maxv):
-    lvl = J.quantize(J.forward_transform(src - pred, n, bit_depth=bit_depth),
-                     qp, n, bit_depth)
+def _scan_sel_j(mode):
+    """Mode-dependent coefficient scan (spec 7.4.9.11): vert for modes
+    6-14, horiz for 22-30, else diag.  Applies to log2 sizes 2-3."""
+    return jnp.where((mode >= 6) & (mode <= 14), 2,
+                     jnp.where((mode >= 22) & (mode <= 30), 1, 0))
+
+
+def _tu_q(src, pred, qp, n, bit_depth, maxv, sdh_scan=None, rdoq=False):
+    coef = J.forward_transform(src - pred, n, bit_depth=bit_depth)
+    if rdoq:
+        lvl = J.quantize_rdoq(coef, qp, n, bit_depth)
+    else:
+        lvl = J.quantize(coef, qp, n, bit_depth)
+    if sdh_scan is not None:
+        lvl = J.sdh_fixup(lvl, coef, qp, n, sdh_scan, bit_depth)
     cbf = jnp.any(lvl != 0, axis=(-2, -1))
     rin = J.inverse_transform(J.dequantize(lvl, qp, n, bit_depth), n,
                               bit_depth=bit_depth)
@@ -471,7 +483,7 @@ def _chroma_val_ref(pad_c, r, c, mv, bit_depth, nc: int = 8):
 def _rowscan_v1_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh, tnw, bit_depth,
                      refs=None, lam16=None, enable_nxn=True,
                      ref_pads=None, sl16=None, subpel=True,
-                     ref_pads1=None, dsf=None):
+                     ref_pads1=None, dsf=None, sdh=False, rdoq=False):
     """Shared row-scan body.
 
     refs=(ref_y, ref_cb, ref_cr) (block layout) enables the P-slice zero-MV
@@ -491,6 +503,14 @@ def _rowscan_v1_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh, tnw, bit_depth,
     mc_mode = ref_pads is not None and not b_mode
     p_mode = refs is not None or mc_mode or b_mode
     maxv = (1 << bit_depth) - 1
+
+    def shs(scan):
+        """sdh_scan arg for _tu: the TB's entropy scan when sign-data
+        hiding is on (static flag), else None (fix-up compiled out)."""
+        return scan if sdh else None
+
+    # every TB in this scan body quantizes with the same static toolset
+    _tu = partial(_tu_q, rdoq=rdoq)
     qp_bd = 6 * (bit_depth - 8)
     qp_eff = qp + qp_bd
     qpc = jnp.asarray(_CQP)[jnp.clip(qp, 0, 57)] + qp_bd
@@ -615,7 +635,8 @@ def _rowscan_v1_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh, tnw, bit_depth,
             ref = _assemble_ref(bl, lf, cor, tp, trr, *flags, 8, bit_depth)
             s0, s1, s2 = _mpm_jax(a_m, b_m)
             m, p, cst = _search_select(sub, ref, 8, lam_bits, s0, s1, s2, maxv)
-            lvl, cbf, rec = _tu(sub, p, qp_eff, 8, bit_depth, maxv)
+            lvl, cbf, rec = _tu(sub, p, qp_eff, 8, bit_depth, maxv,
+                                sdh_scan=shs(_scan_sel_j(m)))
             ctu_rec = ctu_rec.at[:, dy:dy + 8, dx:dx + 8].set(rec)
             sub_modes.append(m)
             sub_out.append((lvl, cbf))
@@ -630,7 +651,8 @@ def _rowscan_v1_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh, tnw, bit_depth,
                         jnp.zeros((B,), jnp.bool_))] * 4
 
         # ---- luma selection ----
-        lvl2n, cbf2n, rec2n = _tu(src, pred2n, qp_eff, 16, bit_depth, maxv)
+        lvl2n, cbf2n, rec2n = _tu(src, pred2n, qp_eff, 16, bit_depth, maxv,
+                                  sdh_scan=shs(0))
         lvl_nxn = jnp.zeros((B, 16, 16), I32)
         for i in range(4):
             dx, dy = (i & 1) * 8, (i >> 1) * 8
@@ -663,7 +685,8 @@ def _rowscan_v1_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh, tnw, bit_depth,
             pallc = _predict_all(refc, 8, maxv, fixups=False, luma=False)
             pc = jnp.take_along_axis(pallc, chroma_mode[:, None, None],
                                      axis=1).reshape(B, 8, 8)
-            lvl_a, cbf_a, rec_a = _tu(sc, pc, qpc, 8, bit_depth, maxv)
+            lvl_a, cbf_a, rec_a = _tu(sc, pc, qpc, 8, bit_depth, maxv,
+                                      sdh_scan=shs(0))
             # variant B: four sequential 4x4 TBs
             crec = jnp.zeros((B, 8, 8), I32)
             lvl_b = jnp.zeros((B, 8, 8), I32)
@@ -694,7 +717,8 @@ def _rowscan_v1_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh, tnw, bit_depth,
                 pall4 = _predict_all(refq, 4, maxv, fixups=False, luma=False)
                 pq = jnp.take_along_axis(pall4, chroma_mode[:, None, None],
                                          axis=1).reshape(B, 4, 4)
-                lq, cq_, rq = _tu(subc, pq, qpc, 4, bit_depth, maxv)
+                lq, cq_, rq = _tu(subc, pq, qpc, 4, bit_depth, maxv,
+                                  sdh_scan=shs(_scan_sel_j(chroma_mode)))
                 crec = crec.at[:, dy:dy + 4, dx:dx + 4].set(rq)
                 lvl_b = lvl_b.at[:, dy:dy + 4, dx:dx + 4].set(lq)
                 cbfs_b.append(cq_)
@@ -839,9 +863,12 @@ def _rowscan_v1_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh, tnw, bit_depth,
             pbi_cr = comb_c(pad0_cr, pad1_cr, mv_e0, mv_e1)
 
             def tu3(py, pcb, pcr):
-                a = _tu(src, py, qp_eff, 16, bit_depth, maxv)
-                b_ = _tu(src_c["cb"], pcb, qpc, 8, bit_depth, maxv)
-                c_ = _tu(src_c["cr"], pcr, qpc, 8, bit_depth, maxv)
+                a = _tu(src, py, qp_eff, 16, bit_depth, maxv,
+                        sdh_scan=shs(0))
+                b_ = _tu(src_c["cb"], pcb, qpc, 8, bit_depth, maxv,
+                         sdh_scan=shs(0))
+                c_ = _tu(src_c["cr"], pcr, qpc, 8, bit_depth, maxv,
+                         sdh_scan=shs(0))
                 return ((a[0], b_[0], c_[0]), (a[1], b_[1], c_[1]),
                         (a[2], b_[2], c_[2]))
 
@@ -1003,17 +1030,17 @@ def _rowscan_v1_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh, tnw, bit_depth,
                                                   bit_depth), bit_depth)
 
             lvlm_y, cbfm_y, recm_y = _tu(src, pred_m, qp_eff, 16,
-                                         bit_depth, maxv)
+                                         bit_depth, maxv, sdh_scan=shs(0))
             lvlm_cb, cbfm_cb, recm_cb = _tu(src_c["cb"], pm_cb, qpc, 8,
-                                            bit_depth, maxv)
+                                            bit_depth, maxv, sdh_scan=shs(0))
             lvlm_cr, cbfm_cr, recm_cr = _tu(src_c["cr"], pm_cr, qpc, 8,
-                                            bit_depth, maxv)
+                                            bit_depth, maxv, sdh_scan=shs(0))
             lvle_y, cbfe_y, rece_y = _tu(src, pred_e, qp_eff, 16,
-                                         bit_depth, maxv)
+                                         bit_depth, maxv, sdh_scan=shs(0))
             lvle_cb, cbfe_cb, rece_cb = _tu(src_c["cb"], pe_cb, qpc, 8,
-                                            bit_depth, maxv)
+                                            bit_depth, maxv, sdh_scan=shs(0))
             lvle_cr, cbfe_cr, rece_cr = _tu(src_c["cr"], pe_cr, qpc, 8,
-                                            bit_depth, maxv)
+                                            bit_depth, maxv, sdh_scan=shs(0))
 
             sse_skip = _sse_j(src, pred_m) + _sse_j(src_c["cb"], pm_cb) \
                 + _sse_j(src_c["cr"], pm_cr)
@@ -1163,17 +1190,20 @@ def _rowscan_v1_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh, tnw, bit_depth,
     return outs
 
 
-@partial(jax.jit, static_argnames=("tnh", "tnw", "bit_depth", "enable_nxn"))
+@partial(jax.jit, static_argnames=("tnh", "tnw", "bit_depth", "enable_nxn",
+                                   "sdh", "rdoq"))
 def encode_tiles_rowscan_v1_jit(src_y, src_cb, src_cr, qp, lam_bits,
-                                tnh, tnw, bit_depth=8, enable_nxn=True):
+                                tnh, tnw, bit_depth=8, enable_nxn=True,
+                                sdh=False, rdoq=False):
     return _rowscan_v1_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh, tnw,
-                            bit_depth, enable_nxn=enable_nxn)
+                            bit_depth, enable_nxn=enable_nxn, sdh=sdh, rdoq=rdoq)
 
 
-@partial(jax.jit, static_argnames=("tnh", "tnw", "bit_depth", "enable_nxn"))
+@partial(jax.jit, static_argnames=("tnh", "tnw", "bit_depth", "enable_nxn",
+                                   "sdh", "rdoq"))
 def encode_tiles_rowscan_p_jit(src_y, src_cb, src_cr, ref_y, ref_cb, ref_cr,
                                qp, lam_bits, lam16, tnh, tnw, bit_depth=8,
-                               enable_nxn=True):
+                               enable_nxn=True, sdh=False, rdoq=False):
     """P-frame row-scan: v1 intra search + zero-MV skip per CTU.
 
     ref planes are the previous picture's DEBLOCKED reconstruction in the
@@ -1182,16 +1212,16 @@ def encode_tiles_rowscan_p_jit(src_y, src_cb, src_cr, ref_y, ref_cb, ref_cr,
     """
     return _rowscan_v1_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh, tnw,
                             bit_depth, refs=(ref_y, ref_cb, ref_cr),
-                            lam16=lam16, enable_nxn=enable_nxn)
+                            lam16=lam16, enable_nxn=enable_nxn, sdh=sdh, rdoq=rdoq)
 
 
 @partial(jax.jit, static_argnames=("tnh", "tnw", "bit_depth", "enable_nxn",
-                                   "subpel"))
+                                   "subpel", "sdh", "rdoq"))
 def encode_tiles_rowscan_pmc_jit(src_y, src_cb, src_cr,
                                  pad_y, pad_cb, pad_cr,
                                  qp, lam_bits, lam16, sl16,
                                  tnh, tnw, bit_depth=8, enable_nxn=True,
-                                 subpel=True):
+                                 subpel=True, sdh=False, rdoq=False):
     """Motion-compensated P-frame row-scan (device mirror of the numpy
     reference encoder with mc=True, subpel=False).
 
@@ -1203,17 +1233,17 @@ def encode_tiles_rowscan_pmc_jit(src_y, src_cb, src_cr,
     return _rowscan_v1_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh, tnw,
                             bit_depth, lam16=lam16,
                             ref_pads=(pad_y, pad_cb, pad_cr), sl16=sl16,
-                            enable_nxn=enable_nxn, subpel=subpel)
+                            enable_nxn=enable_nxn, subpel=subpel, sdh=sdh, rdoq=rdoq)
 
 
 @partial(jax.jit, static_argnames=("tnh", "tnw", "bit_depth", "enable_nxn",
-                                   "subpel"))
+                                   "subpel", "sdh", "rdoq"))
 def encode_tiles_rowscan_bmc_jit(src_y, src_cb, src_cr,
                                  pad0_y, pad0_cb, pad0_cr,
                                  pad1_y, pad1_cb, pad1_cr,
                                  qp, lam_bits, lam16, sl16, dsf,
                                  tnh, tnw, bit_depth=8, enable_nxn=False,
-                                 subpel=True):
+                                 subpel=True, sdh=False, rdoq=False):
     """B-frame row-scan (device mirror of the numpy
     encode_frame_b_decisions, reference_encoder_v1.py:389).
 
@@ -1228,7 +1258,7 @@ def encode_tiles_rowscan_bmc_jit(src_y, src_cb, src_cr,
                             ref_pads=(pad0_y, pad0_cb, pad0_cr),
                             ref_pads1=(pad1_y, pad1_cb, pad1_cr),
                             sl16=sl16, dsf=dsf,
-                            enable_nxn=enable_nxn, subpel=subpel)
+                            enable_nxn=enable_nxn, subpel=subpel, sdh=sdh, rdoq=rdoq)
 
 
 def dsf_pair(cur_poc: int, poc0: int, poc1: int) -> np.ndarray:

@@ -29,10 +29,10 @@ def entropy_encode_frame(cfg: StreamConfig, dec: dict,
     if use_cpp:
         from hevc_tpu.entropy import binding
         if binding.available():
-            payload = binding.encode_slice_payload_v0(qp, dec)
+            payload = binding.encode_slice_payload_v0(qp, dec, sdh=cfg.sdh)
             rbsp = write_slice_header_idr(cfg).bytes() + payload
             return make_nal(NAL_IDR_W_RADL, rbsp)
-    syn = SliceSyntaxEncoder(qp)
+    syn = SliceSyntaxEncoder(qp, sdh=cfg.sdh)
     modes = dec["modes"]
     for cy in range(nh):
         for cx in range(nw):

@@ -38,24 +38,25 @@ def _load():
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.c_void_p, ctypes.c_long]
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_long]
     lib.hevc_entropy_encode_tile_v0.restype = ctypes.c_long
     lib.hevc_entropy_encode_tile_v0.argtypes = [
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.c_void_p, ctypes.c_long]
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_long]
     lib.hevc_entropy_encode_tile_v1.restype = ctypes.c_long
     lib.hevc_entropy_encode_tile_v1.argtypes = (
         [ctypes.c_int] * 4 + [ctypes.c_int] + [ctypes.c_void_p] * 9
         + [ctypes.c_int, ctypes.c_void_p]
         + [ctypes.c_int] + [ctypes.c_void_p] * 3
-        + [ctypes.c_void_p] * 10 + [ctypes.c_void_p, ctypes.c_long])
+        + [ctypes.c_void_p] * 10
+        + [ctypes.c_int, ctypes.c_void_p, ctypes.c_long])
     try:
         lib.hevc_entropy_encode_tile_ctb32.restype = ctypes.c_long
         lib.hevc_entropy_encode_tile_ctb32.argtypes = (
             [ctypes.c_int] * 7 + [ctypes.c_void_p] * 32
-            + [ctypes.c_void_p, ctypes.c_long])
+            + [ctypes.c_int, ctypes.c_void_p, ctypes.c_long])
     except AttributeError:
         pass                      # stale .so without the ctb32 entry point
     _lib = lib
@@ -66,7 +67,8 @@ def encode_tile_payload_v1(qp: int, dec: dict, y0: int, x0: int,
                            th: int, tw: int, last_tile: bool,
                            p_slice: bool = False, sao=None,
                            bit_depth: int = 8,
-                           b_slice: bool = False) -> bytes | None:
+                           b_slice: bool = False,
+                           sdh: bool = False) -> bytes | None:
     """v1 tile substream from array-format decisions (device graph output)."""
     lib = _load()
     if not lib:
@@ -119,7 +121,7 @@ def encode_tile_payload_v1(qp: int, dec: dict, y0: int, x0: int,
         part.ctypes.data, modes4.ctypes.data, cbf_y4.ctypes.data,
         cbf_cb.ctypes.data, cbf_cr.ctypes.data, cbf_cb4.ctypes.data,
         cbf_cr4.ctypes.data, lvl_y.ctypes.data, lvl_cb.ctypes.data,
-        lvl_cr.ctypes.data, out, cap)
+        lvl_cr.ctypes.data, 1 if sdh else 0, out, cap)
     if n < 0:
         raise RuntimeError(f"entropy v1 fast path error {n}")
     return bytes(bytearray(out[:n]))
@@ -128,7 +130,8 @@ def encode_tile_payload_v1(qp: int, dec: dict, y0: int, x0: int,
 def encode_tile_payload_ctb32(qp: int, dec: dict, y320: int, x320: int,
                               th32: int, tw32: int, last_tile: bool,
                               p_slice: bool = False, bit_depth: int = 8,
-                              b_slice: bool = False) -> bytes | None:
+                              b_slice: bool = False,
+                              sdh: bool = False) -> bytes | None:
     """ctb32 tile substream from the entropy/ctb32.py array format."""
     lib = _load()
     if not lib or not hasattr(lib, "hevc_entropy_encode_tile_ctb32"):
@@ -165,7 +168,7 @@ def encode_tile_payload_ctb32(qp: int, dec: dict, y320: int, x320: int,
         args.append(ptr(key, dt, s32))
     cap = max(1 << 16, int(np.asarray(dec["lvl_y"][s16]).nbytes * 2))
     out = (ctypes.c_ubyte * cap)()
-    n = lib.hevc_entropy_encode_tile_ctb32(*args, out, cap)
+    n = lib.hevc_entropy_encode_tile_ctb32(*args, 1 if sdh else 0, out, cap)
     if n < 0:
         raise RuntimeError(f"entropy ctb32 fast path error {n}")
     return bytes(bytearray(out[:n]))
@@ -175,8 +178,8 @@ def available() -> bool:
     return bool(_load())
 
 
-def encode_tile_payload_v0(qp: int, dec: dict, last_tile: bool = True
-                           ) -> bytes | None:
+def encode_tile_payload_v0(qp: int, dec: dict, last_tile: bool = True,
+                           sdh: bool = False) -> bytes | None:
     """CABAC substream for one tile's (or whole frame's) decisions."""
     lib = _load()
     if not lib:
@@ -195,11 +198,12 @@ def encode_tile_payload_v0(qp: int, dec: dict, last_tile: bool = True
         qp, nh, nw, 1 if last_tile else 0,
         modes.ctypes.data, cbf_y.ctypes.data, cbf_cb.ctypes.data,
         cbf_cr.ctypes.data, lvl_y.ctypes.data, lvl_cb.ctypes.data,
-        lvl_cr.ctypes.data, out, cap)
+        lvl_cr.ctypes.data, 1 if sdh else 0, out, cap)
     if n < 0:
         raise RuntimeError(f"entropy fast path error {n}")
     return bytes(bytearray(out[:n]))
 
 
-def encode_slice_payload_v0(qp: int, dec: dict) -> bytes | None:
-    return encode_tile_payload_v0(qp, dec, last_tile=True)
+def encode_slice_payload_v0(qp: int, dec: dict,
+                            sdh: bool = False) -> bytes | None:
+    return encode_tile_payload_v0(qp, dec, last_tile=True, sdh=sdh)

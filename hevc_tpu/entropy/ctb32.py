@@ -80,7 +80,7 @@ def encode_tile_payload_ctb32(cfg: StreamConfig, dec: dict,
     CTB32s [y320, y320+th32) x [x320, x320+tw32).
     """
     init_type = 0 if not p_slice else (2 if b_slice else 1)
-    syn = SliceSyntaxEncoder(cfg.qp, init_type=init_type)
+    syn = SliceSyntaxEncoder(cfg.qp, init_type=init_type, sdh=cfg.sdh)
     # tile-local 16-grid state: intra mode (-1 = not intra), skip, depth
     nh16, nw16 = 2 * th32, 2 * tw32
     modes16 = np.full((nh16, nw16), -1, np.int32)
@@ -263,7 +263,7 @@ def entropy_encode_frame_ctb32(cfg: StreamConfig, dec: dict,
             def cpp(y0, x0, th, tw, last):
                 return binding.encode_tile_payload_ctb32(
                     cfg.qp, dec, y0, x0, th, tw, last, p_slice=p_slice,
-                    bit_depth=cfg.bit_depth, b_slice=b_slice)
+                    bit_depth=cfg.bit_depth, b_slice=b_slice, sdh=cfg.sdh)
 
     def payload(y0, x0, th, tw, last):
         if cpp is not None:

@@ -63,6 +63,8 @@ class StreamConfig:
     inter: bool = False            # P slices (zero-MV skip GOP structure)
     bframes: bool = False          # IbPbP GOP (non-reference B pictures)
     sao: bool = False              # sample-adaptive offset (luma + chroma)
+    sdh: bool = False              # sign-data hiding (x265-medium parity)
+    rdoq: bool = False             # RD-aware quantization (encoder-only)
     extra: dict = field(default_factory=dict)
 
     @property
@@ -250,7 +252,7 @@ def write_pps(cfg: StreamConfig) -> bytes:
     w.u(0, 1)                       # dependent_slice_segments_enabled_flag
     w.u(0, 1)                       # output_flag_present_flag
     w.u(0, 3)                       # num_extra_slice_header_bits
-    w.u(0, 1)                       # sign_data_hiding_enabled_flag
+    w.u(1 if cfg.sdh else 0, 1)     # sign_data_hiding_enabled_flag
     w.u(0, 1)                       # cabac_init_present_flag
     w.ue(0)                         # num_ref_idx_l0_default_active_minus1
     w.ue(0)                         # num_ref_idx_l1_default_active_minus1

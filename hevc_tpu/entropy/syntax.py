@@ -41,7 +41,8 @@ def mpm_candidates(cand_a: int, cand_b: int) -> list[int]:
 class SliceSyntaxEncoder:
     """Encodes one intra slice's CTU decisions into CABAC bins."""
 
-    def __init__(self, qp: int, init_type: int = 0):
+    def __init__(self, qp: int, init_type: int = 0, sdh: bool = False):
+        self.sdh = sdh              # sign_data_hiding_enabled_flag
         self.cabac = CabacEncoder(qp, init_type)
 
     # ---- intra mode signaling ----------------------------------------------
@@ -299,8 +300,16 @@ class SliceSyntaxEncoder:
                 ctx = T.CTX_OFF["gt2"] + (4 if c_idx else 0) + ctx_set
                 c.encode_bin(ctx, int(abs_vals[first_g1_idx] > 2))
 
-            # signs
-            for s in signs:
+            # signs; with sign-data hiding the firstSigScanPos sign (the
+            # LAST of this reverse-scan list) is omitted when the
+            # sub-block's significant span exceeds 3 — the quantizer's
+            # sdh_fixup guarantees the decoder's parity inference matches
+            sign_hidden = self.sdh and \
+                (sig_positions[0] - sig_positions[-1]) > 3
+            if sign_hidden:
+                assert (sum(abs_vals) & 1) == signs[-1], \
+                    "sdh parity violated: quantizer fixup missing"
+            for s in (signs[:-1] if sign_hidden else signs):
                 c.encode_bypass(s)
 
             # remaining levels

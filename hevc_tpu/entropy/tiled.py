@@ -48,12 +48,13 @@ def encode_tile_payload(cfg: StreamConfig, tile: dict, last_tile: bool,
     if use_cpp:
         from hevc_tpu.entropy import binding
         if binding.available():
-            return binding.encode_tile_payload_v0(cfg.qp, tile, last_tile)
+            return binding.encode_tile_payload_v0(cfg.qp, tile, last_tile,
+                                                  sdh=cfg.sdh)
     from hevc_tpu.entropy.syntax import SliceSyntaxEncoder, mpm_candidates, \
         INTRA_DC
     from hevc_tpu.entropy import tables as T
     nh, nw = tile["modes"].shape
-    syn = SliceSyntaxEncoder(cfg.qp)
+    syn = SliceSyntaxEncoder(cfg.qp, sdh=cfg.sdh)
     modes = tile["modes"]
     for cy in range(nh):
         for cx in range(nw):

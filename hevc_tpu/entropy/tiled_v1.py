@@ -42,7 +42,7 @@ def encode_tile_payload_v1(cfg: StreamConfig, ctus: list[list[dict]],
     before the coding quadtree of every CTU).
     """
     init_type = 0 if not p_slice else (2 if b_slice else 1)
-    syn = SliceSyntaxEncoder(cfg.qp, init_type=init_type)
+    syn = SliceSyntaxEncoder(cfg.qp, init_type=init_type, sdh=cfg.sdh)
     nh = len(ctus)
     nw = len(ctus[0])
     above_skip = [0] * nw
@@ -308,7 +308,8 @@ def entropy_encode_frame_v1(cfg: StreamConfig, ctus,
                     return binding.encode_tile_payload_v1(
                         cfg.qp, arrays, y0, x0, th, tw, last,
                         p_slice=p_slice, sao=sao_arr,
-                        bit_depth=cfg.bit_depth, b_slice=b_slice)
+                        bit_depth=cfg.bit_depth, b_slice=b_slice,
+                        sdh=cfg.sdh)
         def tile(y0, x0, th, tw):
             return _arrays_to_ctus(arrays, y0, x0, th, tw)
     else:

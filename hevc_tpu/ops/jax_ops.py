@@ -107,6 +107,178 @@ def quantize(coef: jnp.ndarray, qp: jnp.ndarray, n: int,
     return jnp.clip(jnp.sign(coef) * lvl, -32768, 32767)
 
 
+def _bits4_of_mag_j(m: jnp.ndarray) -> jnp.ndarray:
+    """Device mirror of reference._bits4_of_mag (quarter-bit units)."""
+    m = jnp.abs(m)
+    r = m - 2
+    bl = jnp.zeros_like(m)
+    for k in range(15):
+        bl += ((r >> k) > 0).astype(m.dtype)
+    return jnp.where(m == 0, 2,
+                     jnp.where(m == 1, 12,
+                               jnp.where(m == 2, 18, 20 + 8 * bl)))
+
+
+def _lambda_c_j(qp, log2n: int, bit_depth: int):
+    """Device mirror of reference.sdh_lambda_c (int32, traced qp)."""
+    k2 = 2 * (15 - bit_depth - log2n)
+    lam256 = jnp.asarray(R.SDH_LAMBDA256.astype(np.int32))[
+        jnp.minimum(qp, 63)]
+    if k2 >= 8:
+        return jnp.minimum(lam256, 1 << (35 - k2)) << (k2 - 8)
+    return jnp.minimum(lam256 >> (8 - k2), 1 << 27)
+
+
+def quantize_rdoq(coef: jnp.ndarray, qp, n: int, bit_depth: int = 8,
+                  intra: bool = True) -> jnp.ndarray:
+    """Device mirror of reference.quantize_rdoq (bit-exact, batched).
+
+    coef: (..., n, n) int32 transform coefficients.  Everything is
+    elementwise + 4x4-group reductions; identical capped-int32 cost
+    arithmetic to the numpy spec.
+    """
+    log2n = n.bit_length() - 1
+    qbits = 14 + qp // 6 + (15 - bit_depth - log2n)
+    mag = jnp.abs(coef)
+    m_hi = jnp.clip(jnp.right_shift(
+        mag * QUANT_SCALES[qp % 6] + (1 << (qbits - 1)), qbits), 0, 32767)
+    m_lo = jnp.maximum(m_hi - 1, 0)
+    lam_c = jnp.minimum(_lambda_c_j(qp, log2n, bit_depth), 1 << 22)
+    sgn = jnp.where(coef < 0, -1, 1)
+
+    def d_of(m):
+        e = jnp.minimum(jnp.abs(coef - dequantize(m * sgn, qp, n,
+                                                  bit_depth)), 20000)
+        return e * e
+
+    def cost(m):
+        return d_of(m) + jnp.right_shift(lam_c * _bits4_of_mag_j(m), 2)
+
+    zero = jnp.zeros_like(m_hi)
+    c_zero = cost(zero)
+    c_lo = cost(m_lo)
+    c_hi = cost(m_hi)
+    m = jnp.where(c_hi < jnp.minimum(c_zero, c_lo), m_hi,
+                  jnp.where(c_lo < c_zero, m_lo, 0))
+    if n >= 8:
+        g = n // 4
+        lead = coef.shape[:-2]
+
+        def cg_sum(a):
+            return a.reshape(lead + (g, 4, g, 4)).sum((-3, -1))
+
+        dch = cg_sum(d_of(m) >> 4)
+        d0 = cg_sum(d_of(zero) >> 4)
+        bits = cg_sum(_bits4_of_mag_j(m)) + 4
+        kill = (d0 - dch) < jnp.right_shift((lam_c >> 4) * bits, 2)
+        keep_dc = jnp.zeros((g, g), bool).at[0, 0].set(True)
+        kill = kill & ~keep_dc
+        kill_full = jnp.repeat(jnp.repeat(kill, 4, axis=-2), 4, axis=-1)
+        m = jnp.where(kill_full, 0, m)
+    return jnp.clip(jnp.where(coef < 0, -m, m), -32768, 32767)
+
+
+@lru_cache(maxsize=None)
+def _sdh_perms(n: int):
+    """(3, n*n) flat scan permutation + inverse per scan_idx, int32.
+
+    Returns NUMPY arrays — converting to jnp here would cache a traced
+    constant from one jit context and leak it into the next.
+    """
+    from hevc_tpu.entropy import tables as T
+    perm = np.zeros((3, n * n), np.int32)
+    inv = np.zeros((3, n * n), np.int32)
+    for s in range(3):
+        sc = T.scan_order(s, n)
+        p = sc[:, 1] * n + sc[:, 0]
+        perm[s] = p
+        inv[s, p] = np.arange(n * n, dtype=np.int32)
+    return perm, inv
+
+
+def sdh_fixup(lvl: jnp.ndarray, coef: jnp.ndarray, qp, n: int,
+              scan_sel=0, bit_depth: int = 8) -> jnp.ndarray:
+    """Device mirror of reference.sdh_fixup (bit-exact, batched).
+
+    lvl/coef: (..., n, n) int32 levels / pre-quant transform
+    coefficients; qp: traced or static scalar; scan_sel: scan index in
+    {0, 1, 2} — a Python int or a traced scalar/batch array
+    broadcastable over the leading dims (mode-dependent scans of NxN
+    intra TBs are data).  Per eligible sub-block with a parity mismatch
+    the +-1 magnitude move with the smallest capped-int32 distortion
+    delta wins (decrements first on ties, matching the numpy argmin
+    order).  Pure gathers + dense reductions; no scatters.
+    """
+    perm_np, inv_np = _sdh_perms(n)
+    perm_t, inv_t = jnp.asarray(perm_np), jnp.asarray(inv_np)
+    lead = lvl.shape[:-2]
+    flat = lvl.reshape(lead + (n * n,))
+    if isinstance(scan_sel, int):
+        perm = perm_t[scan_sel]
+        inv = inv_t[scan_sel]
+    else:
+        sel = jnp.broadcast_to(jnp.asarray(scan_sel, I32), lead)
+        perm = perm_t[sel]          # (..., n*n)
+        inv = inv_t[sel]
+
+    # capped distortion-delta costs per coefficient (block layout)
+    def err(lv):
+        d = jnp.abs(coef - dequantize(lv, qp, n, bit_depth))
+        return jnp.minimum(d, 20000)
+
+    mag = jnp.abs(lvl)
+    sgn = jnp.where(lvl < 0, -1, 1)
+    e0 = err(lvl)
+    e_inc = err((mag + 1) * sgn)
+    e_dec = err(jnp.maximum(mag - 1, 0) * sgn)
+    # lambda per bit in transform-SSE units (reference.sdh_lambda_c)
+    lam_c = _lambda_c_j(qp, n.bit_length() - 1, bit_depth)
+    BIG = jnp.int32(1 << 30)     # above any legal capped cost (< 8e8)
+    # rate-aware cost: distortion delta + lambda * estimated bit delta
+    cost_inc = jnp.where(lvl != 0,
+                         (e_inc - e0) * (e_inc + e0) + 2 * lam_c, BIG)
+    cost_dec = jnp.where(mag >= 2,
+                         (e_dec - e0) * (e_dec + e0) - lam_c, BIG)
+    cost_zero = jnp.where(mag == 1,
+                          (e_dec - e0) * (e_dec + e0) - 3 * lam_c, BIG)
+
+    def to_sb(a):
+        f = a.reshape(lead + (n * n,))
+        g = jnp.take_along_axis(f, jnp.broadcast_to(perm, f.shape), axis=-1)
+        return g.reshape(lead + (n * n // 16, 16))
+
+    v = to_sb(lvl)
+    ci = to_sb(cost_inc)
+    cd = to_sb(cost_dec)
+    cz = to_sb(cost_zero)
+    k = jnp.arange(16, dtype=I32)
+    nz = v != 0
+    first = jnp.min(jnp.where(nz, k, 16), axis=-1)
+    last = jnp.max(jnp.where(nz, k, -1), axis=-1)
+    hidden = (last - first) > 3
+    sumabs = jnp.sum(jnp.abs(v), axis=-1)
+    fidx = jnp.clip(first, 0, 15)
+    fval = jnp.take_along_axis(v, fidx[..., None], axis=-1)[..., 0]
+    mismatch = (sumabs & 1) != (fval < 0).astype(I32)
+    adj = hidden & mismatch
+    # zeroing is only legal strictly inside (first, last): span survives
+    czi = jnp.where((k > first[..., None]) & (k < last[..., None]), cz, BIG)
+    # argmin over [dec, zero, inc]x16: ties prefer dec, zero, inc/low idx
+    cands = jnp.concatenate([cd, czi, ci], axis=-1)  # (..., 48)
+    j = jnp.argmin(cands, axis=-1).astype(I32)
+    tgt = j % 16
+    cls = j // 16
+    tval = jnp.take_along_axis(v, tgt[..., None], axis=-1)[..., 0]
+    tsgn = jnp.where(tval < 0, -1, 1)
+    newv = jnp.where(cls == 1, 0,
+                     tval + jnp.where(cls == 2, tsgn, -tsgn))
+    v = jnp.where(adj[..., None] & (k == tgt[..., None]),
+                  newv[..., None], v)
+    out = jnp.take_along_axis(v.reshape(lead + (n * n,)),
+                              jnp.broadcast_to(inv, flat.shape), axis=-1)
+    return out.reshape(lvl.shape)
+
+
 def dequantize(level: jnp.ndarray, qp: jnp.ndarray, n: int,
                bit_depth: int = 8) -> jnp.ndarray:
     """Normative scaling (spec 8.6.3, flat list), int32-safe factoring."""

@@ -78,6 +78,28 @@ def inverse_transform(coef: np.ndarray, dst: bool = False,
 QUANT_SCALES = np.array([26214, 23302, 20560, 18396, 16384, 14564], np.int64)
 DEQUANT_SCALES = np.array([40, 45, 51, 57, 64, 72], np.int64)
 
+# lambda = 0.85 * 2^((qp-12)/3) in pixel-SSE units, fixed-point x256.
+# Single source for both the numpy and device SDH fix-ups (bit-exact).
+SDH_LAMBDA256 = np.round(0.85 * 2.0 ** ((np.arange(64) - 12) / 3.0)
+                         * 256).astype(np.int64)
+
+
+def sdh_lambda_c(qp, log2n: int, bit_depth: int):
+    """lambda per bit in TRANSFORM-domain SSE units, int.
+
+    The HEVC forward transform scales pixel residuals by
+    2^(15 - bit_depth - log2n) (rows of the core matrix have norm
+    64*sqrt(n); the forward shifts remove 2*log2n + bit_depth - 3
+    bits), so coefficient-domain SSE = pixel SSE * 4^k with
+    k = 15 - bit_depth - log2n.  Clamped to 2^27 so int32 cost sums
+    cannot overflow on device.
+    """
+    k2 = 2 * (15 - bit_depth - log2n)
+    lam = SDH_LAMBDA256[np.minimum(qp, 63)]
+    if k2 >= 8:
+        return np.minimum(lam, 1 << (35 - k2)) << (k2 - 8)
+    return np.minimum(lam >> (8 - k2), 1 << 27)
+
 
 def quantize(coef: np.ndarray, qp: int, bit_depth: int = 8,
              intra: bool = True) -> np.ndarray:
@@ -89,6 +111,161 @@ def quantize(coef: np.ndarray, qp: int, bit_depth: int = 8,
     mag = (np.abs(coef.astype(np.int64)) * QUANT_SCALES[qp % 6] + add) >> qbits
     level = np.sign(coef) * mag
     return np.clip(level, -32768, 32767).astype(np.int32)
+
+
+def _bits4_of_mag(m: np.ndarray) -> np.ndarray:
+    """Approximate CABAC residual bits per |level|, quarter-bit units.
+
+    sig_coeff_flag ~0.5 bit for a zero; a one costs sig + gt1 + sign
+    ~3 bits; a two adds gt2 ~1.5; m>=3 adds a Golomb-Rice remainder
+    growing with bit_length(m-2).  Context-free by design — this is the
+    rate half of the RDOQ-lite cost, not an exact CABAC model.
+    """
+    m = np.abs(m).astype(np.int64)
+    r = m - 2
+    bl = np.zeros_like(m)
+    for k in range(15):                 # bit_length(r) for r < 2^15
+        bl += (r >> k) > 0
+    return np.where(m == 0, 2,
+                    np.where(m == 1, 12,
+                             np.where(m == 2, 18, 20 + 8 * bl)))
+
+
+def quantize_rdoq(coef: np.ndarray, qp: int, bit_depth: int = 8,
+                  intra: bool = True) -> np.ndarray:
+    """Rate-distortion-aware quantization (RDOQ-lite, non-normative).
+
+    Per coefficient, choose among {0, m-1, m} (m = round-to-nearest
+    level) by distortion + lambda * approximate-bits; then zero whole
+    4x4 coefficient groups whose content costs more than it is worth
+    (the DC group is exempt).  This is the dense-evaluation analogue of
+    x265's RDOQ (the reference delegates to x265 at
+    core/transcoder.py:398-412); context modeling and last-position
+    search are intentionally dropped so the whole decision is a few
+    elementwise ops + small reductions (device mirror:
+    jax_ops.quantize_rdoq, bit-exact).
+
+    All cost arithmetic uses the same capped-int32 formulation as the
+    device kernel so numpy == device exactly.
+    """
+    n = coef.shape[-1]
+    log2n = n.bit_length() - 1
+    qbits = 14 + qp // 6 + (15 - bit_depth - log2n)
+    mag = np.abs(coef.astype(np.int64))
+    m_hi = np.clip((mag * QUANT_SCALES[qp % 6] + (1 << (qbits - 1)))
+                   >> qbits, 0, 32767)
+    m_lo = np.maximum(m_hi - 1, 0)
+    lam_c = min(int(sdh_lambda_c(qp, log2n, bit_depth)), 1 << 22)
+
+    def d_of(m):
+        sgn = np.where(coef < 0, -1, 1)
+        e = np.minimum(np.abs(coef - dequantize((m * sgn).astype(np.int32),
+                                                qp, bit_depth)), 20000)
+        return (e * e).astype(np.int64)
+
+    def cost(m):
+        return d_of(m) + ((lam_c * _bits4_of_mag(m)) >> 2)
+
+    c_zero = cost(np.zeros_like(m_hi))
+    c_lo = cost(m_lo)
+    c_hi = cost(m_hi)
+    # argmin with tie order zero < lo < hi (fewest bits wins ties)
+    m = np.where(c_hi < np.minimum(c_zero, c_lo), m_hi,
+                 np.where(c_lo < c_zero, m_lo, 0))
+    # coefficient-group zeroing (except the DC group): drop groups whose
+    # total rate exceeds the distortion they buy
+    if n >= 8:
+        g = n // 4
+        dch = (d_of(m) >> 4).reshape(g, 4, g, 4).sum((1, 3))
+        d0 = (d_of(np.zeros_like(m)) >> 4).reshape(g, 4, g, 4).sum((1, 3))
+        bits = _bits4_of_mag(m).reshape(g, 4, g, 4).sum((1, 3)) + 4
+        # (lam_c >> 4) * bits stays int32-safe on device (< 6e8)
+        kill = (d0 - dch) < (((lam_c >> 4) * bits) >> 2)
+        kill[0, 0] = False
+        m = np.where(np.repeat(np.repeat(kill, 4, 0), 4, 1), 0, m)
+    lvl = np.where(coef < 0, -m, m)
+    return np.clip(lvl, -32768, 32767).astype(np.int32)
+
+
+def sdh_fixup(level: np.ndarray, coef: np.ndarray, qp: int,
+              scan_idx: int = 0, bit_depth: int = 8) -> np.ndarray:
+    """Sign-data-hiding parity fix-up (non-normative encoder side).
+
+    The decoder (spec 7.4.9.11) infers the sign of the coefficient at
+    firstSigScanPosSb of every 4x4 coding sub-block whose significant-
+    coefficient span exceeds 3: negative iff the sub-block's absolute
+    level sum is odd.  When the parity disagrees with the actual sign,
+    one coefficient's magnitude moves by +-1 — chosen to MINIMIZE the
+    reconstruction-distortion delta against the true transform
+    coefficients (the deadzone quantizer leaves most coefficients near
+    a rounding boundary, so the best move is nearly free and frequently
+    *improves* distortion).  Three move classes, by rate preference:
+    decrement a |level|>=2, zero an INTERIOR +-1 (strictly between the
+    sub-block's first/last significant positions, so the span and the
+    hidden condition survive), or increment a significant level.  Zeros
+    never become significant and first/last positions never move.  The
+    reference transcoder got this from x265-medium's always-on
+    `signhide` (core/transcoder.py:398-412 delegate; bench log
+    "signhide").
+
+    level: (n, n) quantized levels; coef: (n, n) pre-quant transform
+    coefficients; returns an adjusted copy of level.  Mirrored on device
+    by jax_ops.sdh_fixup (bit-exact, tested) — the capped int32 cost
+    arithmetic below exists to match the device kernel exactly.
+    """
+    from hevc_tpu.entropy import tables as T
+    n = level.shape[-1]
+    scan = T.scan_order(scan_idx, n)
+    out = level.copy()
+
+    def err(lv):
+        d = np.abs(coef - dequantize(lv, qp, bit_depth)).astype(np.int64)
+        return np.minimum(d, 20000)
+
+    e0 = err(out)
+    mag = np.abs(out)
+    sgn = np.where(out < 0, -1, 1)
+    e_inc = err((mag + 1) * sgn)
+    e_dec = err(np.maximum(mag - 1, 0) * sgn)
+    lam_c = sdh_lambda_c(qp, int(level.shape[-1]).bit_length() - 1,
+                         bit_depth)
+    BIG = np.int64(1) << 30      # above any legal capped cost (< 8e8)
+    # rate-aware cost: distortion delta + lambda * estimated bit delta
+    # (inc grows gt1/gt2/remaining ~ +2 bits; dec shrinks them ~ -1;
+    # zeroing an interior +-1 drops gt1 + sign + shorter sig run ~ -3)
+    cost_inc = np.where(out != 0,
+                        (e_inc - e0) * (e_inc + e0) + 2 * lam_c, BIG)
+    cost_dec = np.where(mag >= 2,
+                        (e_dec - e0) * (e_dec + e0) - lam_c, BIG)
+    cost_zero = np.where(mag == 1,
+                         (e_dec - e0) * (e_dec + e0) - 3 * lam_c, BIG)
+
+    vals = out[scan[:, 1], scan[:, 0]]
+    ci = cost_inc[scan[:, 1], scan[:, 0]]
+    cd = cost_dec[scan[:, 1], scan[:, 0]]
+    cz = cost_zero[scan[:, 1], scan[:, 0]]
+    for sb in range(n * n // 16):
+        sub = vals[sb * 16:(sb + 1) * 16]
+        nz = np.nonzero(sub)[0]
+        if nz.size == 0 or nz[-1] - nz[0] <= 3:
+            continue
+        first, last = int(nz[0]), int(nz[-1])
+        want_neg = int(np.sum(np.abs(sub)) & 1)
+        if want_neg == int(sub[first] < 0):
+            continue
+        k16 = np.arange(16)
+        czi = np.where((k16 > first) & (k16 < last),
+                       cz[sb * 16:(sb + 1) * 16], BIG)
+        cands = np.concatenate([cd[sb * 16:(sb + 1) * 16], czi,
+                                ci[sb * 16:(sb + 1) * 16]])
+        j = int(np.argmin(cands))    # ties: dec, then zero, then inc
+        k, cls = j % 16, j // 16
+        if cls == 1:
+            sub[k] = 0
+        else:
+            sub[k] += (1 if cls == 2 else -1) * (1 if sub[k] > 0 else -1)
+    out[scan[:, 1], scan[:, 0]] = vals
+    return out
 
 
 def dequantize(level: np.ndarray, qp: int, bit_depth: int = 8) -> np.ndarray:

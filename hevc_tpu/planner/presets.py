@@ -19,6 +19,7 @@ class Preset:
     sao: bool = False      # sample-adaptive offset (GOP path)
     bframes: bool = False  # IbPbP GOP (non-reference B pictures)
     ctb32: bool = False    # 32/16 two-level coding quadtree (IPPP)
+    sdh: bool = True       # sign-data hiding (x265-medium `signhide`)
 
 
 PRESETS = {
@@ -53,7 +54,7 @@ def degrade(preset: Preset, step: int) -> Preset:
         # core/transcoder.py:94-99)
         return Preset(preset.name + "-d1", preset.nxn,
                       max(preset.batch_frames // 2, 1), preset.inter,
-                      preset.sao, bframes=False)
+                      preset.sao, bframes=False, sdh=preset.sdh)
     return Preset(preset.name + f"-d{step}", False,
                   max(preset.batch_frames >> step, 1), inter=step < 3,
-                  sao=False)
+                  sao=False, sdh=preset.sdh)
