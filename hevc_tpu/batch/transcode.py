@@ -368,7 +368,7 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
         chromaloc=info.chromaloc, hdr=info.is_hdr,
         tile_cols=tile_cols, tile_rows=tile_rows,
         inter=use_inter, sao=sao and use_inter,
-        bframes=bframes and use_inter and not sao,
+        bframes=bframes and use_inter,
         sdh=sdh and backend == "jax",
     )
     enc = VideoEncoder(cfg, backend=backend)
@@ -436,10 +436,10 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
                 finish_frame(j0 + k, kinds_j[k], nal)
 
         # chunked GOP-segment path (one device dispatch + 2 packed fetches
-        # per chunk; SAO streams use the per-frame pipeline instead).
+        # per chunk; SAO runs inside the chunk scan, B slices code SAO-off).
         # Samples land in DECODE order; with B pictures the display order
         # is restored at mux time via ctts composition offsets.
-        chunked = not cfg.sao
+        chunked = genc.mc
         from hevc_tpu.encoder.gop import b_schedule, chunk_groups
         sched = b_schedule(total, gop, cfg.bframes) if chunked else None
         groups = (chunk_groups(sched[i:], cfg.bframes) if chunked

@@ -128,12 +128,12 @@ def _intra_fields_j(outs):
 
 @partial(jax.jit, static_argnames=("tnh", "tnw", "tr", "tc_", "bit_depth",
                                    "enable_nxn", "nxn_p", "deblock",
-                                   "subpel", "sdh", "rdoq"))
+                                   "subpel", "sdh", "rdoq", "sao"))
 def _gop_chunk_jit(yp, cbp, crp, kinds, active, prev_pads, cur_pads,
                    qp_v, lam_bits_v, lam16_v, sl16_v,
                    tnh, tnw, tr, tc_,
                    bit_depth, enable_nxn, nxn_p, deblock, subpel,
-                   sdh=False, rdoq=False):
+                   sdh=False, rdoq=False, sao=False):
     """Encode a chunk of REFERENCE frames (IDR/P, decode order) in one
     device dispatch.
 
@@ -158,13 +158,15 @@ def _gop_chunk_jit(yp, cbp, crp, kinds, active, prev_pads, cur_pads,
     return _gop_chunk_blocks(ya, cba, cra, kinds, active, prev_pads,
                              cur_pads, qp_v, lam_bits_v, lam16_v, sl16_v,
                              tnh, tnw, tr, tc_, bit_depth, enable_nxn,
-                             nxn_p, deblock, subpel, sdh=sdh, rdoq=rdoq)
+                             nxn_p, deblock, subpel, sdh=sdh, rdoq=rdoq,
+                             sao=sao)
 
 
 def _gop_chunk_blocks(ya, cba, cra, kinds, active, prev_pads, cur_pads,
                       qp_v, lam_bits_v, lam16_v, sl16_v,
                       tnh, tnw, tr, tc_, bit_depth, enable_nxn, nxn_p,
-                      deblock, subpel, streams=1, sdh=False, rdoq=False):
+                      deblock, subpel, streams=1, sdh=False, rdoq=False,
+                      sao=False):
     """Traceable chunk-scan body over pre-split tile blocks (K, T, ...)
     with T = streams * tr * tc_.
 
@@ -174,37 +176,69 @@ def _gop_chunk_blocks(ya, cba, cra, kinds, active, prev_pads, cur_pads,
     deblock/pad assembly is per-STREAM (vmapped over the stream axis) so
     MC halos only ever carry a stream's own picture pixels.
     """
-    from hevc_tpu.encoder.pack import FramePackSpec
+    from hevc_tpu.encoder.pack import FramePackSpec, _SAO_FIELDS
     from hevc_tpu.ops.deblock_jax import assemble_deblock_pad_jit
     T1 = tr * tc_
     T = streams * T1
-    spec = FramePackSpec(tnh, tnw, T)
+    spec = FramePackSpec(tnh, tnw, T, sao=sao)
     S = tnh * tnw
 
-    def _assemble(ry, rcb, rcr, qp, intra, cbf, mv, nxn, do_pad):
+    def _asm_src(a):
+        # (T1, tnh, tnw, n, n) tile blocks -> the assembled source plane
+        # (SAO estimates offsets against the source)
+        n = a.shape[-1]
+        x = a.reshape(tr, tc_, tnh, tnw, n, n)
+        return x.transpose(0, 2, 4, 1, 3, 5).reshape(tr * tnh * n,
+                                                     tc_ * tnw * n)
+
+    def _finish(ry, rcb, rcr, qp, lam16, intra, cbf, mv, nxn, srcs):
+        """Deblock [+ SAO] + halo-pad the step's reconstruction.
+
+        Returns (pads3, sao_fields): sao_fields {} unless sao, else the
+        9 per-CTU parameter grids keyed by pack._SAO_FIELDS names
+        ((streams,) leading axis folded into the frame-grid rows)."""
         if streams == 1:
-            return assemble_deblock_pad_jit.__wrapped__(
+            srcs3 = tuple(_asm_src(s.astype(jnp.int32))
+                          for s in srcs) if sao else None
+            d = assemble_deblock_pad_jit.__wrapped__(
                 ry, rcb, rcr, qp, intra, cbf, mv, nxn,
-                tnh, tnw, tr, tc_, bit_depth, deblock, do_pad=do_pad)
+                tnh, tnw, tr, tc_, bit_depth, deblock,
+                sao_srcs=srcs3, lam16=lam16, do_pad=True)
+            params = {nm: d[6 + i] for i, (nm, _) in enumerate(_SAO_FIELDS)} \
+                if sao else {}
+            return tuple(d[3:6]), params
 
         def split(a):     # (steps, S*T1, ...) -> (S, steps, T1, ...)
             x = a.reshape((a.shape[0], streams, T1) + a.shape[2:])
             return jnp.moveaxis(x, 1, 0)
 
+        def split_src(a):  # (streams*T1, tnh, tnw, n, n) -> per-stream
+            return a.reshape((streams, T1) + a.shape[1:])
+
         def one(args):
-            ry_, rcb_, rcr_, it_, cb_, mv_, nx_ = args
+            ry_, rcb_, rcr_, it_, cb_, mv_, nx_, sy_, scb_, scr_ = args
+            srcs3 = (_asm_src(sy_.astype(jnp.int32)),
+                     _asm_src(scb_.astype(jnp.int32)),
+                     _asm_src(scr_.astype(jnp.int32))) if sao else None
             d = assemble_deblock_pad_jit.__wrapped__(
                 ry_, rcb_, rcr_, qp, it_, cb_, mv_, nx_,
-                tnh, tnw, tr, tc_, bit_depth, deblock, do_pad=do_pad)
-            return tuple(d[3:6])
+                tnh, tnw, tr, tc_, bit_depth, deblock,
+                sao_srcs=srcs3, lam16=lam16, do_pad=True)
+            return tuple(d[3:6]) + (tuple(d[6:15]) if sao else ())
 
-        pads = jax.vmap(one)((split(ry), split(rcb), split(rcr),
+        outs = jax.vmap(one)((split(ry), split(rcb), split(rcr),
                               split(intra), split(cbf), split(mv),
-                              split(nxn)))
-        # (S, T1, h, w) -> (S*T1, h, w); pad front with 3 dummy slots so
-        # the d[3:6] indexing below stays uniform
-        merged = tuple(p.reshape((T,) + p.shape[2:]) for p in pads)
-        return (None, None, None) + merged
+                              split(nxn), split_src(srcs[0]),
+                              split_src(srcs[1]), split_src(srcs[2])))
+        # pads: (S, T1, h, w) -> (S*T1, h, w)
+        pads = tuple(p.reshape((T,) + p.shape[2:]) for p in outs[:3])
+        params = {}
+        if sao:
+            # (streams, nh1, nw1[, 4]) -> (streams*nh1, nw1[, 4]):
+            # stream-major raster, matching the host's per-stream split
+            params = {nm: a.reshape((-1,) + a.shape[2:])
+                      for (nm, _), a in zip(_SAO_FIELDS, outs[3:12])}
+        return pads, params
 
     def body(carry, xs):
         sy, scb, scr, kind, act, qp, lam_bits, lam16, sl16 = xs
@@ -217,12 +251,13 @@ def _gop_chunk_blocks(ya, cba, cra, kinds, active, prev_pads, cur_pads,
                                     bit_depth, enable_nxn=enable_nxn,
                                     sdh=sdh, rdoq=rdoq)
             st = outs[0].shape
-            d = _assemble(
-                outs[10], outs[11], outs[12], qp, jnp.ones(st, bool),
+            pads, sao_f = _finish(
+                outs[10], outs[11], outs[12], qp, lam16, jnp.ones(st, bool),
                 jnp.zeros(st, bool), jnp.zeros(st + (2,), jnp.int16),
-                outs[0], do_pad=True)
-            fields = dict(_zfields_j(S, T), **_intra_fields_j(outs))
-            return fields, (outs[7], outs[8], outs[9]), (cur3, tuple(d[3:6]))
+                outs[0], (sy, scb, scr))
+            fields = dict(_zfields_j(S, T), **_intra_fields_j(outs),
+                          **sao_f)
+            return fields, (outs[7], outs[8], outs[9]), (cur3, pads)
 
         def p_branch(carry):
             prev3, cur3 = carry
@@ -231,16 +266,17 @@ def _gop_chunk_blocks(ya, cba, cra, kinds, active, prev_pads, cur_pads,
                                     sl16=sl16, enable_nxn=nxn_p,
                                     subpel=subpel, sdh=sdh, rdoq=rdoq)
             inter_s = outs[13] | outs[14]
-            d = _assemble(
-                outs[10], outs[11], outs[12], qp, ~inter_s,
+            pads, sao_f = _finish(
+                outs[10], outs[11], outs[12], qp, lam16, ~inter_s,
                 outs[14] & outs[19], outs[22], outs[0] & ~inter_s,
-                do_pad=True)
-            fields = dict(_zfields_j(S, T), **_intra_fields_j(outs))
+                (sy, scb, scr))
+            fields = dict(_zfields_j(S, T), **_intra_fields_j(outs),
+                          **sao_f)
             fields.update(skip=outs[13], inter=outs[14], merge=outs[15],
                           mvd=outs[16], mvp=outs[17], rqt=outs[18],
                           cbf_yi=outs[19], cbf_cbi=outs[20],
                           cbf_cri=outs[21], mv=outs[22])
-            return fields, (outs[7], outs[8], outs[9]), (cur3, tuple(d[3:6]))
+            return fields, (outs[7], outs[8], outs[9]), (cur3, pads)
 
         fields, lvls, new_carry = jax.lax.cond(
             kind == 0, idr_branch, p_branch, carry)
@@ -277,11 +313,11 @@ def _finalize_chunk_jit(heads_r, coefs_r, heads_b, coefs_b, cap):
 
 
 @partial(jax.jit, static_argnames=("tnh", "tnw", "tr", "tc_", "bit_depth",
-                                   "nxn_p", "subpel", "sdh", "rdoq"))
+                                   "nxn_p", "subpel", "sdh", "rdoq", "sao"))
 def _b_batch_jit(yp, cbp, crp, stack_y, stack_cb, stack_cr,
                  idx0, idx1, act, qp, lam_bits, lam16, sl16, dsf,
                  tnh, tnw, tr, tc_, bit_depth, nxn_p, subpel, sdh=False,
-                 rdoq=False):
+                 rdoq=False, sao=False):
     """Encode Kb non-reference B pictures in ONE batched dispatch.
 
     B pictures are mutually independent, so frames fold into the lane
@@ -290,8 +326,8 @@ def _b_batch_jit(yp, cbp, crp, stack_y, stack_cb, stack_cr,
     planes (carry-in refs + this chunk's per-step pads); idx0/idx1:
     (Kb,) row indices selecting each picture's L0/L1 reference.
     """
-    from hevc_tpu.encoder.pack import FramePackSpec
-    spec = FramePackSpec(tnh, tnw, tr * tc_)
+    from hevc_tpu.encoder.pack import FramePackSpec, _SAO_FIELDS
+    spec = FramePackSpec(tnh, tnw, tr * tc_, sao=sao)
     S, T = tnh * tnw, tr * tc_
     Kb = yp.shape[0]
     ya = _split_tiles_j(yp, tr, tc_, tnh, tnw, 16).astype(jnp.int32)
@@ -332,6 +368,13 @@ def _b_batch_jit(yp, cbp, crp, stack_y, stack_cb, stack_cr,
             bfields[k] = unlane(v)
         else:
             bfields[k] = jnp.broadcast_to(v[None], (Kb,) + v.shape)
+    if sao:
+        # non-reference B slices code with slice_sao_*_flag=0 (see
+        # _finish_pic): the sao head section is zero-filled so ref and B
+        # rows share one head layout in the combined fetch
+        for nm, k in _SAO_FIELDS:
+            shp = (Kb, S * T) if k == 1 else (Kb, S * T, k)
+            bfields[nm] = jnp.zeros(shp, jnp.int8)
     lvls = (unlane(outs[7]), unlane(outs[8]), unlane(outs[9]))
     flat = jax.vmap(FramePackSpec.coef_flat)(*lvls)       # (Kb, Ntot)
     flat = jnp.where(act[:, None], flat, 0)   # masked tail slots
@@ -775,8 +818,7 @@ class GopEncoder:
         staged: a stage_chunk() result for THESE frames/metas (upload
         already done, possibly on another thread); None stages inline.
         """
-        assert self.mc and not self.cfg.sao, \
-            "chunked path: MC mode, SAO handled by the per-frame pipeline"
+        assert self.mc, "chunked path requires MC mode"
         import dataclasses
         from hevc_tpu.encoder.rowscan_v1 import dsf_pair
         from hevc_tpu.encoder.reference_encoder_v1 import RefIntraEncoderV1
@@ -832,7 +874,7 @@ class GopEncoder:
             jnp.full(KR, l16r, jnp.int32), jnp.full(KR, s16r, jnp.int32),
             tnh, tnw, tr, tc, cfg.bit_depth,
             self.enable_nxn, self.nxn_p, cfg.deblock, self.subpel,
-            sdh=cfg.sdh, rdoq=cfg.rdoq)
+            sdh=cfg.sdh, rdoq=cfg.rdoq, sao=cfg.sao)
         self._ref_blocks = carry
         GLOBAL_TIMERS.add("disp_gop_call", time.perf_counter() - _t_g)
         _t_b = time.perf_counter()
@@ -863,13 +905,15 @@ class GopEncoder:
                 jnp.asarray(l16b, jnp.int32), jnp.asarray(s16b, jnp.int32),
                 jnp.asarray(dsf_pair(poc0, poc0 - 1, poc0 + 1)),
                 tnh, tnw, tr, tc, cfg.bit_depth, self.nxn_p, self.subpel,
-                sdh=cfg.sdh, rdoq=cfg.rdoq)
+                sdh=cfg.sdh, rdoq=cfg.rdoq, sao=cfg.sao)
         else:
             heads_b = coefs_b = None
         GLOBAL_TIMERS.add("disp_b_call", time.perf_counter() - _t_b)
         nrows = KR + (KB if nbee else 0)
-        from hevc_tpu.encoder.pack import FramePackSpec, split_coef_bitmap
-        spec = FramePackSpec(tnh, tnw, tr * tc)
+        from hevc_tpu.encoder.pack import (FramePackSpec, split_coef_bitmap,
+                                           _SAO_FIELDS)
+        spec = FramePackSpec(tnh, tnw, tr * tc, sao=cfg.sao,
+                             sao_grid=(nh, nw))
         vhalf = nrows * spec.coef_elems // 2
         cap_hint = min(getattr(self, "_cap_hint", 262144), vhalf)
         # ONE finalize dispatch, then start the host copy NOW, in stream
@@ -933,10 +977,14 @@ class GopEncoder:
                     dec = self._dec_from_outs(
                         spec.outs_list(fields[row], lvls, b_slice=is_b),
                         p_mc=kind == 1, p_b=is_b)
+                    sao_lists = None
+                    if cfg.sao and not is_b:
+                        sao_lists = _sao_param_lists(
+                            [fields[row][nm] for nm, _ in _SAO_FIELDS])
                     nals.append(entropy_encode_frame_v1(
                         cfg_b if is_b else cfg_base, dec,
                         poc=None if kind == 0 else poc,
-                        b_slice=is_b, rps_idx=rps))
+                        b_slice=is_b, rps_idx=rps, sao=sao_lists))
                     self._last_dec = dec
             return nals
 
@@ -1133,6 +1181,8 @@ class GopEncoder:
             encode_tiles_rowscan_bmc_jit, dsf_pair)
         from hevc_tpu.encoder.reference_encoder_v1 import RefIntraEncoderV1
         cfg = self.cfg
+        assert not cfg.sao, \
+            "SAO + B: use encode_video_chunked (SAO runs in the chunk scan)"
         self.reset()
         out = annexb(self.parameter_sets())
         n = len(frames)

@@ -49,6 +49,17 @@ _BOOL_FIELDS = (
 # coefficient planes: elements per CTU16 (luma 16x16, chroma 8x8 each)
 _COEF_ELEMS = 256 + 64 + 64
 
+# SAO parameter section (present when the spec is built with sao=True):
+# the 9 arrays of ops.sao_jax.sao_frame_j in order, all packed as int8
+# (offsets are in [-7, 7] at 8/10-bit, band position <= 31, EO class <= 3).
+# Shapes are FRAME-grid (nh, nw[, 4]), not lane-grid — sao params are
+# estimated on the assembled frame, so they pack/unpack in raster order.
+_SAO_FIELDS = (
+    ("sao_ty_y", 1), ("sao_aux_y", 1), ("sao_off_y", 4),
+    ("sao_ty_c", 1), ("sao_cls_c", 1), ("sao_pos_cb", 1),
+    ("sao_pos_cr", 1), ("sao_off_cb", 4), ("sao_off_cr", 4),
+)
+
 
 def _bitpack_j(b):
     """bool (N,) with N % 8 == 0 -> uint8 (N/8,), little-endian bits."""
@@ -69,7 +80,8 @@ def _u8(a):
 class FramePackSpec:
     """Static layout of one frame's packed head + coefficient stream."""
 
-    def __init__(self, tnh: int, tnw: int, T: int):
+    def __init__(self, tnh: int, tnw: int, T: int, sao: bool = False,
+                 sao_grid: tuple[int, int] | None = None):
         self.S, self.T = tnh * tnw, T
         n = self.S * self.T
         self.n_ctu = n
@@ -79,7 +91,13 @@ class FramePackSpec:
         self.bool_pad = (-nbool) % 8
         self.bool_bytes = (nbool + self.bool_pad) // 8
         self.coef_elems = _COEF_ELEMS * n        # per-frame flat coef count
-        self.head_bytes = self.int_bytes + self.bool_bytes + 4  # + nnz int32
+        self.sao = sao
+        # frame-grid shape for the sao section (defaults to one tile row/
+        # col layout: callers with multiple tiles/streams pass theirs)
+        self.sao_grid = sao_grid
+        self.sao_bytes = sum(k for _, k in _SAO_FIELDS) * n if sao else 0
+        self.head_bytes = (self.int_bytes + self.bool_bytes
+                           + self.sao_bytes + 4)  # + nnz int32
 
     # ---- device side -------------------------------------------------------
     def pack_head(self, fields: dict, nnz):
@@ -91,6 +109,9 @@ class FramePackSpec:
             bools = jnp.concatenate(
                 [bools, jnp.zeros(self.bool_pad, bool)])
         parts.append(_bitpack_j(bools))
+        if self.sao:
+            parts += [_u8(fields[nm].astype(jnp.int8))
+                      for nm, _ in _SAO_FIELDS]
         parts.append(_u8(nnz.astype(jnp.int32).reshape(1)))
         return jnp.concatenate(parts)
 
@@ -121,6 +142,15 @@ class FramePackSpec:
             out[nm] = bits[boff:boff + cnt].astype(bool).reshape(
                 (S, T) if k == 1 else (S, T, k))
             boff += cnt
+        if self.sao:
+            grid = self.sao_grid
+            for nm, k in _SAO_FIELDS:
+                cnt = k * n
+                a = buf[off:off + cnt].view(np.int8)
+                if grid is not None:
+                    a = a.reshape(grid if k == 1 else grid + (k,))
+                out[nm] = a
+                off += cnt
         nnz = int(buf[off:off + 4].view(np.int32)[0])
         return out, nnz
 

@@ -667,8 +667,14 @@ class RefIntraEncoderV1:
         return out, recons
 
     # ---- IbPbP GOP driver (decode order != display order) ---------------------
-    def _finish_pic(self, ctus, recon, cu_maps, y, cb, cr, qp=None):
-        """Deblock (+SAO) one picture; returns (display planes, sao params)."""
+    def _finish_pic(self, ctus, recon, cu_maps, y, cb, cr, qp=None,
+                    do_sao: bool | None = None):
+        """Deblock (+SAO) one picture; returns (display planes, sao params).
+
+        do_sao=False skips SAO even when cfg.sao: the framework codes
+        non-reference B slices with slice_sao_*_flag=0 (policy shared
+        with the chunked device path, which would otherwise need the
+        two-list deblock BS rule on device for the B reconstruction)."""
         from hevc_tpu.ops.deblock import deblock_frame
         cfg = self.cfg
         qp = cfg.qp if qp is None else qp
@@ -688,7 +694,7 @@ class RefIntraEncoderV1:
                           tile_cols_px=tx, tile_rows_px=tyy,
                           nxn_map=nxn_map, cu_maps=cu_maps)
         sao_params = None
-        if cfg.sao:
+        if cfg.sao and do_sao is not False:
             from hevc_tpu.ops.sao import estimate_and_apply_sao
             qp_eff = qp + 6 * (cfg.bit_depth - 8)
             src3 = (pad_to_ctb(np.asarray(y), cfg.ctb),
@@ -748,11 +754,11 @@ class RefIntraEncoderV1:
                     ctus, recon, maps = self.encode_frame_b_decisions(
                         *frames[bidx], refs[prev_ref], refs[r],
                         (bidx - s, prev_ref - s, r - s))
-                    disp, sao_p = self._finish_pic(ctus, recon, maps,
-                                                   *frames[bidx],
-                                                   qp=cfg_b.qp)
+                    disp, _ = self._finish_pic(ctus, recon, maps,
+                                               *frames[bidx],
+                                               qp=cfg_b.qp, do_sao=False)
                     emit(entropy_encode_frame_v1(cfg_b, ctus, poc=bidx - s,
-                                                 sao=sao_p, b_slice=True))
+                                                 sao=None, b_slice=True))
                     recons[bidx] = disp
                 prev_ref = r
                 k = r + 2

@@ -290,12 +290,14 @@ def write_pps(cfg: StreamConfig) -> bytes:
 
 
 def write_slice_header_idr(cfg: StreamConfig,
-                           entry_point_offsets: list[int] | None = None
-                           ) -> BitWriter:
+                           entry_point_offsets: list[int] | None = None,
+                           sao_on: bool | None = None) -> BitWriter:
     """IDR (I-slice) slice segment header up to and incl. byte alignment.
 
     entry_point_offsets: per-substream byte sizes (EBSP domain) for all but
     the last tile, required when tiles are enabled.
+    sao_on: per-slice SAO flags (defaults to cfg.sao); the flag BITS are
+    present whenever the SPS enables SAO.
     Returns the BitWriter so the caller can append the CABAC payload bytes.
     """
     w = BitWriter()
@@ -304,8 +306,9 @@ def write_slice_header_idr(cfg: StreamConfig,
     w.ue(0)                         # slice_pic_parameter_set_id
     w.ue(2)                         # slice_type = I
     if cfg.sao:
-        w.u(1, 1)                   # slice_sao_luma_flag
-        w.u(1, 1)                   # slice_sao_chroma_flag
+        s = 1 if (sao_on or sao_on is None) else 0
+        w.u(s, 1)                   # slice_sao_luma_flag
+        w.u(s, 1)                   # slice_sao_chroma_flag
     w.se(cfg.qp - 26)               # slice_qp_delta
     if cfg.deblock:                 # deblocking on: across-slices flag present
         w.u(1, 1)                   # slice_loop_filter_across_slices_enabled
@@ -324,7 +327,8 @@ def write_slice_header_idr(cfg: StreamConfig,
 
 def write_slice_header_p(cfg: StreamConfig, poc_lsb: int,
                          entry_point_offsets: list[int] | None = None,
-                         rps_idx: int = 0) -> BitWriter:
+                         rps_idx: int = 0,
+                         sao_on: bool | None = None) -> BitWriter:
     """P-slice (TRAIL_R) slice segment header (spec 7.3.6.1).
 
     Zero-MV-skip profile: one ref pic (the previous picture, RPS idx 0 from
@@ -340,8 +344,9 @@ def write_slice_header_p(cfg: StreamConfig, poc_lsb: int,
     if cfg.bframes:
         w.u(rps_idx, 2)             # short_term_ref_pic_set_idx (3 sets)
     if cfg.sao:
-        w.u(1, 1)                   # slice_sao_luma_flag
-        w.u(1, 1)                   # slice_sao_chroma_flag
+        s = 1 if (sao_on or sao_on is None) else 0
+        w.u(s, 1)                   # slice_sao_luma_flag
+        w.u(s, 1)                   # slice_sao_chroma_flag
     w.u(0, 1)                       # num_ref_idx_active_override_flag
     w.ue(4)                         # five_minus_max_num_merge_cand -> 1 cand
     w.se(cfg.qp - 26)               # slice_qp_delta
@@ -361,8 +366,8 @@ def write_slice_header_p(cfg: StreamConfig, poc_lsb: int,
 
 
 def write_slice_header_b(cfg: StreamConfig, poc_lsb: int,
-                         entry_point_offsets: list[int] | None = None
-                         ) -> BitWriter:
+                         entry_point_offsets: list[int] | None = None,
+                         sao_on: bool | None = None) -> BitWriter:
     """B-slice (TRAIL_N, non-reference) slice segment header.
 
     RPS set 1 (nearest past + nearest future), one active ref per list,
@@ -376,8 +381,9 @@ def write_slice_header_b(cfg: StreamConfig, poc_lsb: int,
     w.u(1, 1)                       # short_term_ref_pic_set_sps_flag
     w.u(1, 2)                       # short_term_ref_pic_set_idx = 1 (B set)
     if cfg.sao:
-        w.u(1, 1)                   # slice_sao_luma_flag
-        w.u(1, 1)                   # slice_sao_chroma_flag
+        s = 1 if (sao_on or sao_on is None) else 0
+        w.u(s, 1)                   # slice_sao_luma_flag
+        w.u(s, 1)                   # slice_sao_chroma_flag
     w.u(0, 1)                       # num_ref_idx_active_override_flag
     w.u(0, 1)                       # mvd_l1_zero_flag
     w.ue(4)                         # five_minus_max_num_merge_cand -> 1 cand

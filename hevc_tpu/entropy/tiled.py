@@ -92,20 +92,22 @@ def encode_tile_payload(cfg: StreamConfig, tile: dict, last_tile: bool,
 
 def assemble_slice(cfg: StreamConfig, payloads: list[bytes],
                    poc: int | None = None, b_slice: bool = False,
-                   rps_idx: int = 0) -> bytes:
+                   rps_idx: int = 0, sao_on: bool | None = None) -> bytes:
     """Slice NAL from per-tile substreams (entry points in EBSP bytes).
 
     poc=None -> IDR (I slice); poc=N -> TRAIL_R P slice (or, with b_slice,
-    a non-reference TRAIL_N B slice).
+    a non-reference TRAIL_N B slice).  sao_on: per-slice SAO flags (None ->
+    cfg.sao; the chunked path codes non-reference B slices with SAO off).
     """
     offs = [_ebsp_len(p) for p in payloads[:-1]] if len(payloads) > 1 else None
     if poc is None:
-        hdr = write_slice_header_idr(cfg, offs).bytes()
+        hdr = write_slice_header_idr(cfg, offs, sao_on=sao_on).bytes()
         return make_nal(NAL_IDR_W_RADL, hdr + b"".join(payloads))
     if b_slice:
-        hdr = write_slice_header_b(cfg, poc, offs).bytes()
+        hdr = write_slice_header_b(cfg, poc, offs, sao_on=sao_on).bytes()
         return make_nal(NAL_TRAIL_N, hdr + b"".join(payloads))
-    hdr = write_slice_header_p(cfg, poc, offs, rps_idx=rps_idx).bytes()
+    hdr = write_slice_header_p(cfg, poc, offs, rps_idx=rps_idx,
+                               sao_on=sao_on).bytes()
     return make_nal(NAL_TRAIL_R, hdr + b"".join(payloads))
 
 

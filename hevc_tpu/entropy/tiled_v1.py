@@ -328,9 +328,10 @@ def entropy_encode_frame_v1(cfg: StreamConfig, ctus,
                                       p_slice=p_slice, sao=s,
                                       b_slice=b_slice)
 
+    sao_on = (sao is not None) if cfg.sao else None
     if not cfg.tiles_enabled:
         return assemble_slice(cfg, [payload(0, 0, nh, nw, True)], poc=poc,
-                              b_slice=b_slice, rps_idx=rps_idx)
+                              b_slice=b_slice, rps_idx=rps_idx, sao_on=sao_on)
     cols, rows = cfg.tile_grid()
     jobs = []
     y0 = 0
@@ -350,4 +351,4 @@ def entropy_encode_frame_v1(cfg: StreamConfig, ctus,
     else:
         payloads = [payload(*j) for j in jobs]
     return assemble_slice(cfg, payloads, poc=poc, b_slice=b_slice,
-                          rps_idx=rps_idx)
+                          rps_idx=rps_idx, sao_on=sao_on)

@@ -24,8 +24,11 @@ class Preset:
 
 PRESETS = {
     "fast": Preset("fast", nxn=False, batch_frames=16, bframes=True),
-    "medium": Preset("medium", nxn=True, batch_frames=8, bframes=True),
-    # slow runs SAO, which still uses the per-frame (P-only) pipeline
+    # medium matches x265-medium's always-on SAO (reference delegate
+    # core/transcoder.py:398-412); SAO runs inside the chunk scan,
+    # non-reference B slices code SAO-off
+    "medium": Preset("medium", nxn=True, batch_frames=8, bframes=True,
+                     sao=True),
     "slow": Preset("slow", nxn=True, batch_frames=4, sao=True),
     # ctb32: the 32/16 quadtree encoder (x265's large-CU analogue); IPPP
     # until the ctb32 B kernel lands

@@ -94,3 +94,31 @@ def test_device_sao_gop_matches_reference(tmp_path):
     for i in range(3):
         for j, k in ((0, "y"), (1, "cb"), (2, "cr")):
             assert np.array_equal(av[i][j].astype(np.int32), r_jax[i][k])
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("bframes", [False, True])
+def test_chunked_sao_matches_reference(bframes, tmp_path):
+    """SAO inside the chunk scan (production medium path) == numpy.
+
+    Covers VERDICT r2 item 3: the chunked GOP dispatch carries SAO
+    (estimation + application + SAO'd DPB feedback) on device; with
+    bframes the non-reference B slices code slice_sao_*_flag=0 (shared
+    policy with RefIntraEncoderV1._finish_pic).
+    """
+    from hevc_tpu.encoder.gop import GopEncoder
+    frames = _edgy(96, 64, 7, 8, 11)
+    mk = lambda: StreamConfig(width=96, height=64, qp=34, inter=True,
+                              sao=True, bframes=bframes)
+    s_dev = GopEncoder(mk()).encode_video_chunked(frames, gop=6)
+    s_ref, r_ref = RefIntraEncoderV1(mk()).encode_video(frames, gop=6)
+    assert s_dev == s_ref
+    dec = decode_annexb(s_dev)
+    assert len(dec) == len(frames)
+    p = tmp_path / "s.hevc"
+    p.write_bytes(s_dev)
+    av = avref.decode_file(str(p))
+    assert len(av) == len(frames)
+    for i in range(len(frames)):
+        for j, k in ((0, "y"), (1, "cb"), (2, "cr")):
+            assert np.array_equal(av[i][j].astype(np.int32), r_ref[i][k])
