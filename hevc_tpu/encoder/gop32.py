@@ -21,7 +21,8 @@ from hevc_tpu.encoder.ctb32_ref import make_ctb32_config  # noqa: F401
 from hevc_tpu.encoder.reference_encoder import pad_to_ctb
 from hevc_tpu.encoder.ctu_modes import skip_lambda16
 from hevc_tpu.encoder.rowscan_v1 import MARGIN, MARGIN_C, RowScanEncoderV1
-from hevc_tpu.encoder.rowscan32 import (rowscan32_scan_jit, z_to_raster,
+from hevc_tpu.encoder.rowscan32 import (rowscan32_scan_b_jit,
+                                        rowscan32_scan_jit, z_to_raster,
                                         zr_j, _rowscan32_scan)
 from hevc_tpu.entropy.ctb32 import entropy_encode_frame_ctb32
 from hevc_tpu.entropy.headers import StreamConfig, write_vps, write_sps, \
@@ -66,26 +67,38 @@ class Ctb32DeviceEncoder:
                 pj(jnp.asarray(disp["cb"]), 1, 1, MARGIN_C),
                 pj(jnp.asarray(disp["cr"]), 1, 1, MARGIN_C))
 
-    def encode_frame_arrays(self, y, cb, cr, ref=None):
+    def encode_frame_arrays(self, y, cb, cr, ref=None, ref1=None,
+                            pocs=None, qp_ovr=None):
         """One frame through the device graph -> (dec arrays, recon,
-        cu_maps) in the entropy/ctb32 format."""
+        cu_maps) in the entropy/ctb32 format.  ref1/pocs enable the
+        B kernel (two reference lists; pocs=(cur, poc0, poc1))."""
         cfg = self.cfg
         ya, cba, cra, t32h, t32w, H, W = self._blocks(y, cb, cr)
-        qp_eff = cfg.qp + 6 * (cfg.bit_depth - 8)
-        rs = RowScanEncoderV1(cfg.qp, cfg.bit_depth)
+        qp_s = cfg.qp if qp_ovr is None else qp_ovr
+        qp_eff = qp_s + 6 * (cfg.bit_depth - 8)
+        rs = RowScanEncoderV1(qp_s, cfg.bit_depth)
         lam16 = jnp.asarray(skip_lambda16(qp_eff), jnp.int32)
         sl16 = jnp.asarray(int(np.sqrt(0.85 * 2.0 ** ((qp_eff - 12) / 3.0))
                                * 16), jnp.int32)
         i_slice = ref is None
+        b_slice = ref1 is not None
         if i_slice:
             zp = jnp.zeros((1, 1, 1), jnp.int32)
             pads = (zp, zp, zp)
         else:
             pads = self._pads(ref)
-        cells, o32 = rowscan32_scan_jit(
-            ya, cba, cra, jnp.asarray(cfg.qp), rs.lam_bits, lam16, sl16,
-            *pads, t32h, t32w, cfg.bit_depth, self.subpel, i_slice,
-            sdh=cfg.sdh, rdoq=cfg.rdoq)
+        if b_slice:
+            from hevc_tpu.encoder.rowscan_v1 import dsf_pair
+            cells, o32 = rowscan32_scan_b_jit(
+                ya, cba, cra, jnp.asarray(qp_s), rs.lam_bits, lam16, sl16,
+                *pads, *self._pads(ref1), jnp.asarray(dsf_pair(*pocs)),
+                t32h, t32w, cfg.bit_depth, self.subpel,
+                sdh=cfg.sdh, rdoq=cfg.rdoq)
+        else:
+            cells, o32 = rowscan32_scan_jit(
+                ya, cba, cra, jnp.asarray(qp_s), rs.lam_bits, lam16, sl16,
+                *pads, t32h, t32w, cfg.bit_depth, self.subpel, i_slice,
+                sdh=cfg.sdh, rdoq=cfg.rdoq)
         cells = {k: np.asarray(v) for k, v in cells.items()}
         o32 = {k: np.asarray(v) for k, v in o32.items()}
         nh16, nw16 = 2 * t32h, 2 * t32w
@@ -164,6 +177,30 @@ class Ctb32DeviceEncoder:
                 cbf_cri=cell("cbf_cri", bool),
             )
 
+        if b_slice:
+            # numpy stores dir on every explicit cell, mvd/mvp only for
+            # dir 0/2 and mvd1/mvp1 only for dir 1/2 (_commit_cu16)
+            expl16 = split16 & dec["inter"] & ~dec["merge"]
+            dir_c = cell("dir", np.int32)
+            dec["dir"] = np.where(expl16, dir_c, 0)
+            u0 = expl16 & (dir_c != 1)
+            u1 = expl16 & (dir_c != 0)
+            dec["mvd"] = np.where(u0[:, :, None], cell("mvd", np.int32), 0)
+            dec["mvp"] = np.where(u0, cell("mvp", np.int32), 0)
+            dec["mvd1"] = np.where(u1[:, :, None], cell("mvd1", np.int32),
+                                   0)
+            dec["mvp1"] = np.where(u1, cell("mvp1", np.int32), 0)
+            expl32 = dec["inter32"] & ~dec["merge32"]
+            dir32_c = c32("dir32", np.int32)
+            dec["dir32"] = np.where(expl32, dir32_c, 0)
+            v0 = expl32 & (dir32_c != 1)
+            v1 = expl32 & (dir32_c != 0)
+            dec["mvd32"] = np.where(v0[:, :, None], c32("mvd32", np.int32),
+                                    0)
+            dec["mvp32"] = np.where(v0, c32("mvp32", np.int32), 0)
+            dec["mvd32_1"] = np.where(v1[:, :, None],
+                                      c32("mvd32_1", np.int32), 0)
+            dec["mvp32_1"] = np.where(v1, c32("mvp32_1", np.int32), 0)
         if not i_slice:
             # numpy stores no levels for skip CUs, and mvd/mvp/rqt only on
             # explicit CU16 cells (the device graph routes candidate values
@@ -173,8 +210,9 @@ class Ctb32DeviceEncoder:
             for k in ("lvl_y", "lvl_cb", "lvl_cr"):
                 dec[k] = np.where(sk16[:, :, None, None], 0, dec[k])
             expl16 = split16 & dec["inter"] & ~dec["merge"]
-            dec["mvd"] = np.where(expl16[:, :, None], dec["mvd"], 0)
-            dec["mvp"] = np.where(expl16, dec["mvp"], 0)
+            if not b_slice:
+                dec["mvd"] = np.where(expl16[:, :, None], dec["mvd"], 0)
+                dec["mvp"] = np.where(expl16, dec["mvp"], 0)
             dec["rqt"] = np.where(expl16, dec["rqt"], 0)
 
         def plane(k, bs):
@@ -194,9 +232,11 @@ class Ctb32DeviceEncoder:
                 "cbf": np.where(intra_c, cell("cbf_y", bool),
                                 cell("cbf_yi", bool)),
                 "mv": mv_c,
-                "mv1": np.zeros_like(mv_c),
-                "pf": np.stack([~intra_c, np.zeros_like(intra_c)],
-                               -1).astype(np.int32),
+                "mv1": cell("mv1", np.int32) if b_slice
+                else np.zeros_like(mv_c),
+                "pf": cell("pf", np.int32) if b_slice
+                else np.stack([~intra_c, np.zeros_like(intra_c)],
+                              -1).astype(np.int32),
             }
         return dec, recon, cu_maps
 
@@ -213,10 +253,13 @@ class Ctb32DeviceEncoder:
         return {"y": dy, "cb": dcb, "cr": dcr}
 
     def encode_video(self, frames, gop: int = 0):
-        """IPPP ctb32 on device -> (annexb bytes, display recons)."""
+        """IPPP (or IbPbP when cfg.bframes) ctb32 on device ->
+        (annexb bytes, display recons) — mirror of
+        ctb32_ref.encode_video/_encode_video_b."""
         cfg = self.cfg
-        assert not cfg.bframes, "ctb32 B kernel lands in a follow-up"
         out = annexb(self.parameter_sets())
+        if cfg.bframes:
+            return self._encode_video_b(frames, gop, out)
         ref = None
         recons = []
         poc = 0
@@ -233,6 +276,50 @@ class Ctb32DeviceEncoder:
                 cfg, dec, poc=None if idr else poc)
             ref = disp
             recons.append(disp)
+        return out, recons
+
+    def _encode_video_b(self, frames, gop, out):
+        import dataclasses
+        from hevc_tpu.encoder.ctb32_ref import Ctb32RefEncoder
+        cfg = self.cfg
+        n = len(frames)
+        recons = [None] * n
+        qp_b = min(cfg.qp + Ctb32RefEncoder.B_QP_OFFSET, 51)
+        cfg_b = dataclasses.replace(cfg, qp=qp_b)
+        starts = [k for k in range(n) if k == 0 or (gop and k % gop == 0)]
+        segments = [(s, (starts + [n])[i + 1]) for i, s in
+                    enumerate(starts)]
+        for (s, e) in segments:
+            dec, recon, _ = self.encode_frame_arrays(*frames[s])
+            disp = self._finish(recon, None)
+            out += b"\x00\x00\x00\x01" + entropy_encode_frame_ctb32(cfg,
+                                                                    dec)
+            recons[s] = disp
+            prev = s
+            k = s + 2
+            while prev < e - 1:
+                r = min(k, e - 1)
+                dec, recon, maps = self.encode_frame_arrays(
+                    *frames[r], ref=recons[prev])
+                disp = self._finish(recon, maps)
+                out += b"\x00\x00\x00\x01" + entropy_encode_frame_ctb32(
+                    cfg, dec, poc=r - s,
+                    rps_idx=0 if r - prev == 2 else 2)
+                recons[r] = disp
+                if r - prev == 2:
+                    bidx = prev + 1
+                    dec, recb, maps = self.encode_frame_arrays(
+                        *frames[bidx], ref=recons[prev],
+                        ref1=recons[r],
+                        pocs=(bidx - s, prev - s, r - s), qp_ovr=qp_b)
+                    dispb = self._finish(recb, maps, qp=qp_b)
+                    out += b"\x00\x00\x00\x01" + \
+                        entropy_encode_frame_ctb32(cfg_b, dec,
+                                                   poc=bidx - s,
+                                                   b_slice=True)
+                    recons[bidx] = dispb
+                prev = r
+                k = r + 2
         return out, recons
 
 

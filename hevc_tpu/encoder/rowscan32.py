@@ -26,7 +26,8 @@ import numpy as np
 from hevc_tpu.encoder.rowscan_v1 import (
     MARGIN, MARGIN_C, _CQP, _assemble_ref, _chroma_val_ref, _level_bits,
     _merge_luma_val_ref, _mode_bits, _mpm_jax, _mvd_bits_j, _predict_all,
-    _search_explicit_ref, _search_select, _sse_j, _tu_q, _weight_uni_j)
+    _scale_mv_j, _search_explicit_ref, _search_select, _sse_j, _tu_q,
+    _weight_bi_j, _weight_uni_j)
 
 I32 = jnp.int32
 INF32 = jnp.asarray(2**31 - 1, I32)
@@ -71,15 +72,32 @@ def rowscan32_scan_jit(src_y, src_cb, src_cr, qp, lam_bits, lam16, sl16,
                            sdh=sdh, rdoq=rdoq)
 
 
+@partial(jax.jit, static_argnames=("tnh32", "tnw32", "bit_depth", "subpel",
+                                   "sdh", "rdoq"))
+def rowscan32_scan_b_jit(src_y, src_cb, src_cr, qp, lam_bits, lam16, sl16,
+                         pad0_y, pad0_cb, pad0_cr, pad1_y, pad1_cb, pad1_cr,
+                         dsf, tnh32, tnw32, bit_depth, subpel=True,
+                         sdh=False, rdoq=False):
+    """B-slice ctb32 scan: two reference pad sets + cross-list MV scale
+    factors (host-precomputed from the POC deltas, rowscan_v1.dsf_pair)."""
+    return _rowscan32_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh32,
+                           tnw32, bit_depth, lam16=lam16, sl16=sl16,
+                           ref_pads=(pad0_y, pad0_cb, pad0_cr),
+                           ref_pads1=(pad1_y, pad1_cb, pad1_cr), dsf=dsf,
+                           subpel=subpel, sdh=sdh, rdoq=rdoq)
+
+
 def _rowscan32_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh32, tnw32,
                     bit_depth, lam16=None, sl16=None, ref_pads=None,
                     ref_pads1=None, dsf=None, subpel=True, sdh=False,
                     rdoq=False):
     """Shared ctb32 scan body.  src_y: (B, tnh32, tnw32, 32, 32); chroma
     (B, tnh32, tnw32, 16, 16).  ref_pads enables the P step; ref_pads1
-    additionally enables the B step (not yet implemented)."""
-    assert ref_pads1 is None, "ctb32 B kernel lands in a follow-up"
+    additionally enables the B step (two lists, skip / merge / L0 / L1 /
+    BI / intra RD — bit-exact with ctb32_ref.encode_frame_p(ref1=...));
+    dsf: (2,) cross-list MV scale factors from the POC deltas."""
     B = src_y.shape[0]
+    b_mode = ref_pads1 is not None
     p_mode = ref_pads is not None
     maxv = (1 << bit_depth) - 1
     # every ctb32-profile TB is diag-scanned; one static sdh_scan arg
@@ -107,7 +125,17 @@ def _rowscan32_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh32, tnw32,
         corner_cr=jnp.zeros((B,), I32),
         left_modes=jnp.full((B, 2), -1, I32),     # right cells of left CTB
     )
-    if p_mode:
+    if b_mode:
+        # full motion records per 16-cell: prediction flags + MV per list
+        state.update(
+            left_pf=jnp.zeros((B, 2, 2), bool),
+            left_mv2=jnp.zeros((B, 2, 2, 2), I32),
+            top_pf=jnp.zeros((B, nw16, 2), bool),
+            top_mv2=jnp.zeros((B, nw16, 2, 2), I32),
+            al_pf=jnp.zeros((B, 2), bool),        # above-left cell lag
+            al_mv2=jnp.zeros((B, 2, 2), I32),
+        )
+    elif p_mode:
         state.update(
             left_inter=jnp.zeros((B, 2), bool),
             left_mv=jnp.zeros((B, 2, 2), I32),
@@ -130,6 +158,8 @@ def _rowscan32_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh32, tnw32,
 
     if p_mode:
         pad_py, pad_pcb, pad_pcr = ref_pads
+    if b_mode:
+        pad1_py, pad1_pcb, pad1_pcr = ref_pads1
 
     def step(state, d):
         r32 = d // tnw32
@@ -154,7 +184,17 @@ def _rowscan32_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh32, tnw32,
         t_cr = jax.lax.dynamic_slice(state["top_cr"], (0, c32 * 16), (B, 16))
         trcr = jax.lax.dynamic_slice(state["top_cr"], (0, cclamp * 16),
                                      (B, 16))
-        if p_mode:
+        if b_mode:
+            def top_rec(k0):
+                pf = jax.lax.dynamic_slice(state["top_pf"], (0, k0, 0),
+                                           (B, 1, 2)).reshape(B, 2)
+                mv2 = jax.lax.dynamic_slice(
+                    state["top_mv2"], (0, k0, 0, 0),
+                    (B, 1, 2, 2)).reshape(B, 2, 2)
+                return pf[:, 0] | pf[:, 1], pf, mv2
+            top2 = [top_rec(2 * c32), top_rec(2 * c32 + 1)]
+            top_b0 = top_rec(jnp.minimum(2 * c32 + 2, nw16 - 1))
+        elif p_mode:
             top2 = [
                 (jax.lax.dynamic_slice(state["top_inter"], (0, k0),
                                        (B, 1)).reshape(B),
@@ -166,9 +206,6 @@ def _rowscan32_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh32, tnw32,
                                             (B, 1)).reshape(B),
                       jax.lax.dynamic_slice(state["top_mv"], (0, k2, 0),
                                             (B, 1, 2)).reshape(B, 2))
-            tsk = [jax.lax.dynamic_slice(state["top_skip"], (0, k0),
-                                         (B, 1)).reshape(B)
-                   for k0 in (2 * c32, 2 * c32 + 1)]
         tdep = [jax.lax.dynamic_slice(state["top_depth"], (0, k0),
                                       (B, 1)).reshape(B)
                 for k0 in (2 * c32, 2 * c32 + 1)]
@@ -182,6 +219,8 @@ def _rowscan32_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh32, tnw32,
         q_skip = []          # (B,) bool
         q_inter = []         # (B,) bool (inter incl. skip)
         q_mv = []            # (B, 2)
+        q_pf = []            # (B, 2) b_mode: per-list prediction flags
+        q_mv2 = []           # (B, 2, 2) b_mode: per-list MVs
         q_fields = []
         q_j = []
 
@@ -251,6 +290,102 @@ def _rowscan32_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh32, tnw32,
                 b1=(q_inter[1], q_mv[1]), b0=none,
                 b2=(q_inter[0], q_mv[0]))
 
+        def mot_nbrs_b(q):
+            """{a1,a0,b1,b0,b2}: (avail, pf, mv2) full records, b_mode."""
+            lpf, lmv2 = state["left_pf"], state["left_mv2"]
+            none = (jnp.zeros((B,), bool), jnp.zeros((B, 2), bool),
+                    jnp.zeros((B, 2, 2), I32))
+
+            def lrec(i, gate):
+                av = (lpf[:, i, 0] | lpf[:, i, 1]) & gate
+                return av, lpf[:, i], lmv2[:, i]
+
+            def trec(e, gate):
+                return e[0] & gate, e[1], e[2]
+
+            def qrec(i):
+                return q_inter[i], q_pf[i], q_mv2[i]
+
+            if q == 0:
+                al_av = (state["al_pf"][:, 0] | state["al_pf"][:, 1]) \
+                    & al & aa
+                return dict(
+                    a1=lrec(0, al), a0=lrec(1, al),
+                    b1=trec(top2[0], aa), b0=trec(top2[1], aa),
+                    b2=(al_av, state["al_pf"], state["al_mv2"]))
+            if q == 1:
+                return dict(
+                    a1=qrec(0), a0=none,
+                    b1=trec(top2[1], aa), b0=trec(top_b0, aar),
+                    b2=trec(top2[0], aa))
+            if q == 2:
+                return dict(
+                    a1=lrec(1, al), a0=none,
+                    b1=qrec(0), b0=qrec(1), b2=lrec(0, al))
+            return dict(
+                a1=qrec(2), a0=none, b1=qrec(1), b0=none, b2=qrec(0))
+
+        def merge0_b(nb):
+            """First-available full record (A1, B1, B0, A0, B2), else the
+            zero-bi candidate (ops.inter.merge_cand0_b)."""
+            mg_pf = jnp.ones((B, 2), bool)
+            mg_mv2 = jnp.zeros((B, 2, 2), I32)
+            for key in ("b2", "a0", "b0", "b1", "a1"):   # reversed priority
+                av_, pf_, mv_ = nb[key]
+                mg_pf = jnp.where(av_[:, None], pf_, mg_pf)
+                mg_mv2 = jnp.where(av_[:, None, None], mv_, mg_mv2)
+            return mg_pf, mg_mv2
+
+        def amvp_b(lx, nb):
+            """Device mirror of ops.inter.amvp_list_b with the A0 slot
+            (reachable inside the z-order) and cross-list POC scaling."""
+            ly = 1 - lx
+            d_ = dsf[lx]
+
+            def uns(e):
+                av_, pf_, mv_ = e
+                return av_ & pf_[:, lx], mv_[:, lx]
+
+            def scl(e):
+                av_, pf_, mv_ = e
+                mv = jnp.where(pf_[:, lx][:, None], mv_[:, lx],
+                               _scale_mv_j(mv_[:, ly], d_))
+                return av_, mv          # an inter record always scales
+
+            u0h, u0m = uns(nb["a0"])
+            u1h, u1m = uns(nb["a1"])
+            au_h = u0h | u1h
+            au_m = jnp.where(u0h[:, None], u0m, u1m)
+            s0h, s0m = scl(nb["a0"])
+            s1h, s1m = scl(nb["a1"])
+            as_h = s0h | s1h
+            as_m = jnp.where(s0h[:, None], s0m, s1m)
+            ca_h = au_h | as_h
+            ca_mv = jnp.where(au_h[:, None], au_m, as_m)
+            is_sc = nb["a0"][0] | nb["a1"][0]
+            ub_h = jnp.zeros((B,), bool)
+            ub_mv = jnp.zeros((B, 2), I32)
+            sb_h = jnp.zeros((B,), bool)
+            sb_mv = jnp.zeros((B, 2), I32)
+            for key in ("b2", "b1", "b0"):               # reversed priority
+                h, m = uns(nb[key])
+                ub_mv = jnp.where(h[:, None], m, ub_mv)
+                ub_h = ub_h | h
+                h, m = scl(nb[key])
+                sb_mv = jnp.where(h[:, None], m, sb_mv)
+                sb_h = sb_h | h
+            # isScaledFlag dance: without a coded-inter A neighbor, the
+            # unscaled B takes A's slot and the scaled B search fills B
+            A_h = jnp.where(is_sc, ca_h, ub_h)
+            A_mv = jnp.where(is_sc[:, None], ca_mv, ub_mv)
+            B_h = jnp.where(is_sc, ub_h, sb_h)
+            B_mv = jnp.where(is_sc[:, None], ub_mv, sb_mv)
+            dup = A_h & B_h & jnp.all(A_mv == B_mv, -1)
+            c0_ = jnp.where(A_h[:, None], A_mv,
+                            jnp.where(B_h[:, None], B_mv, 0))
+            c1_ = jnp.where((A_h & B_h & ~dup)[:, None], B_mv, 0)
+            return c0_, c1_
+
         for q in range(4):
             qx, qy = q & 1, q >> 1
             src = s32[:, 16 * qy:16 * qy + 16, 16 * qx:16 * qx + 16]
@@ -306,6 +441,192 @@ def _rowscan32_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh32, tnw32,
                                    8 * qx:8 * qx + 8].set(rec_cb)
                 ctb_cr = ctb_cr.at[:, 8 * qy:8 * qy + 8,
                                    8 * qx:8 * qx + 8].set(rec_cr)
+                continue
+
+            # ---- B candidates: skip / merge / L0 / L1 / BI / intra ----
+            if b_mode:
+                nb = mot_nbrs_b(q)
+                mg_pf, mg_mv2 = merge0_b(nb)
+                c0mv0, c1mv0 = amvp_b(0, nb)
+                c0mv1, c1mv1 = amvp_b(1, nb)
+                r16 = 2 * r32 + qy
+                c16 = 2 * c32 + qx
+                mv_e0, mb00, mb01, val_e0 = _search_explicit_ref(
+                    src, pad_py, r16, c16, c0mv0, c1mv0, sl16, bit_depth,
+                    subpel, maxv)
+                mv_e1, mb10, mb11, val_e1 = _search_explicit_ref(
+                    src, pad1_py, r16, c16, c0mv1, c1mv1, sl16, bit_depth,
+                    subpel, maxv)
+                mvp_e0 = (mb00 > mb01).astype(I32)
+                mbits0 = jnp.minimum(mb00, mb01)
+                mvp_e1 = (mb10 > mb11).astype(I32)
+                mbits1 = jnp.minimum(mb10, mb11)
+                pred_l0 = _weight_uni_j(val_e0, bit_depth)
+                pred_l1 = _weight_uni_j(val_e1, bit_depth)
+                pred_bi = _weight_bi_j(val_e0, val_e1, bit_depth)
+
+                valm0 = _merge_luma_val_ref(pad_py, r16, c16, mg_mv2[:, 0],
+                                            bit_depth, subpel)
+                valm1 = _merge_luma_val_ref(pad1_py, r16, c16,
+                                            mg_mv2[:, 1], bit_depth, subpel)
+                both_m = mg_pf[:, 0] & mg_pf[:, 1]
+                valm_u = jnp.where(mg_pf[:, 0][:, None, None], valm0, valm1)
+                pred_m = jnp.where(both_m[:, None, None],
+                                   _weight_bi_j(valm0, valm1, bit_depth),
+                                   _weight_uni_j(valm_u, bit_depth))
+
+                def comb_c(pc0, pc1, rr, cc, mv0_, mv1_, nc, pf=None):
+                    v0 = _chroma_val_ref(pc0, rr, cc, mv0_, bit_depth,
+                                         nc=nc)
+                    v1 = _chroma_val_ref(pc1, rr, cc, mv1_, bit_depth,
+                                         nc=nc)
+                    if pf is None:
+                        return _weight_bi_j(v0, v1, bit_depth)
+                    vu = jnp.where(pf[:, 0][:, None, None], v0, v1)
+                    return jnp.where((pf[:, 0] & pf[:, 1])[:, None, None],
+                                     _weight_bi_j(v0, v1, bit_depth),
+                                     _weight_uni_j(vu, bit_depth))
+
+                pm_cb = comb_c(pad_pcb, pad1_pcb, r16, c16, mg_mv2[:, 0],
+                               mg_mv2[:, 1], 8, mg_pf)
+                pm_cr = comb_c(pad_pcr, pad1_pcr, r16, c16, mg_mv2[:, 0],
+                               mg_mv2[:, 1], 8, mg_pf)
+                pl0_cb = _weight_uni_j(_chroma_val_ref(
+                    pad_pcb, r16, c16, mv_e0, bit_depth), bit_depth)
+                pl0_cr = _weight_uni_j(_chroma_val_ref(
+                    pad_pcr, r16, c16, mv_e0, bit_depth), bit_depth)
+                pl1_cb = _weight_uni_j(_chroma_val_ref(
+                    pad1_pcb, r16, c16, mv_e1, bit_depth), bit_depth)
+                pl1_cr = _weight_uni_j(_chroma_val_ref(
+                    pad1_pcr, r16, c16, mv_e1, bit_depth), bit_depth)
+                pbi_cb = comb_c(pad_pcb, pad1_pcb, r16, c16, mv_e0, mv_e1,
+                                8)
+                pbi_cr = comb_c(pad_pcr, pad1_pcr, r16, c16, mv_e0, mv_e1,
+                                8)
+
+                def tu3(py_, pcb_, pcr_):
+                    a = _tu(src, py_, qp_eff, 16, bit_depth, maxv,
+                            sdh_scan=shs0)
+                    b_ = _tu(scb, pcb_, qpc, 8, bit_depth, maxv,
+                             sdh_scan=shs0)
+                    c_ = _tu(scr, pcr_, qpc, 8, bit_depth, maxv,
+                             sdh_scan=shs0)
+                    return ((a[0], b_[0], c_[0]), (a[1], b_[1], c_[1]),
+                            (a[2], b_[2], c_[2]))
+
+                lv_m, cb_m, rc_m = tu3(pred_m, pm_cb, pm_cr)
+                lv_0, cb_0, rc_0 = tu3(pred_l0, pl0_cb, pl0_cr)
+                lv_1, cb_1, rc_1 = tu3(pred_l1, pl1_cb, pl1_cr)
+                lv_b, cb_b, rc_b = tu3(pred_bi, pbi_cb, pbi_cr)
+
+                def sse3(p3):
+                    return _sse_j(src, p3[0]) + _sse_j(scb, p3[1]) \
+                        + _sse_j(scr, p3[2])
+
+                def lvbits(lv):
+                    return _level_bits(lv[0]) + _level_bits(lv[1]) \
+                        + _level_bits(lv[2])
+
+                j_skip = sse3((pred_m, pm_cb, pm_cr)) + ((lam16 * 2) >> 4)
+                any_m = cb_m[0] | cb_m[1] | cb_m[2]
+                j_m = jnp.where(
+                    any_m,
+                    sse3(rc_m) + ((lam16 * jnp.minimum(
+                        12 + lvbits(lv_m), 2048)) >> 4), INF32)
+                j_0 = sse3(rc_0) + ((lam16 * jnp.minimum(
+                    16 + mbits0 + lvbits(lv_0), 2048)) >> 4)
+                j_1 = sse3(rc_1) + ((lam16 * jnp.minimum(
+                    16 + mbits1 + lvbits(lv_1), 2048)) >> 4)
+                j_bi2 = sse3(rc_b) + ((lam16 * jnp.minimum(
+                    24 + mbits0 + mbits1 + lvbits(lv_b), 2048)) >> 4)
+
+                kind = jnp.argmin(jnp.stack(
+                    [j_skip, j_m, j_0, j_1, j_bi2, j_i], 1),
+                    axis=1).astype(I32)       # first-min = priority order
+                skipf = kind == 0
+                is_m = kind == 1
+                is_e = (kind >= 2) & (kind <= 4)
+                inter_sel = kind != 5
+                dir_e = jnp.clip(kind - 2, 0, 2)
+
+                def sel6(a_s, a_m_, a_0, a_1, a_b, a_i, nd):
+                    k = kind.reshape(kind.shape + (1,) * nd)
+                    return jnp.where(
+                        k == 0, a_s,
+                        jnp.where(k == 1, a_m_,
+                                  jnp.where(k == 2, a_0,
+                                            jnp.where(k == 3, a_1,
+                                                      jnp.where(k == 4,
+                                                                a_b,
+                                                                a_i)))))
+
+                rec_y_f = sel6(pred_m, rc_m[0], rc_0[0], rc_1[0], rc_b[0],
+                               rec_y, 2)
+                rec_cb_f = sel6(pm_cb, rc_m[1], rc_0[1], rc_1[1], rc_b[1],
+                                rec_cb, 2)
+                rec_cr_f = sel6(pm_cr, rc_m[2], rc_0[2], rc_1[2], rc_b[2],
+                                rec_cr, 2)
+                cbfi_y = sel6(cb_m[0], cb_m[0], cb_0[0], cb_1[0], cb_b[0],
+                              F, 0) & inter_sel & ~skipf
+                cbfi_cb = sel6(cb_m[1], cb_m[1], cb_0[1], cb_1[1], cb_b[1],
+                               F, 0) & inter_sel & ~skipf
+                cbfi_cr = sel6(cb_m[2], cb_m[2], cb_0[2], cb_1[2], cb_b[2],
+                               F, 0) & inter_sel & ~skipf
+                rqt_e = (cbfi_y | cbfi_cb | cbfi_cr).astype(I32)
+                mvp_sel0 = jnp.where(mvp_e0[:, None] == 0, c0mv0, c1mv0)
+                mvd0 = mv_e0 - mvp_sel0
+                mvp_sel1 = jnp.where(mvp_e1[:, None] == 0, c0mv1, c1mv1)
+                mvd1_ = mv_e1 - mvp_sel1
+                use0 = (kind == 2) | (kind == 4)
+                use1 = (kind == 3) | (kind == 4)
+                pf_sel = jnp.where(is_e[:, None],
+                                   jnp.stack([use0, use1], 1),
+                                   jnp.where((skipf | is_m)[:, None],
+                                             mg_pf,
+                                             jnp.zeros((B, 2), bool)))
+                mv2_sel = jnp.where(
+                    is_e[:, None, None], jnp.stack([mv_e0, mv_e1], 1),
+                    jnp.where((skipf | is_m)[:, None, None], mg_mv2, 0))
+                mv_f = jnp.where(pf_sel[:, 0][:, None], mv2_sel[:, 0],
+                                 jnp.where(pf_sel[:, 1][:, None],
+                                           mv2_sel[:, 1], 0))
+                mv1_f = jnp.where(pf_sel[:, 1][:, None], mv2_sel[:, 1], 0)
+                fields.update(
+                    mode=jnp.where(inter_sel, -1, mode),
+                    lvl_y=sel6(lv_m[0], lv_m[0], lv_0[0], lv_1[0],
+                               lv_b[0], lvl_y, 2),
+                    lvl_cb=sel6(lv_m[1], lv_m[1], lv_0[1], lv_1[1],
+                                lv_b[1], lvl_cb, 2),
+                    lvl_cr=sel6(lv_m[2], lv_m[2], lv_0[2], lv_1[2],
+                                lv_b[2], lvl_cr, 2),
+                    cbf_y=jnp.where(inter_sel, F, cbf_y),
+                    cbf_cb=jnp.where(inter_sel, F, cbf_cb),
+                    cbf_cr=jnp.where(inter_sel, F, cbf_cr),
+                    skip=skipf, inter=inter_sel & ~skipf, merge=is_m,
+                    mvd=mvd0.astype(jnp.int16),
+                    mvp=mvp_e0.astype(jnp.int8),
+                    mvd1=mvd1_.astype(jnp.int16),
+                    mvp1=mvp_e1.astype(jnp.int8),
+                    dir=dir_e.astype(jnp.int8),
+                    rqt=jnp.where(is_e, rqt_e, 1).astype(jnp.int8),
+                    cbf_yi=cbfi_y, cbf_cbi=cbfi_cb, cbf_cri=cbfi_cr,
+                    mv=mv_f.astype(jnp.int16),
+                    mv1=mv1_f.astype(jnp.int16),
+                    pf=pf_sel)
+                q_mode.append(jnp.where(inter_sel, -1, mode))
+                q_skip.append(skipf)
+                q_inter.append(inter_sel)
+                q_mv.append(mv_f)
+                q_pf.append(pf_sel)
+                q_mv2.append(mv2_sel)
+                q_j.append(sel6(j_skip, j_m, j_0, j_1, j_bi2, j_i, 0))
+                q_fields.append(fields)
+                ctb_y = ctb_y.at[:, 16 * qy:16 * qy + 16,
+                                 16 * qx:16 * qx + 16].set(rec_y_f)
+                ctb_cb = ctb_cb.at[:, 8 * qy:8 * qy + 8,
+                                   8 * qx:8 * qx + 8].set(rec_cb_f)
+                ctb_cr = ctb_cr.at[:, 8 * qy:8 * qy + 8,
+                                   8 * qx:8 * qx + 8].set(rec_cr_f)
                 continue
 
             # ---- P candidates ----
@@ -479,6 +800,187 @@ def _rowscan32_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh32, tnw32,
                 + _sse_j(s32cr, rec32_cr) + ((lam16 * bits32) >> 4)
             split = j16 < j32
             kind32 = jnp.zeros((B,), I32)       # 0 = intra32
+        elif b_mode:
+            # ---- 32-level B: skip32 / merge32 / L0 / L1 / BI ----
+            lpf, lmv2 = state["left_pf"], state["left_mv2"]
+            none3 = (jnp.zeros((B,), bool), jnp.zeros((B, 2), bool),
+                     jnp.zeros((B, 2, 2), I32))
+            al32_av = (state["al_pf"][:, 0] | state["al_pf"][:, 1]) \
+                & al & aa
+            nb32 = dict(
+                a1=((lpf[:, 1, 0] | lpf[:, 1, 1]) & al, lpf[:, 1],
+                    lmv2[:, 1]),
+                a0=none3,
+                b1=(top2[1][0] & aa, top2[1][1], top2[1][2]),
+                b0=(top_b0[0] & aar, top_b0[1], top_b0[2]),
+                b2=(al32_av, state["al_pf"], state["al_mv2"]))
+            mg32_pf, mg32_mv2 = merge0_b(nb32)
+            c0mv0_3, c1mv0_3 = amvp_b(0, nb32)
+            c0mv1_3, c1mv1_3 = amvp_b(1, nb32)
+            mv_e320, m320a, m320b, val_e320 = _search_explicit_ref(
+                s32, pad_py, r32, c32, c0mv0_3, c1mv0_3, sl16, bit_depth,
+                subpel, maxv, n=32)
+            mv_e321, m321a, m321b, val_e321 = _search_explicit_ref(
+                s32, pad1_py, r32, c32, c0mv1_3, c1mv1_3, sl16, bit_depth,
+                subpel, maxv, n=32)
+            mvp32_e0 = (m320a > m320b).astype(I32)
+            mbits32_0 = jnp.minimum(m320a, m320b)
+            mvp32_e1 = (m321a > m321b).astype(I32)
+            mbits32_1 = jnp.minimum(m321a, m321b)
+            pred32_l0 = _weight_uni_j(val_e320, bit_depth)
+            pred32_l1 = _weight_uni_j(val_e321, bit_depth)
+            pred32_bi = _weight_bi_j(val_e320, val_e321, bit_depth)
+            valm32_0 = _merge_luma_val_ref(pad_py, r32, c32,
+                                           mg32_mv2[:, 0], bit_depth,
+                                           subpel, n=32)
+            valm32_1 = _merge_luma_val_ref(pad1_py, r32, c32,
+                                           mg32_mv2[:, 1], bit_depth,
+                                           subpel, n=32)
+            both32 = mg32_pf[:, 0] & mg32_pf[:, 1]
+            valm32_u = jnp.where(mg32_pf[:, 0][:, None, None], valm32_0,
+                                 valm32_1)
+            pred_m32 = jnp.where(both32[:, None, None],
+                                 _weight_bi_j(valm32_0, valm32_1,
+                                              bit_depth),
+                                 _weight_uni_j(valm32_u, bit_depth))
+
+            def comb32_c(pc0, pc1, mv0_, mv1_, pf=None):
+                v0 = _chroma_val_ref(pc0, r32, c32, mv0_, bit_depth, nc=16)
+                v1 = _chroma_val_ref(pc1, r32, c32, mv1_, bit_depth, nc=16)
+                if pf is None:
+                    return _weight_bi_j(v0, v1, bit_depth)
+                vu = jnp.where(pf[:, 0][:, None, None], v0, v1)
+                return jnp.where((pf[:, 0] & pf[:, 1])[:, None, None],
+                                 _weight_bi_j(v0, v1, bit_depth),
+                                 _weight_uni_j(vu, bit_depth))
+
+            pm32_cb = comb32_c(pad_pcb, pad1_pcb, mg32_mv2[:, 0],
+                               mg32_mv2[:, 1], mg32_pf)
+            pm32_cr = comb32_c(pad_pcr, pad1_pcr, mg32_mv2[:, 0],
+                               mg32_mv2[:, 1], mg32_pf)
+            p0_32cb = _weight_uni_j(_chroma_val_ref(
+                pad_pcb, r32, c32, mv_e320, bit_depth, nc=16), bit_depth)
+            p0_32cr = _weight_uni_j(_chroma_val_ref(
+                pad_pcr, r32, c32, mv_e320, bit_depth, nc=16), bit_depth)
+            p1_32cb = _weight_uni_j(_chroma_val_ref(
+                pad1_pcb, r32, c32, mv_e321, bit_depth, nc=16), bit_depth)
+            p1_32cr = _weight_uni_j(_chroma_val_ref(
+                pad1_pcr, r32, c32, mv_e321, bit_depth, nc=16), bit_depth)
+            pbi_32cb = comb32_c(pad_pcb, pad1_pcb, mv_e320, mv_e321)
+            pbi_32cr = comb32_c(pad_pcr, pad1_pcr, mv_e320, mv_e321)
+
+            def tu32(py, pcb_, pcr_):
+                """Forced-split TU16 residual of a 32 CU (per-quadrant)."""
+                ry = jnp.zeros((B, 32, 32), I32)
+                rcb = jnp.zeros((B, 16, 16), I32)
+                rcr = jnp.zeros((B, 16, 16), I32)
+                lvls, cbfs = [], []
+                for q in range(4):
+                    qx, qy = q & 1, q >> 1
+                    ly, cy_, r_ = _tu(
+                        s32[:, 16 * qy:16 * qy + 16, 16 * qx:16 * qx + 16],
+                        py[:, 16 * qy:16 * qy + 16, 16 * qx:16 * qx + 16],
+                        qp_eff, 16, bit_depth, maxv, sdh_scan=shs0)
+                    lcb, ccb, rcb_ = _tu(
+                        s32cb[:, 8 * qy:8 * qy + 8, 8 * qx:8 * qx + 8],
+                        pcb_[:, 8 * qy:8 * qy + 8, 8 * qx:8 * qx + 8],
+                        qpc, 8, bit_depth, maxv, sdh_scan=shs0)
+                    lcr, ccr, rcr_ = _tu(
+                        s32cr[:, 8 * qy:8 * qy + 8, 8 * qx:8 * qx + 8],
+                        pcr_[:, 8 * qy:8 * qy + 8, 8 * qx:8 * qx + 8],
+                        qpc, 8, bit_depth, maxv, sdh_scan=shs0)
+                    ry = ry.at[:, 16 * qy:16 * qy + 16,
+                               16 * qx:16 * qx + 16].set(r_)
+                    rcb = rcb.at[:, 8 * qy:8 * qy + 8,
+                                 8 * qx:8 * qx + 8].set(rcb_)
+                    rcr = rcr.at[:, 8 * qy:8 * qy + 8,
+                                 8 * qx:8 * qx + 8].set(rcr_)
+                    lvls.append((ly, lcb, lcr))
+                    cbfs.append((cy_, ccb, ccr))
+                bits = 0
+                any_cbf = jnp.zeros((B,), bool)
+                for (ly, lcb, lcr), (cy_, ccb, ccr) in zip(lvls, cbfs):
+                    bits = bits + _level_bits(ly) + _level_bits(lcb) \
+                        + _level_bits(lcr)
+                    any_cbf = any_cbf | cy_ | ccb | ccr
+                return ry, rcb, rcr, lvls, cbfs, bits, any_cbf
+
+            m_ry, m_rcb, m_rcr, m_lvls, m_cbfs, m_bits, m_any = \
+                tu32(pred_m32, pm32_cb, pm32_cr)
+            e0_ry, e0_rcb, e0_rcr, e0_lvls, e0_cbfs, e0_bits, e0_any = \
+                tu32(pred32_l0, p0_32cb, p0_32cr)
+            e1_ry, e1_rcb, e1_rcr, e1_lvls, e1_cbfs, e1_bits, e1_any = \
+                tu32(pred32_l1, p1_32cb, p1_32cr)
+            bi_ry, bi_rcb, bi_rcr, bi_lvls, bi_cbfs, bi_bits, bi_any = \
+                tu32(pred32_bi, pbi_32cb, pbi_32cr)
+
+            j_skip32 = _sse_j(s32, pred_m32) + _sse_j(s32cb, pm32_cb) \
+                + _sse_j(s32cr, pm32_cr) + ((lam16 * 2) >> 4)
+            j_m32 = jnp.where(
+                m_any,
+                _sse_j(s32, m_ry) + _sse_j(s32cb, m_rcb)
+                + _sse_j(s32cr, m_rcr)
+                + ((lam16 * jnp.minimum(12 + m_bits, 8192)) >> 4), INF32)
+            j_e032 = _sse_j(s32, e0_ry) + _sse_j(s32cb, e0_rcb) \
+                + _sse_j(s32cr, e0_rcr) \
+                + ((lam16 * jnp.minimum(16 + mbits32_0 + e0_bits,
+                                        8192)) >> 4)
+            j_e132 = _sse_j(s32, e1_ry) + _sse_j(s32cb, e1_rcb) \
+                + _sse_j(s32cr, e1_rcr) \
+                + ((lam16 * jnp.minimum(16 + mbits32_1 + e1_bits,
+                                        8192)) >> 4)
+            j_bi32 = _sse_j(s32, bi_ry) + _sse_j(s32cb, bi_rcb) \
+                + _sse_j(s32cr, bi_rcr) \
+                + ((lam16 * jnp.minimum(
+                    24 + mbits32_0 + mbits32_1 + bi_bits, 8192)) >> 4)
+            kind32 = jnp.argmin(jnp.stack(
+                [j_skip32, j_m32, j_e032, j_e132, j_bi32], 1),
+                axis=1).astype(I32)
+            j32 = jnp.minimum(jnp.minimum(j_skip32, j_m32),
+                              jnp.minimum(jnp.minimum(j_e032, j_e132),
+                                          j_bi32))
+            split = j16 < j32
+
+            def sel5(a_s, a_m_, a_0, a_1, a_b, nd):
+                k = kind32.reshape(kind32.shape + (1,) * nd)
+                return jnp.where(
+                    k == 0, a_s,
+                    jnp.where(k == 1, a_m_,
+                              jnp.where(k == 2, a_0,
+                                        jnp.where(k == 3, a_1, a_b))))
+
+            rec32_y = sel5(pred_m32, m_ry, e0_ry, e1_ry, bi_ry, 2)
+            rec32_cb = sel5(pm32_cb, m_rcb, e0_rcb, e1_rcb, bi_rcb, 2)
+            rec32_cr = sel5(pm32_cr, m_rcr, e0_rcr, e1_rcr, bi_rcr, 2)
+            mvp_s320 = jnp.where(mvp32_e0[:, None] == 0, c0mv0_3, c1mv0_3)
+            mvd32_0 = mv_e320 - mvp_s320
+            mvp_s321 = jnp.where(mvp32_e1[:, None] == 0, c0mv1_3, c1mv1_3)
+            mvd32_1v = mv_e321 - mvp_s321
+            dir32_e = jnp.clip(kind32 - 2, 0, 2)
+            is_e32 = kind32 >= 2
+            use0_32 = (kind32 == 2) | (kind32 == 4)
+            use1_32 = (kind32 == 3) | (kind32 == 4)
+            pf32_sel = jnp.where(is_e32[:, None],
+                                 jnp.stack([use0_32, use1_32], 1), mg32_pf)
+            mv32_2sel = jnp.where(is_e32[:, None, None],
+                                  jnp.stack([mv_e320, mv_e321], 1),
+                                  mg32_mv2)
+            mv32_f = jnp.where(pf32_sel[:, 0][:, None], mv32_2sel[:, 0],
+                               mv32_2sel[:, 1])
+            mv32_1f = jnp.where(pf32_sel[:, 1][:, None], mv32_2sel[:, 1],
+                                0)
+            lvl32 = [tuple(sel5(m_lvls[q][pi], m_lvls[q][pi],
+                                e0_lvls[q][pi], e1_lvls[q][pi],
+                                bi_lvls[q][pi], 2) for pi in range(3))
+                     for q in range(4)]
+            cbf32 = [tuple(jnp.where(kind32 == 0, F,
+                                     sel5(m_cbfs[q][pi], m_cbfs[q][pi],
+                                          e0_cbfs[q][pi], e1_cbfs[q][pi],
+                                          bi_cbfs[q][pi], 0))
+                           for pi in range(3)) for q in range(4)]
+            rqt32 = jnp.where(kind32 == 2, e0_any,
+                              jnp.where(kind32 == 3, e1_any,
+                                        bi_any)).astype(jnp.int8)
         else:
             li, lmv = state["left_inter"], state["left_mv"]
             nb32 = dict(
@@ -619,7 +1121,27 @@ def _rowscan32_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh32, tnw32,
             state["top_depth"],
             jnp.broadcast_to(split.astype(I32)[:, None], (B, 2)),
             (0, 2 * c32))
-        if p_mode:
+        if b_mode:
+            cell_pf = [jnp.where(split[:, None], q_pf[q], pf32_sel)
+                       for q in range(4)]
+            cell_mv2 = [jnp.where(split[:, None, None], q_mv2[q],
+                                  mv32_2sel) for q in range(4)]
+            k1 = 2 * c32 + 1
+            nxt["al_pf"] = jax.lax.dynamic_slice(
+                state["top_pf"], (0, k1, 0), (B, 1, 2)).reshape(B, 2)
+            nxt["al_mv2"] = jax.lax.dynamic_slice(
+                state["top_mv2"], (0, k1, 0, 0),
+                (B, 1, 2, 2)).reshape(B, 2, 2)
+            nxt["top_pf"] = jax.lax.dynamic_update_slice(
+                state["top_pf"], jnp.stack([cell_pf[2], cell_pf[3]], 1),
+                (0, 2 * c32, 0))
+            nxt["top_mv2"] = jax.lax.dynamic_update_slice(
+                state["top_mv2"],
+                jnp.stack([cell_mv2[2], cell_mv2[3]], 1),
+                (0, 2 * c32, 0, 0))
+            nxt["left_pf"] = jnp.stack([cell_pf[1], cell_pf[3]], 1)
+            nxt["left_mv2"] = jnp.stack([cell_mv2[1], cell_mv2[3]], 1)
+        elif p_mode:
             cell_inter = [jnp.where(split, q_inter[q] | q_skip[q],
                                     kind32 < 3) for q in range(4)]
             cell_mv = [jnp.where(sm[:, :, 0], q_mv[q], mv32_f)
@@ -672,7 +1194,35 @@ def _rowscan32_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh32, tnw32,
                 rec_cr=fin_cr[:, 8 * qy:8 * qy + 8,
                               8 * qx:8 * qx + 8].astype(rdt),
             )
-            if p_mode:
+            if b_mode:
+                cell.update(
+                    skip=jnp.where(split, f["skip"], kind32 == 0),
+                    inter=jnp.where(split, f["inter"], kind32 > 0),
+                    merge=jnp.where(split, f["merge"], kind32 == 1),
+                    mvd=jnp.where(sm[:, :, 0], f["mvd"],
+                                  mvd32_0).astype(jnp.int16),
+                    mvp=jnp.where(split, f["mvp"],
+                                  mvp32_e0.astype(jnp.int8)),
+                    mvd1=jnp.where(sm[:, :, 0], f["mvd1"],
+                                   mvd32_1v).astype(jnp.int16),
+                    mvp1=jnp.where(split, f["mvp1"],
+                                   mvp32_e1.astype(jnp.int8)),
+                    dir=jnp.where(split, f["dir"],
+                                  dir32_e.astype(jnp.int8)),
+                    rqt=jnp.where(split, f["rqt"],
+                                  jnp.where(kind32 == 1, 1,
+                                            rqt32)).astype(jnp.int8),
+                    cbf_yi=jnp.where(split, f["cbf_yi"], cbf32[q][0]),
+                    cbf_cbi=jnp.where(split, f["cbf_cbi"], cbf32[q][1]),
+                    cbf_cri=jnp.where(split, f["cbf_cri"], cbf32[q][2]),
+                    mv=jnp.where(sm[:, :, 0], f["mv"],
+                                 mv32_f).astype(jnp.int16),
+                    mv1=jnp.where(sm[:, :, 0], f["mv1"],
+                                  mv32_1f).astype(jnp.int16),
+                    pf=jnp.where(sm[:, :, 0], f["pf"], pf32_sel),
+                    intra_cell=split & ~(f["inter"] | f["skip"]),
+                )
+            elif p_mode:
                 cell.update(
                     skip=jnp.where(split, f["skip"], kind32 == 0),
                     inter=jnp.where(split, f["inter"], kind32 > 0),
@@ -696,7 +1246,21 @@ def _rowscan32_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh32, tnw32,
             cells.append(cell)
 
         out32 = dict(split32=split)
-        if p_mode:
+        if b_mode:
+            out32.update(skip32=~split & (kind32 == 0),
+                         inter32=~split & (kind32 > 0),
+                         merge32=~split & (kind32 == 1),
+                         mvd32=mvd32_0.astype(jnp.int16),
+                         mvp32=mvp32_e0.astype(jnp.int8),
+                         mvd32_1=mvd32_1v.astype(jnp.int16),
+                         mvp32_1=mvp32_e1.astype(jnp.int8),
+                         dir32=dir32_e.astype(jnp.int8),
+                         rqt32=rqt32,
+                         cbf32_cb=(cbf32[0][1] | cbf32[1][1] | cbf32[2][1]
+                                   | cbf32[3][1]),
+                         cbf32_cr=(cbf32[0][2] | cbf32[1][2] | cbf32[2][2]
+                                   | cbf32[3][2]))
+        elif p_mode:
             out32.update(skip32=~split & (kind32 == 0),
                          inter32=~split & (kind32 > 0),
                          merge32=~split & (kind32 == 1),

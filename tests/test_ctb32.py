@@ -122,6 +122,25 @@ def test_ctb32_device_matches_numpy_ippp():
 
 
 @pytest.mark.slow
+def test_ctb32_device_matches_numpy_ibpbp():
+    """ctb32 device B kernel (two ref lists, bi-pred, 32/16 quadtree)
+    byte-identical to the numpy spec across a whole IbPbP stream."""
+    from hevc_tpu.encoder.gop32 import Ctb32DeviceEncoder
+    W, H, QP, F = 64, 64, 27, 5
+    frames = [tuple(np.asarray(p, np.int32)
+                    for p in synth_frame_kind(W, H, t, "mixed"))
+              for t in range(F)]
+    cfg = make_ctb32_config(width=W, height=H, qp=QP, inter=True,
+                            bframes=True)
+    sn, rn = Ctb32RefEncoder(cfg).encode_video(frames, gop=0)
+    sd, rd = Ctb32DeviceEncoder(cfg).encode_video(frames, gop=0)
+    assert sn == sd
+    for a, b in zip(rn, rd):
+        for k in ("y", "cb", "cr"):
+            assert np.array_equal(a[k], b[k])
+
+
+@pytest.mark.slow
 def test_ctb32_saves_bits_vs_ctb16():
     """Where CU-header signaling dominates (smooth content, higher QP),
     the 32-level toolset must clearly beat CTB-16 at equal QP (VERDICT
