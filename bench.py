@@ -149,14 +149,15 @@ def bench_res(W, H, F, QP, label, synth_frame, baseline=False):
 
 
 def bench_ctb32(W, H, F, QP, synth_frame):
-    """ctb32-preset (32/16 quadtree IPPP) fps + bitrate at 1080p."""
+    """ctb32-preset (32/16 quadtree IbPbP + SDH) fps + bitrate at 1080p."""
     from hevc_tpu.encoder.frame_jax import pick_tile_grid
     from hevc_tpu.encoder.gop32 import Ctb32GopEncoder, make_ctb32_config
     frames = [tuple(np.asarray(p, np.int32) for p in synth_frame(W, H, t))
               for t in range(F)]
     tc, tr = pick_tile_grid((H + 31) // 32, (W + 31) // 32, ctb=32)
     cfg = make_ctb32_config(width=W, height=H, qp=QP, tile_cols=tc,
-                            tile_rows=tr, inter=True)
+                            tile_rows=tr, inter=True, bframes=True,
+                            sdh=True)
     enc = Ctb32GopEncoder(cfg)
     t0 = time.time()
     bs = enc.encode_video(frames, gop=30)

@@ -221,10 +221,13 @@ def convert_video(file_path, out_dir, progress_callback=None, debug=False,
 def _encode_to_mp4_ctb32(frames, info, level, qp, out_path,
                          progress_callback, file_name, stop_event, deadline,
                          audio, rate_plan, gop, fps, bit_depth,
-                         sdh: bool = False):
-    """ctb32-preset encode: 32/16 quadtree IPPP on the fused device path."""
+                         sdh: bool = False, bframes: bool = False):
+    """ctb32-preset encode: 32/16 quadtree IPPP/IbPbP on the fused device
+    path.  With B pictures samples land in decode order and display order
+    is restored at mux time via ctts composition offsets."""
     from collections import deque
     from hevc_tpu.encoder.frame_jax import pick_tile_grid
+    from hevc_tpu.encoder.gop import b_schedule
     from hevc_tpu.encoder.gop32 import Ctb32GopEncoder, make_ctb32_config
     from hevc_tpu.entropy.headers import write_vps, write_sps, write_pps, \
         write_aud
@@ -242,7 +245,8 @@ def _encode_to_mp4_ctb32(frames, info, level, qp, out_path,
         color_primaries=info.color_primaries,
         color_transfer=info.color_transfer, color_space=info.color_space,
         full_range=info.color_range == "pc", chromaloc=info.chromaloc,
-        hdr=info.is_hdr, tile_cols=tc, tile_rows=tr, inter=True, sdh=sdh)
+        hdr=info.is_hdr, tile_cols=tc, tile_rows=tr, inter=True, sdh=sdh,
+        bframes=bframes)
     rc = None
     if rate_plan is not None:
         from hevc_tpu.encoder.rc import RateController
@@ -269,28 +273,36 @@ def _encode_to_mp4_ctb32(frames, info, level, qp, out_path,
             except Exception:
                 pass
 
-    for i, f in enumerate(frames):
+    sched = b_schedule(total, gop, bframes)
+    for i, (disp, kind, poc, rps) in enumerate(sched):
         if stop_event is not None and stop_event.is_set():
             for _, _, fut in pending:
                 fut.cancel()
             return "CANCELLED"
         if time.time() > deadline:
             raise TimeoutError("per-file encode timeout")
-        is_idr = i == 0 or (gop and i % gop == 0)
         cur_qp = rc.qp if rc is not None else cfg.qp
-        fut = enc.encode_next_async(
-            np.asarray(f[0], np.int32), np.asarray(f[1], np.int32),
-            np.asarray(f[2], np.int32), idr=is_idr, qp=cur_qp)
-        pending.append((i, 0 if is_idr else 1, fut))
+        f = frames[disp]
+        planes = (np.asarray(f[0], np.int32), np.asarray(f[1], np.int32),
+                  np.asarray(f[2], np.int32))
+        if kind == 2:
+            fut = enc.encode_b_async(*planes, pocs=(poc, poc - 1, poc + 1),
+                                     qp=cur_qp)
+        else:
+            fut = enc.encode_next_async(*planes, idr=kind == 0, qp=cur_qp,
+                                        poc=poc, rps_idx=rps)
+        pending.append((i, kind, fut))
         while len(pending) > 3:
             drain_one()
     while pending:
         drain_one()
     from hevc_tpu.planner.hdr import build_hdr_metadata
-    syncs = [k + 1 for k in range(total) if k == 0 or (gop and k % gop == 0)]
+    syncs = [k + 1 for k, e in enumerate(sched) if e[1] == 0]
+    comp = [e[0] - k for k, e in enumerate(sched)] if bframes else None
     mux_mp4(out_path, samples, cfg, fps=fps,
             vps=write_vps(cfg), sps=write_sps(cfg), pps=write_pps(cfg),
-            sync_samples=syncs, hdr_metadata=build_hdr_metadata(info),
+            sync_samples=syncs, composition_offsets=comp,
+            hdr_metadata=build_hdr_metadata(info),
             audio=audio)
     return "SUCCESS"
 
@@ -356,7 +368,8 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
         return _encode_to_mp4_ctb32(frames, info, level, qp, out_path,
                                     progress_callback, file_name,
                                     stop_event, deadline, audio, rate_plan,
-                                    gop, fps, bit_depth, sdh)
+                                    gop, fps, bit_depth, sdh,
+                                    bframes=bframes and use_inter)
     cfg = StreamConfig(
         width=w, height=h, qp=qp, fps=fps, bit_depth=bit_depth,
         level_idc=level.level_idc, tier_high=level.tier_high,

@@ -800,8 +800,8 @@ extern "C" long hevc_entropy_encode_tile_ctb32(
     const int16_t *mvd32, const uint8_t *mvp32,
     const int16_t *mvd32_1, const uint8_t *mvp32_1, const uint8_t *rqt32,
     const int32_t *mode32, const uint8_t *cbf32_cb, const uint8_t *cbf32_cr,
+    const int8_t *sao,   // 18 x int8 per CTB32 (or null; see binding)
     int sdh, uint8_t *out, long cap) {
-  (void)bit_depth;
   Cabac c(qp, p_slice ? (b_slice ? 2 : 1) : 0);
   int nh = 2 * th32, nw = 2 * tw32;
   std::vector<int> modes16((size_t)nh * nw, -1);
@@ -875,6 +875,11 @@ extern "C" long hevc_entropy_encode_tile_ctb32(
   for (int cy32 = 0; cy32 < th32; cy32++) {
     for (int cx32 = 0; cx32 < tw32; cx32++) {
       long i32 = (long)cy32 * tw32 + cx32;
+      if (sao) {
+        const int8_t *s = sao + i32 * 18;
+        encode_sao_ctu(c, bit_depth, cx32 > 0, cy32 > 0, s[0], s[1], s + 2,
+                       s[6], s[7], s[8], s[9], s + 10, s + 14);
+      }
       int cy = 2 * cy32, cx = 2 * cx32;
       int ctx = 0;
       if (cx > 0 && depth16[(size_t)cy * nw + cx - 1] > 0) ctx++;

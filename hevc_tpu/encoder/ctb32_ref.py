@@ -62,7 +62,7 @@ class Ctb32RefEncoder:
 
     def __init__(self, cfg: StreamConfig, subpel: bool = True):
         assert cfg.log2_ctb == 5 and cfg.log2_min_cb == 4 \
-            and cfg.log2_max_tb == 4 and not cfg.sao
+            and cfg.log2_max_tb == 4
         self.cfg = cfg
         self.subpel = subpel
         # every ctb32-profile TB is diag-scanned (TU16 luma / TB8 chroma,
@@ -792,7 +792,12 @@ class Ctb32RefEncoder:
             cu_maps["cbf"][gy, gx] = bool(te[0][1])
 
     # ---- GOP driver -----------------------------------------------------------
-    def _finish(self, recon, cu_maps, qp=None):
+    def _finish(self, recon, cu_maps, src=None, qp=None,
+                do_sao: bool | None = None):
+        """Deblock (+SAO when cfg.sao) one picture -> (display planes,
+        sao params).  do_sao=False codes non-reference B slices with
+        slice_sao_*_flag=0 (policy shared with the ctb16 path,
+        reference_encoder_v1._finish_pic)."""
         from hevc_tpu.ops.deblock import deblock_frame
         cfg = self.cfg
         qp = cfg.qp if qp is None else qp
@@ -808,7 +813,20 @@ class Ctb32RefEncoder:
             deblock_frame(dy, dcb, dcr, qp, ctb=32, bit_depth=cfg.bit_depth,
                           tile_cols_px=tx, tile_rows_px=tyy,
                           cu_maps=cu_maps)
-        return {"y": dy, "cb": dcb, "cr": dcr}
+        sao_params = None
+        if cfg.sao and do_sao is not False:
+            from hevc_tpu.ops.sao import estimate_and_apply_sao
+            qp_eff = qp + 6 * (cfg.bit_depth - 8)
+            y, cb, cr = src
+            src3 = (pad_to_ctb(np.asarray(y), 32),
+                    pad_to_ctb(np.asarray(cb), 16),
+                    pad_to_ctb(np.asarray(cr), 16))
+            p_y, p_c, out3 = estimate_and_apply_sao(
+                src3, (dy, dcb, dcr), 32, cfg.bit_depth,
+                skip_lambda16(qp_eff), tx, tyy)
+            dy, dcb, dcr = out3
+            sao_params = (p_y, p_c)
+        return {"y": dy, "cb": dcb, "cr": dcr}, sao_params
 
     def encode_video(self, frames, gop: int = 0):
         """IPPP (or IbPbP when cfg.bframes) -> (annexb bytes, recons)."""
@@ -829,9 +847,9 @@ class Ctb32RefEncoder:
             else:
                 poc += 1
                 dec, recon, maps = self.encode_frame_p(*f, ref)
-            disp = self._finish(recon, maps)
+            disp, sao_p = self._finish(recon, maps, src=f)
             out += b"\x00\x00\x00\x01" + entropy_encode_frame_ctb32(
-                cfg, dec, poc=None if idr else poc)
+                cfg, dec, poc=None if idr else poc, sao=sao_p)
             ref = disp
             recons.append(disp)
         return out, recons
@@ -847,8 +865,9 @@ class Ctb32RefEncoder:
         segments = [(s, (starts + [n])[i + 1]) for i, s in enumerate(starts)]
         for (s, e) in segments:
             dec, recon = self.encode_frame_i(*frames[s])
-            disp = self._finish(recon, None)
-            out += b"\x00\x00\x00\x01" + entropy_encode_frame_ctb32(cfg, dec)
+            disp, sao_p = self._finish(recon, None, src=frames[s])
+            out += b"\x00\x00\x00\x01" + entropy_encode_frame_ctb32(
+                cfg, dec, sao=sao_p)
             recons[s] = disp
             prev = s
             k = s + 2
@@ -856,17 +875,18 @@ class Ctb32RefEncoder:
                 r = min(k, e - 1)
                 dec, recon, maps = self.encode_frame_p(
                     *frames[r], recons[prev])
-                disp = self._finish(recon, maps)
+                disp, sao_p = self._finish(recon, maps, src=frames[r])
                 out += b"\x00\x00\x00\x01" + entropy_encode_frame_ctb32(
                     cfg, dec, poc=r - s,
-                    rps_idx=0 if r - prev == 2 else 2)
+                    rps_idx=0 if r - prev == 2 else 2, sao=sao_p)
                 recons[r] = disp
                 if r - prev == 2:
                     bidx = prev + 1
                     dec, recb, maps = self.encode_frame_p(
                         *frames[bidx], recons[prev], ref1=recons[r],
                         pocs=(bidx - s, prev - s, r - s), qp_ovr=qp_b)
-                    dispb = self._finish(recb, maps, qp=qp_b)
+                    dispb, _ = self._finish(recb, maps, qp=qp_b,
+                                            do_sao=False)
                     out += b"\x00\x00\x00\x01" + entropy_encode_frame_ctb32(
                         cfg_b, dec, poc=bidx - s, b_slice=True)
                     recons[bidx] = dispb

@@ -240,7 +240,11 @@ class Ctb32DeviceEncoder:
             }
         return dec, recon, cu_maps
 
-    def _finish(self, recon, cu_maps, qp=None):
+    def _finish(self, recon, cu_maps, src=None, qp=None,
+                do_sao: bool | None = None):
+        """Deblock (+SAO when cfg.sao) -> (display planes, sao params);
+        mirror of Ctb32RefEncoder._finish (host-side for the research
+        path; the production driver runs SAO on device)."""
         from hevc_tpu.ops.deblock import deblock_frame
         cfg = self.cfg
         qp = cfg.qp if qp is None else qp
@@ -250,7 +254,20 @@ class Ctb32DeviceEncoder:
         if cfg.deblock:
             deblock_frame(dy, dcb, dcr, qp, ctb=32, bit_depth=cfg.bit_depth,
                           cu_maps=cu_maps)
-        return {"y": dy, "cb": dcb, "cr": dcr}
+        sao_params = None
+        if cfg.sao and do_sao is not False:
+            from hevc_tpu.ops.sao import estimate_and_apply_sao
+            qp_eff = qp + 6 * (cfg.bit_depth - 8)
+            y, cb, cr = src
+            src3 = (pad_to_ctb(np.asarray(y), 32),
+                    pad_to_ctb(np.asarray(cb), 16),
+                    pad_to_ctb(np.asarray(cr), 16))
+            p_y, p_c, out3 = estimate_and_apply_sao(
+                src3, (dy, dcb, dcr), 32, cfg.bit_depth,
+                skip_lambda16(qp_eff), None, None)
+            dy, dcb, dcr = out3
+            sao_params = (p_y, p_c)
+        return {"y": dy, "cb": dcb, "cr": dcr}, sao_params
 
     def encode_video(self, frames, gop: int = 0):
         """IPPP (or IbPbP when cfg.bframes) ctb32 on device ->
@@ -271,9 +288,9 @@ class Ctb32DeviceEncoder:
             else:
                 poc += 1
                 dec, recon, maps = self.encode_frame_arrays(*f, ref=ref)
-            disp = self._finish(recon, maps)
+            disp, sao_p = self._finish(recon, maps, src=f)
             out += b"\x00\x00\x00\x01" + entropy_encode_frame_ctb32(
-                cfg, dec, poc=None if idr else poc)
+                cfg, dec, poc=None if idr else poc, sao=sao_p)
             ref = disp
             recons.append(disp)
         return out, recons
@@ -291,9 +308,9 @@ class Ctb32DeviceEncoder:
                     enumerate(starts)]
         for (s, e) in segments:
             dec, recon, _ = self.encode_frame_arrays(*frames[s])
-            disp = self._finish(recon, None)
-            out += b"\x00\x00\x00\x01" + entropy_encode_frame_ctb32(cfg,
-                                                                    dec)
+            disp, sao_p = self._finish(recon, None, src=frames[s])
+            out += b"\x00\x00\x00\x01" + entropy_encode_frame_ctb32(
+                cfg, dec, sao=sao_p)
             recons[s] = disp
             prev = s
             k = s + 2
@@ -301,10 +318,10 @@ class Ctb32DeviceEncoder:
                 r = min(k, e - 1)
                 dec, recon, maps = self.encode_frame_arrays(
                     *frames[r], ref=recons[prev])
-                disp = self._finish(recon, maps)
+                disp, sao_p = self._finish(recon, maps, src=frames[r])
                 out += b"\x00\x00\x00\x01" + entropy_encode_frame_ctb32(
                     cfg, dec, poc=r - s,
-                    rps_idx=0 if r - prev == 2 else 2)
+                    rps_idx=0 if r - prev == 2 else 2, sao=sao_p)
                 recons[r] = disp
                 if r - prev == 2:
                     bidx = prev + 1
@@ -312,7 +329,8 @@ class Ctb32DeviceEncoder:
                         *frames[bidx], ref=recons[prev],
                         ref1=recons[r],
                         pocs=(bidx - s, prev - s, r - s), qp_ovr=qp_b)
-                    dispb = self._finish(recb, maps, qp=qp_b)
+                    dispb, _ = self._finish(recb, maps, qp=qp_b,
+                                            do_sao=False)
                     out += b"\x00\x00\x00\x01" + \
                         entropy_encode_frame_ctb32(cfg_b, dec,
                                                    poc=bidx - s,
@@ -335,20 +353,27 @@ _INT_G = (("mode32", np.int8, 1), ("mvp32", np.int8, 1),
           ("rqt32", np.int8, 1), ("mvd32", np.int16, 2))
 _BOOL_G = ("split32", "skip32", "inter32", "merge32", "cbf32_cb",
            "cbf32_cr")
+# extra B-slice fields (second reference list + inter direction)
+_INT_C_B = _INT_C + (("dir", np.int8, 1), ("mvp1", np.int8, 1),
+                     ("mvd1", np.int16, 2))
+_INT_G_B = _INT_G + (("dir32", np.int8, 1), ("mvp32_1", np.int8, 1),
+                     ("mvd32_1", np.int16, 2))
 
 
 class Ctb32PackSpec:
     """Device-packed per-frame syntax layout for the ctb32 profile."""
 
-    def __init__(self, tnh32: int, tnw32: int, T: int):
+    def __init__(self, tnh32: int, tnw32: int, T: int, b: bool = False):
         self.s32 = tnh32 * tnw32
         self.s16 = 4 * self.s32
         self.T = T
+        self.int_c = _INT_C_B if b else _INT_C
+        self.int_g = _INT_G_B if b else _INT_G
         n16 = self.s16 * T
         n32 = self.s32 * T
         self.int_bytes = sum(np.dtype(d).itemsize * k
-                             for _, d, k in _INT_C) * n16 \
-            + sum(np.dtype(d).itemsize * k for _, d, k in _INT_G) * n32
+                             for _, d, k in self.int_c) * n16 \
+            + sum(np.dtype(d).itemsize * k for _, d, k in self.int_g) * n32
         nbool = len(_BOOL_C) * n16 + len(_BOOL_G) * n32
         self.bool_pad = (-nbool) % 8
         self.bool_bytes = (nbool + self.bool_pad) // 8
@@ -358,9 +383,9 @@ class Ctb32PackSpec:
     def pack_head(self, c16: dict, c32: dict, nnz):
         from hevc_tpu.encoder.pack import _u8, _bitpack_j
         parts = []
-        for nm, dt, k in _INT_C:
+        for nm, dt, k in self.int_c:
             parts.append(_u8(c16[nm]))
-        for nm, dt, k in _INT_G:
+        for nm, dt, k in self.int_g:
             parts.append(_u8(c32[nm]))
         bools = jnp.concatenate(
             [c16[nm].reshape(-1) for nm in _BOOL_C]
@@ -376,12 +401,12 @@ class Ctb32PackSpec:
         s16, s32, T = self.s16, self.s32, self.T
         off = 0
         out = {}
-        for nm, dt, k in _INT_C:
+        for nm, dt, k in self.int_c:
             nb = np.dtype(dt).itemsize * k * s16 * T
             out[nm] = buf[off:off + nb].view(dt).reshape(
                 (s16, T) if k == 1 else (s16, T, k))
             off += nb
-        for nm, dt, k in _INT_G:
+        for nm, dt, k in self.int_g:
             nb = np.dtype(dt).itemsize * k * s32 * T
             out[nm] = buf[off:off + nb].view(dt).reshape(
                 (s32, T) if k == 1 else (s32, T, k))
@@ -409,10 +434,10 @@ def _split32_j(p, tr, tc_, tnh32, tnw32, bs):
 
 @partial(jax.jit, static_argnames=("tnh32", "tnw32", "tr", "tc_",
                                    "bit_depth", "idr", "subpel", "deblock",
-                                   "cap"))
+                                   "sdh", "rdoq", "cap"))
 def _gop32_step_jit(flat, pad_y, pad_cb, pad_cr, qp, lam_bits, lam16, sl16,
                     tnh32, tnw32, tr, tc_, bit_depth, idr, subpel, deblock,
-                    cap):
+                    sdh, rdoq, cap):
     """One fused ctb32 frame dispatch: stage sources from the flat upload,
     scan, deblock + DPB pad, device-pack the syntax, and assemble the one
     fetch buffer.  Single round trip per frame on the tunnel."""
@@ -435,7 +460,8 @@ def _gop32_step_jit(flat, pad_y, pad_cb, pad_cr, qp, lam_bits, lam16, sl16,
     cells, o32 = _rowscan32_scan(
         ya, cba, cra, qp, lam_bits, tnh32, tnw32, bit_depth,
         lam16=lam16, sl16=sl16,
-        ref_pads=None if idr else (pad_y, pad_cb, pad_cr), subpel=subpel)
+        ref_pads=None if idr else (pad_y, pad_cb, pad_cr), subpel=subpel,
+        sdh=sdh, rdoq=rdoq)
 
     def zr(a):
         return zr_j(a, tnh32, tnw32)
@@ -504,6 +530,77 @@ def _gop32_step_jit(flat, pad_y, pad_cb, pad_cr, qp, lam_bits, lam16, sl16,
     return fetch, vbuf, d[3], d[4], d[5]
 
 
+@partial(jax.jit, static_argnames=("tnh32", "tnw32", "tr", "tc_",
+                                   "bit_depth", "subpel", "sdh", "rdoq",
+                                   "cap"))
+def _gop32_step_b_jit(flat, pad0_y, pad0_cb, pad0_cr, pad1_y, pad1_cb,
+                      pad1_cr, dsf, qp, lam_bits, lam16, sl16,
+                      tnh32, tnw32, tr, tc_, bit_depth, subpel, sdh, rdoq,
+                      cap):
+    """Fused ctb32 B-frame dispatch: two reference pad sets, bi-pred scan,
+    device-packed syntax (B layout), one fetch buffer.  B pictures are
+    non-reference so no deblock/DPB update is produced."""
+    from hevc_tpu.encoder.pack import coef_stream
+    T = tr * tc_
+    H = tr * tnh32 * 32
+    W = tc_ * tnw32 * 32
+    yp = jax.lax.dynamic_slice(flat, (0,), (H * W,)).reshape(H, W)
+    off = H * W
+    cbp = jax.lax.dynamic_slice(flat, (off,), (H * W // 4,)).reshape(
+        H // 2, W // 2)
+    off += H * W // 4
+    crp = jax.lax.dynamic_slice(flat, (off,), (H * W // 4,)).reshape(
+        H // 2, W // 2)
+    ya = _split32_j(yp.astype(jnp.int32), tr, tc_, tnh32, tnw32, 32)
+    cba = _split32_j(cbp.astype(jnp.int32), tr, tc_, tnh32, tnw32, 16)
+    cra = _split32_j(crp.astype(jnp.int32), tr, tc_, tnh32, tnw32, 16)
+    cells, o32 = _rowscan32_scan(
+        ya, cba, cra, qp, lam_bits, tnh32, tnw32, bit_depth,
+        lam16=lam16, sl16=sl16, ref_pads=(pad0_y, pad0_cb, pad0_cr),
+        ref_pads1=(pad1_y, pad1_cb, pad1_cr), dsf=dsf, subpel=subpel,
+        sdh=sdh, rdoq=rdoq)
+
+    def zr(a):
+        return zr_j(a, tnh32, tnw32)
+
+    spec = Ctb32PackSpec(tnh32, tnw32, T, b=True)
+    z32 = jnp.zeros((spec.s32, T), jnp.int8)
+    c16 = {"mode": zr(cells["mode"]),
+           "cbf_y": zr(cells["cbf_y"]), "cbf_cb": zr(cells["cbf_cb"]),
+           "cbf_cr": zr(cells["cbf_cr"]),
+           "mvp": zr(cells["mvp"]).astype(jnp.int8),
+           "rqt": zr(cells["rqt"]).astype(jnp.int8),
+           "mvd": zr(cells["mvd"]), "mv": zr(cells["mv"]),
+           "skip": zr(cells["skip"]), "inter": zr(cells["inter"]),
+           "merge": zr(cells["merge"]), "cbf_yi": zr(cells["cbf_yi"]),
+           "cbf_cbi": zr(cells["cbf_cbi"]),
+           "cbf_cri": zr(cells["cbf_cri"]),
+           "intra_cell": zr(cells["intra_cell"]),
+           "dir": zr(cells["dir"]).astype(jnp.int8),
+           "mvp1": zr(cells["mvp1"]).astype(jnp.int8),
+           "mvd1": zr(cells["mvd1"])}
+    g32 = {"mode32": z32, "mvp32": o32["mvp32"].astype(jnp.int8),
+           "rqt32": o32["rqt32"].astype(jnp.int8),
+           "mvd32": o32["mvd32"], "split32": o32["split32"],
+           "skip32": o32["skip32"], "inter32": o32["inter32"],
+           "merge32": o32["merge32"],
+           "cbf32_cb": o32["cbf32_cb"], "cbf32_cr": o32["cbf32_cr"],
+           "dir32": o32["dir32"].astype(jnp.int8),
+           "mvp32_1": o32["mvp32_1"].astype(jnp.int8),
+           "mvd32_1": o32["mvd32_1"]}
+    lvl_y = zr(cells["lvl_y"])
+    lvl_cb = zr(cells["lvl_cb"])
+    lvl_cr = zr(cells["lvl_cr"])
+    flat_coef = jnp.concatenate([lvl_y.astype(jnp.int16).reshape(-1),
+                                 lvl_cb.astype(jnp.int16).reshape(-1),
+                                 lvl_cr.astype(jnp.int16).reshape(-1)])
+    nnz = (flat_coef != 0).sum(dtype=jnp.int32)
+    head = spec.pack_head(c16, g32, nnz)
+    bits, vbuf, _ = coef_stream(flat_coef[None])
+    fetch = jnp.concatenate([head, bits, vbuf[:cap * 2]])
+    return fetch, vbuf
+
+
 class Ctb32GopEncoder:
     """Production ctb32 driver: tile lanes, fused per-frame dispatches,
     device-resident DPB, dispatch + entropy worker threads (GopEncoder's
@@ -511,7 +608,6 @@ class Ctb32GopEncoder:
 
     def __init__(self, cfg: StreamConfig, subpel: bool = True):
         assert cfg.log2_ctb == 5 and cfg.log2_min_cb == 4 and not cfg.sao
-        assert not cfg.bframes, "ctb32 B kernel lands in a follow-up"
         from hevc_tpu.utils.jaxcfg import ensure_compile_cache
         ensure_compile_cache()
         self.cfg = cfg
@@ -520,6 +616,7 @@ class Ctb32GopEncoder:
 
     def reset(self):
         self._pads = None
+        self._pads_prev = None
         self._poc = 0
         self._pool = None
         self._cap_hint = 65536
@@ -536,8 +633,12 @@ class Ctb32GopEncoder:
         return H, W, tr, tc, tnh32, tnw32
 
     def encode_next_async(self, y, cb, cr, idr: bool = False,
-                          qp: int | None = None):
-        """Dispatch one frame now; returns a Future of the slice NAL."""
+                          qp: int | None = None, poc: int | None = None,
+                          rps_idx: int = 0):
+        """Dispatch one I/P frame now; returns a Future of the slice NAL.
+
+        poc overrides the auto decode-order counter (needed for IbPbP
+        schedules where P pictures sit at even display offsets)."""
         import dataclasses
         cfg = self.cfg
         qp = cfg.qp if qp is None else qp
@@ -569,14 +670,18 @@ class Ctb32GopEncoder:
         fetch, vbuf, py, pcb, pcr = _gop32_step_jit(
             flat, *self._pads, jnp.asarray(qp), rs.lam_bits, lam16, sl16,
             tnh32, tnw32, tr, tc, cfg.bit_depth, is_idr, self.subpel,
-            cfg.deblock, cap)
+            cfg.deblock, cfg.sdh, cfg.rdoq, cap)
+        self._pads_prev = None if is_idr else self._pads
         self._pads = (py, pcb, pcr)
         try:
             fetch.copy_to_host_async()
         except Exception:
             pass
         self._poc = 0 if is_idr else self._poc + 1
-        poc = None if is_idr else self._poc
+        if poc is None:
+            poc = None if is_idr else self._poc
+        if is_idr:
+            poc = None
         if self._pool is None:
             from concurrent.futures import ThreadPoolExecutor
             self._pool = ThreadPoolExecutor(1, "gop32-entropy")
@@ -605,7 +710,80 @@ class Ctb32GopEncoder:
             dense[pos] = val
             dec = self._to_entropy_arrays(fields, dense, tnh32, tnw32,
                                           tr, tc)
-            return entropy_encode_frame_ctb32(cfg_f, dec, poc=poc)
+            return entropy_encode_frame_ctb32(cfg_f, dec, poc=poc,
+                                              rps_idx=rps_idx)
+
+        return self._pool.submit(host_stage)
+
+    def encode_b_async(self, y, cb, cr, pocs, qp: int | None = None):
+        """Dispatch one non-reference B picture (refs: the last two
+        reference pictures still resident in the device DPB).  pocs =
+        (cur, poc0, poc1) display offsets within the GOP segment; the
+        slice codes at qp + B_QP_OFFSET."""
+        import dataclasses
+        from hevc_tpu.encoder.ctb32_ref import Ctb32RefEncoder
+        from hevc_tpu.encoder.rowscan_v1 import dsf_pair
+        cfg = self.cfg
+        assert self._pads_prev is not None and self._pads is not None, \
+            "B dispatch needs two reference pictures in the DPB"
+        qp_b = min((cfg.qp if qp is None else qp)
+                   + Ctb32RefEncoder.B_QP_OFFSET, 51)
+        cfg_b = dataclasses.replace(cfg, qp=qp_b)
+        H, W, tr, tc, tnh32, tnw32 = self._geometry()
+        T = tr * tc
+        sdt = np.uint8 if cfg.bit_depth == 8 else np.uint16
+        ys = pad_to_ctb(np.asarray(y), 32).astype(sdt)
+        cbs = pad_to_ctb(np.asarray(cb), 16).astype(sdt)
+        crs = pad_to_ctb(np.asarray(cr), 16).astype(sdt)
+        flat = jnp.asarray(np.concatenate([ys.ravel(), cbs.ravel(),
+                                           crs.ravel()]))
+        qp_eff = qp_b + 6 * (cfg.bit_depth - 8)
+        rs = RowScanEncoderV1(qp_b, cfg.bit_depth)
+        lam16 = jnp.asarray(skip_lambda16(qp_eff), jnp.int32)
+        sl16 = jnp.asarray(int(np.sqrt(0.85 * 2.0 ** ((qp_eff - 12) / 3.0))
+                               * 16), jnp.int32)
+        spec = Ctb32PackSpec(tnh32, tnw32, T, b=True)
+        cap = min(self._cap_hint, spec.coef_elems // 2)
+        fetch, vbuf = _gop32_step_b_jit(
+            flat, *self._pads_prev, *self._pads,
+            jnp.asarray(dsf_pair(*pocs)), jnp.asarray(qp_b), rs.lam_bits,
+            lam16, sl16, tnh32, tnw32, tr, tc, cfg.bit_depth, self.subpel,
+            cfg.sdh, cfg.rdoq, cap)
+        try:
+            fetch.copy_to_host_async()
+        except Exception:
+            pass
+        if self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(1, "gop32-entropy")
+        poc = pocs[0]
+
+        def host_stage():
+            from hevc_tpu.encoder.pack import split_coef_bitmap
+            f1 = np.asarray(jax.device_get(fetch))
+            hn = f1[:spec.head_bytes]
+            fields, nnz = spec.unpack_head(hn)
+            nbits = spec.coef_elems // 8
+            bmap = f1[spec.head_bytes:spec.head_bytes + nbits]
+            if nnz <= cap:
+                vb = f1[spec.head_bytes + nbits:
+                        spec.head_bytes + nbits + nnz * 2]
+            else:
+                cap2 = min(-(-nnz // 65536) * 65536, spec.coef_elems // 2)
+                vb = np.concatenate(
+                    [f1[spec.head_bytes + nbits:],
+                     np.asarray(jax.device_get(
+                         vbuf[cap * 2:cap2 * 2]))])[:nnz * 2]
+            self._cap_hint = min(max(-(-nnz * 5 // (4 * 65536)) * 65536,
+                                     65536), spec.coef_elems // 2)
+            coef = split_coef_bitmap(bmap, vb, spec.coef_elems, [nnz])
+            pos, val = coef[0]
+            dense = np.zeros(spec.coef_elems, np.int16)
+            dense[pos] = val
+            dec = self._to_entropy_arrays(fields, dense, tnh32, tnw32,
+                                          tr, tc, b=True)
+            return entropy_encode_frame_ctb32(cfg_b, dec, poc=poc,
+                                              b_slice=True)
 
         return self._pool.submit(host_stage)
 
@@ -618,7 +796,8 @@ class Ctb32GopEncoder:
         x = x.swapaxes(1, 2).reshape(tr * tnh, tc * tnw, *s[2:])
         return x.astype(to) if to is not None else x
 
-    def _to_entropy_arrays(self, f, dense, tnh32, tnw32, tr, tc):
+    def _to_entropy_arrays(self, f, dense, tnh32, tnw32, tr, tc,
+                           b: bool = False):
         tnh16, tnw16 = 2 * tnh32, 2 * tnw32
         nh16, nw16 = tr * tnh16, tc * tnw16
         nh32, nw32 = tr * tnh32, tc * tnw32
@@ -656,9 +835,11 @@ class Ctb32GopEncoder:
             "rqt": u16("rqt", np.int32),
             "cbf_yi": u16("cbf_yi", bool), "cbf_cbi": u16("cbf_cbi", bool),
             "cbf_cri": u16("cbf_cri", bool),
-            "dir": z((nh16, nw16), np.int32),
-            "mvd1": z((nh16, nw16, 2), np.int32),
-            "mvp1": z((nh16, nw16), np.int32),
+            "dir": u16("dir", np.int32) if b else z((nh16, nw16), np.int32),
+            "mvd1": u16("mvd1", np.int32) if b
+            else z((nh16, nw16, 2), np.int32),
+            "mvp1": u16("mvp1", np.int32) if b
+            else z((nh16, nw16), np.int32),
             "split32": u32("split32", bool),
             "skip32": u32("skip32", bool),
             "inter32": u32("inter32", bool),
@@ -668,21 +849,33 @@ class Ctb32GopEncoder:
             "mode32": u32("mode32", np.int32),
             "cbf32_cb": u32("cbf32_cb", bool),
             "cbf32_cr": u32("cbf32_cr", bool),
-            "mvd32_1": z((nh32, nw32, 2), np.int32),
-            "mvp32_1": z((nh32, nw32), np.int32),
-            "dir32": z((nh32, nw32), np.int32),
+            "mvd32_1": u32("mvd32_1", np.int32) if b
+            else z((nh32, nw32, 2), np.int32),
+            "mvp32_1": u32("mvp32_1", np.int32) if b
+            else z((nh32, nw32), np.int32),
+            "dir32": u32("dir32", np.int32) if b
+            else z((nh32, nw32), np.int32),
         }
         return dec
 
     def encode_video(self, frames, gop: int = 0):
-        """Pipelined IPPP encode -> annexb bytes (no recons returned)."""
+        """Pipelined IPPP (or IbPbP when cfg.bframes) encode in decode
+        order -> annexb bytes (no recons returned; byte-identical to
+        Ctb32RefEncoder.encode_video)."""
         from collections import deque
+        from hevc_tpu.encoder.gop import b_schedule
         self.reset()
         out = annexb(self.parameter_sets())
         pending: deque = deque()
-        for i, fr in enumerate(frames):
-            fut = self.encode_next_async(
-                *fr, idr=bool(i == 0 or (gop and i % gop == 0)))
+        for disp, kind, poc, rps in b_schedule(len(frames), gop,
+                                               self.cfg.bframes):
+            fr = frames[disp]
+            if kind == 2:
+                fut = self.encode_b_async(*fr, pocs=(poc, poc - 1,
+                                                     poc + 1))
+            else:
+                fut = self.encode_next_async(*fr, idr=kind == 0, poc=poc,
+                                             rps_idx=rps)
             pending.append(fut)
             while len(pending) > 3:
                 out += b"\x00\x00\x00\x01" + pending.popleft().result()

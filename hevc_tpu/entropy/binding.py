@@ -55,7 +55,7 @@ def _load():
     try:
         lib.hevc_entropy_encode_tile_ctb32.restype = ctypes.c_long
         lib.hevc_entropy_encode_tile_ctb32.argtypes = (
-            [ctypes.c_int] * 7 + [ctypes.c_void_p] * 32
+            [ctypes.c_int] * 7 + [ctypes.c_void_p] * 33
             + [ctypes.c_int, ctypes.c_void_p, ctypes.c_long])
     except AttributeError:
         pass                      # stale .so without the ctb32 entry point
@@ -131,7 +131,7 @@ def encode_tile_payload_ctb32(qp: int, dec: dict, y320: int, x320: int,
                               th32: int, tw32: int, last_tile: bool,
                               p_slice: bool = False, bit_depth: int = 8,
                               b_slice: bool = False,
-                              sdh: bool = False) -> bytes | None:
+                              sdh: bool = False, sao=None) -> bytes | None:
     """ctb32 tile substream from the entropy/ctb32.py array format."""
     lib = _load()
     if not lib or not hasattr(lib, "hevc_entropy_encode_tile_ctb32"):
@@ -166,6 +166,12 @@ def encode_tile_payload_ctb32(qp: int, dec: dict, y320: int, x320: int,
                     ("mode32", np.int32), ("cbf32_cb", np.uint8),
                     ("cbf32_cr", np.uint8)):
         args.append(ptr(key, dt, s32))
+    sao_ptr = 0
+    if sao is not None:
+        s = np.ascontiguousarray(sao[s32], dtype=np.int8)
+        keep.append(s)
+        sao_ptr = s.ctypes.data
+    args.append(sao_ptr)
     cap = max(1 << 16, int(np.asarray(dec["lvl_y"][s16]).nbytes * 2))
     out = (ctypes.c_ubyte * cap)()
     n = lib.hevc_entropy_encode_tile_ctb32(*args, 1 if sdh else 0, out, cap)

@@ -73,11 +73,14 @@ def _encode_tu16_residuals(syn, dec, cy, cx, mode, p_cbf_cb, p_cbf_cr,
 def encode_tile_payload_ctb32(cfg: StreamConfig, dec: dict,
                               y320: int, x320: int, th32: int, tw32: int,
                               last_tile: bool, p_slice: bool,
-                              b_slice: bool = False) -> bytes:
+                              b_slice: bool = False, sao=None) -> bytes:
     """One tile's CABAC payload for the ctb32 profile.
 
     dec: full-frame decision arrays (16-grid + 32-grid); the tile covers
     CTB32s [y320, y320+th32) x [x320, x320+tw32).
+    sao: tile-local (params_y, params_c) grids (spec 7.3.8.3, signaled
+    before the coding quadtree of every CTB — same syntax as the ctb16
+    walk, the CTB size only changes the grid pitch).
     """
     init_type = 0 if not p_slice else (2 if b_slice else 1)
     syn = SliceSyntaxEncoder(cfg.qp, init_type=init_type, sdh=cfg.sdh)
@@ -226,6 +229,9 @@ def encode_tile_payload_ctb32(cfg: StreamConfig, dec: dict,
 
     for cy32 in range(th32):
         for cx32 in range(tw32):
+            if sao is not None:
+                syn.encode_sao_ctu(sao[0][cy32][cx32], sao[1][cy32][cx32],
+                                   cx32 > 0, cy32 > 0, cfg.bit_depth)
             split = bool(dec["split32"][y320 + cy32, x320 + cx32])
             cy, cx = 2 * cy32, 2 * cx32
             ctx = 0
@@ -249,9 +255,12 @@ def encode_tile_payload_ctb32(cfg: StreamConfig, dec: dict,
 def entropy_encode_frame_ctb32(cfg: StreamConfig, dec: dict,
                                poc: int | None = None,
                                b_slice: bool = False, rps_idx: int = 0,
-                               use_cpp: bool = True) -> bytes:
-    """Frame of ctb32-profile decision arrays -> slice NAL."""
-    assert cfg.log2_ctb == 5 and cfg.log2_min_cb == 4 and not cfg.sao
+                               use_cpp: bool = True, sao=None) -> bytes:
+    """Frame of ctb32-profile decision arrays -> slice NAL.
+
+    sao: full-frame (params_y, params_c) CTB32 grids when cfg.sao; None
+    with cfg.sao codes slice_sao_*_flag=0 (non-reference B policy)."""
+    assert cfg.log2_ctb == 5 and cfg.log2_min_cb == 4
     p_slice = poc is not None
     nh32, nw32 = dec["split32"].shape
 
@@ -260,20 +269,32 @@ def entropy_encode_frame_ctb32(cfg: StreamConfig, dec: dict,
         from hevc_tpu.entropy import binding
         if getattr(binding, "encode_tile_payload_ctb32", None) and \
                 binding.available():
+            from hevc_tpu.entropy.tiled_v1 import _pack_sao
+            sao_arr = _pack_sao(sao, nh32, nw32) if sao is not None \
+                else None
+
             def cpp(y0, x0, th, tw, last):
                 return binding.encode_tile_payload_ctb32(
                     cfg.qp, dec, y0, x0, th, tw, last, p_slice=p_slice,
-                    bit_depth=cfg.bit_depth, b_slice=b_slice, sdh=cfg.sdh)
+                    bit_depth=cfg.bit_depth, b_slice=b_slice, sdh=cfg.sdh,
+                    sao=sao_arr)
 
     def payload(y0, x0, th, tw, last):
         if cpp is not None:
             return cpp(y0, x0, th, tw, last)
+        s = None
+        if sao is not None:
+            s = ([r[x0:x0 + tw] for r in sao[0][y0:y0 + th]],
+                 [r[x0:x0 + tw] for r in sao[1][y0:y0 + th]])
         return encode_tile_payload_ctb32(cfg, dec, y0, x0, th, tw, last,
-                                         p_slice=p_slice, b_slice=b_slice)
+                                         p_slice=p_slice, b_slice=b_slice,
+                                         sao=s)
 
+    sao_on = (sao is not None) if cfg.sao else None
     if not cfg.tiles_enabled:
         return assemble_slice(cfg, [payload(0, 0, nh32, nw32, True)],
-                              poc=poc, b_slice=b_slice, rps_idx=rps_idx)
+                              poc=poc, b_slice=b_slice, rps_idx=rps_idx,
+                              sao_on=sao_on)
     cols, rows = cfg.tile_grid()
     payloads = []
     y0 = 0
@@ -293,4 +314,4 @@ def entropy_encode_frame_ctb32(cfg: StreamConfig, dec: dict,
     else:
         payloads = [payload(*j) for j in jobs]
     return assemble_slice(cfg, payloads, poc=poc, b_slice=b_slice,
-                          rps_idx=rps_idx)
+                          rps_idx=rps_idx, sao_on=sao_on)

@@ -30,9 +30,9 @@ PRESETS = {
     "medium": Preset("medium", nxn=True, batch_frames=8, bframes=True,
                      sao=True),
     "slow": Preset("slow", nxn=True, batch_frames=4, sao=True),
-    # ctb32: the 32/16 quadtree encoder (x265's large-CU analogue); IPPP
-    # until the ctb32 B kernel lands
-    "ctb32": Preset("ctb32", nxn=False, batch_frames=8, ctb32=True),
+    # ctb32: the 32/16 quadtree encoder (x265's large-CU analogue), IbPbP
+    "ctb32": Preset("ctb32", nxn=False, batch_frames=8, ctb32=True,
+                    bframes=True),
 }
 
 

@@ -191,17 +191,26 @@ def bd_rate(rate1, psnr1, rate2, psnr2) -> float:
     return float((np.exp(avg2 - avg1) - 1) * 100)
 
 
-def run_bd(width, height, n_frames, qps, crfs, kinds, gop=30):
-    """Production-path (GopEncoder chunked IbPbP) vs libx265-medium across
-    content classes; prints per-point rows + one BD-rate summary per class
-    (VERDICT r2 item 9: multi-content, multi-QP, BD-rate)."""
+def run_bd(width, height, n_frames, qps, crfs, kinds, gop=30,
+           encoder="ctb16"):
+    """Production-path vs libx265-medium across content classes; prints
+    per-point rows + one BD-rate summary per class (VERDICT r2 item 9:
+    multi-content, multi-QP, BD-rate).  encoder: 'ctb16' = GopEncoder
+    chunked IbPbP; 'ctb32' = Ctb32GopEncoder IbPbP+SDH (the ctb32
+    preset)."""
     from generate_test_videos import synth_frame_kind
     from hevc_tpu.validate import avref
     from hevc_tpu.encoder.frame_jax import pick_tile_grid
     from hevc_tpu.encoder.gop import GopEncoder
     from hevc_tpu.entropy.headers import StreamConfig
 
-    tc, tr = pick_tile_grid((height + 15) // 16, (width + 15) // 16)
+    if encoder == "ctb32":
+        from hevc_tpu.encoder.gop32 import Ctb32GopEncoder, \
+            make_ctb32_config
+        tc, tr = pick_tile_grid((height + 31) // 32, (width + 31) // 32,
+                                ctb=32)
+    else:
+        tc, tr = pick_tile_grid((height + 15) // 16, (width + 15) // 16)
     summary = []
     for kind in kinds:
         frames = [tuple(np.asarray(p, np.int32)
@@ -222,22 +231,31 @@ def run_bd(width, height, n_frames, qps, crfs, kinds, gop=30):
                                   psnr_y=round(p, 2))))
         orate, od = [], []
         for qp in qps:
-            cfg = StreamConfig(width=width, height=height, qp=qp,
-                               tile_cols=tc, tile_rows=tr, deblock=True,
-                               inter=True, bframes=True)
             t0 = time.time()
-            stream = GopEncoder(cfg).encode_video_chunked(frames, gop=gop)
+            if encoder == "ctb32":
+                cfg = make_ctb32_config(width=width, height=height, qp=qp,
+                                        tile_cols=tc, tile_rows=tr,
+                                        inter=True, bframes=True, sdh=True)
+                stream = Ctb32GopEncoder(cfg).encode_video(frames, gop=gop)
+            else:
+                cfg = StreamConfig(width=width, height=height, qp=qp,
+                                   tile_cols=tc, tile_rows=tr, deblock=True,
+                                   inter=True, bframes=True)
+                stream = GopEncoder(cfg).encode_video_chunked(frames,
+                                                              gop=gop)
             enc_t = time.time() - t0
             dec = avref.decode_hevc(stream)
             p = float(np.mean([psnr(d[0], f[0])
                                for d, f in zip(dec, frames)]))
             orate.append(len(stream) * 8.0)
             od.append(p)
-            print(json.dumps(dict(kind=kind, codec="ours-B", q=f"qp{qp}",
+            print(json.dumps(dict(kind=kind, codec=f"ours-{encoder}",
+                                  q=f"qp{qp}",
                                   bytes=len(stream), psnr_y=round(p, 2),
                                   fps=round(n_frames / enc_t, 2))))
         bd = bd_rate(xr, xd, orate, od)
-        row = dict(kind=kind, bd_rate_vs_x265_medium_pct=round(bd, 1))
+        row = dict(kind=kind, encoder=encoder,
+                   bd_rate_vs_x265_medium_pct=round(bd, 1))
         summary.append(row)
         print(json.dumps(row))
     return summary
@@ -251,11 +269,13 @@ if __name__ == "__main__":
     ap.add_argument("--bd", action="store_true",
                     help="BD-rate harness on the production path")
     ap.add_argument("--kinds", default="mixed,pan,detail")
+    ap.add_argument("--encoder", default="ctb16",
+                    choices=["ctb16", "ctb32"])
     args = ap.parse_args()
     if args.bd:
         run_bd(args.width, args.height, max(args.frames, 8),
                qps=(22, 27, 32, 37), crfs=(18, 23, 28, 33),
-               kinds=args.kinds.split(","))
+               kinds=args.kinds.split(","), encoder=args.encoder)
     else:
         rows = run(args.width, args.height, args.frames,
                    qps=(22, 27, 32, 37), crfs=(18, 23, 28, 33))

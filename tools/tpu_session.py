@@ -199,12 +199,13 @@ def phase_ctb32():
     from hevc_tpu.encoder.gop32 import Ctb32GopEncoder
     from hevc_tpu.validate import avref
 
-    W, H, QP, F = 128, 64, 27, 4          # 2 x 1 tile grid forced below
+    W, H, QP, F = 128, 64, 27, 5          # 2 x 1 tile grid forced below
     frames = [tuple(np.asarray(p, np.int32)
                     for p in synth_frame_kind(W, H, t, "mixed"))
               for t in range(F)]
     cfg = make_ctb32_config(width=W, height=H, qp=QP, inter=True,
-                            tile_cols=2, tile_rows=1)
+                            tile_cols=2, tile_rows=1, bframes=True,
+                            sdh=True)
     sn, rn = Ctb32RefEncoder(cfg).encode_video(frames, gop=0)
     sd = Ctb32GopEncoder(cfg).encode_video(frames, gop=0)
     log("ctb32 prod stream:",
@@ -224,6 +225,18 @@ def phase_bd():
     summary = run_bd(1280, 720, 16, qps=(22, 27, 32, 37),
                      crfs=(18, 23, 28, 33), kinds=("mixed", "pan", "detail"))
     log("BD summary:", json.dumps(summary))
+    return True
+
+
+def phase_bd32():
+    """BD-rate harness on the ctb32 preset path (IbPbP + SDH)."""
+    log("=== phase: bd32 ===")
+    sys.path.insert(0, "tools")
+    from quality_report import run_bd
+    summary = run_bd(1280, 720, 16, qps=(22, 27, 32, 37),
+                     crfs=(18, 23, 28, 33), kinds=("mixed", "pan", "detail"),
+                     encoder="ctb32")
+    log("BD32 summary:", json.dumps(summary))
     return True
 
 
