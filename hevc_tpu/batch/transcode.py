@@ -127,6 +127,7 @@ def convert_video(file_path, out_dir, progress_callback=None, debug=False,
     attempts = 0
     status = None
     method = None
+    digest_map: dict = {}   # display idx -> encoder recon digest
     for ladder_step in (RETRY_LADDER if use_fast else [0]):
         if cancelled():
             status = "CANCELLED"
@@ -134,6 +135,7 @@ def convert_video(file_path, out_dir, progress_callback=None, debug=False,
         attempts = ladder_step + 1
         backend = "jax" if use_fast else "reference"
         pr = degrade(base_preset, ladder_step)
+        digest_map.clear()
         try:
             ok = _encode_to_mp4(frames, info, level, qp, out_path,
                                 backend=backend,
@@ -147,7 +149,8 @@ def convert_video(file_path, out_dir, progress_callback=None, debug=False,
                                 ctb32=getattr(pr, "ctb32", False),
                                 sdh=getattr(pr, "sdh", False),
                                 rate_plan=plan if qp_override is None else None,
-                                gop=plan.gop if pr.inter else 0)
+                                gop=plan.gop if pr.inter else 0,
+                                out_digests=digest_map)
             if ok == "CANCELLED":
                 status = "CANCELLED"
                 break
@@ -179,7 +182,9 @@ def convert_video(file_path, out_dir, progress_callback=None, debug=False,
 
     if status == "SUCCESS" and not skip_validator and not cancelled():
         from hevc_tpu.validate.validator import validate_mp4
-        ok, msgs = validate_mp4(out_path, expect_hdr=info.is_hdr)
+        ok, msgs = validate_mp4(out_path, expect_hdr=info.is_hdr,
+                                recon_digests=(digest_map
+                                               if method == "tpu" else None))
         if not ok:
             log.warning("validator rejected %s: %s; re-encoding on robust "
                         "path", out_path.name, msgs)
@@ -221,7 +226,8 @@ def convert_video(file_path, out_dir, progress_callback=None, debug=False,
 def _encode_to_mp4_ctb32(frames, info, level, qp, out_path,
                          progress_callback, file_name, stop_event, deadline,
                          audio, rate_plan, gop, fps, bit_depth,
-                         sdh: bool = False, bframes: bool = False):
+                         sdh: bool = False, bframes: bool = False,
+                         out_digests: dict | None = None):
     """ctb32-preset encode: 32/16 quadtree IPPP/IbPbP on the fused device
     path.  With B pictures samples land in decode order and display order
     is restored at mux time via ctts composition offsets."""
@@ -296,6 +302,11 @@ def _encode_to_mp4_ctb32(frames, info, level, qp, out_path,
             drain_one()
     while pending:
         drain_one()
+    if out_digests is not None:
+        # decode-order digests -> display index (sched e[0]); B rows None
+        out_digests.update(
+            (sched[j][0], d) for j, d in enumerate(enc.recon_digests)
+            if d is not None)
     from hevc_tpu.planner.hdr import build_hdr_metadata
     syncs = [k + 1 for k, e in enumerate(sched) if e[1] == 0]
     comp = [e[0] - k for k, e in enumerate(sched)] if bframes else None
@@ -341,7 +352,7 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
                    src_path=None, resume: bool = False, nxn: bool = True,
                    rate_plan=None, gop: int = 0, sao: bool = False,
                    bframes: bool = False, ctb32: bool = False,
-                   sdh: bool = False):
+                   sdh: bool = False, out_digests: dict | None = None):
     from hevc_tpu.entropy.headers import StreamConfig
     from hevc_tpu.encoder.toplevel import VideoEncoder, entropy_encode_frame
     from hevc_tpu.io.mp4 import mux_mp4
@@ -369,7 +380,8 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
                                     progress_callback, file_name,
                                     stop_event, deadline, audio, rate_plan,
                                     gop, fps, bit_depth, sdh,
-                                    bframes=bframes and use_inter)
+                                    bframes=bframes and use_inter,
+                                    out_digests=out_digests)
     cfg = StreamConfig(
         width=w, height=h, qp=qp, fps=fps, bit_depth=bit_depth,
         level_idc=level.level_idc, tier_high=level.tier_high,
@@ -455,6 +467,7 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
         chunked = genc.mc
         from hevc_tpu.encoder.gop import b_schedule, chunk_groups
         sched = b_schedule(total, gop, cfg.bframes) if chunked else None
+        i0 = i                      # resume offset into sched
         groups = (chunk_groups(sched[i:], cfg.bframes) if chunked
                   else None)
         CH = 8
@@ -496,6 +509,11 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
                     drain_one()
         while pending:
             drain_one()
+        if out_digests is not None and sched is not None:
+            # decode-order digests from the chunk scans -> display index
+            out_digests.update(
+                (sched[i0 + j][0], d)
+                for j, d in enumerate(genc.recon_digests) if d is not None)
         log.info("encode stats %s: %s", file_name, stats.summary())
         hdr_md = build_hdr_metadata(info)
         comp = None

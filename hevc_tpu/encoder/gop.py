@@ -312,6 +312,28 @@ def _finalize_chunk_jit(heads_r, coefs_r, heads_b, coefs_b, cap):
     return jnp.concatenate([heads, bits, vbuf[:cap * 2]]), vbuf
 
 
+@partial(jax.jit, static_argnames=("tr", "tc_", "hc", "wc"))
+def _digest_stack_jit(py, pcb, pcr, tr, tc_, hc, wc):
+    """Per-frame display digests from the chunk scan's padded DPB stack
+    (validate/digest.py): stitch the tile interiors back into full
+    frames, crop to the conformance window, reduce to (K, 6) int32.
+    24 bytes/frame of fetch buys whole-stream pixel verification in the
+    validator — the reconstructions themselves never leave the device."""
+    from hevc_tpu.encoder.rowscan_v1 import MARGIN, MARGIN_C
+    from hevc_tpu.validate.digest import digest_frame_j
+
+    def stitch(p, m):
+        K, T, hp, wp = p.shape
+        th, tw = hp - 2 * m, wp - 2 * m
+        x = p[:, :, m:m + th, m:m + tw].reshape(K, tr, tc_, th, tw)
+        return x.transpose(0, 1, 3, 2, 4).reshape(K, tr * th, tc_ * tw)
+
+    y = stitch(py, MARGIN)[:, :hc, :wc]
+    cb = stitch(pcb, MARGIN_C)[:, :(hc + 1) // 2, :(wc + 1) // 2]
+    cr = stitch(pcr, MARGIN_C)[:, :(hc + 1) // 2, :(wc + 1) // 2]
+    return jax.vmap(digest_frame_j)(y, cb, cr)
+
+
 @partial(jax.jit, static_argnames=("tnh", "tnw", "tr", "tc_", "bit_depth",
                                    "nxn_p", "subpel", "sdh", "rdoq", "sao"))
 def _b_batch_jit(yp, cbp, crp, stack_y, stack_cb, stack_cr,
@@ -485,6 +507,10 @@ class GopEncoder:
         self._poc = 0
         self._pool = None
         self._last_host = None
+        # decode-order per-frame recon digests (None for rows without one,
+        # e.g. non-reference B); filled by the chunked path's entropy
+        # worker, consumed by convert_video -> validate_mp4
+        self.recon_digests: list = []
 
     def parameter_sets(self) -> list[bytes]:
         return [write_vps(self.cfg), write_sps(self.cfg), write_pps(self.cfg)]
@@ -876,6 +902,14 @@ class GopEncoder:
             self.enable_nxn, self.nxn_p, cfg.deblock, self.subpel,
             sdh=cfg.sdh, rdoq=cfg.rdoq, sao=cfg.sao)
         self._ref_blocks = carry
+        # per-frame recon digests of the reference pictures (their padded
+        # display planes are already in pad_stack); B digests need the
+        # in-graph B deblock and land with the B-pyramid work
+        digs = _digest_stack_jit(*pad_stack, tr, tc, cfg.height, cfg.width)
+        try:
+            digs.copy_to_host_async()
+        except Exception:
+            pass
         GLOBAL_TIMERS.add("disp_gop_call", time.perf_counter() - _t_g)
         _t_b = time.perf_counter()
 
@@ -986,6 +1020,10 @@ class GopEncoder:
                         poc=None if kind == 0 else poc,
                         b_slice=is_b, rps_idx=rps, sao=sao_lists))
                     self._last_dec = dec
+            d = np.asarray(jax.device_get(digs))
+            self.recon_digests.extend(
+                None if kind == 2 else d[rowmap[j]]
+                for j, (kind, poc, rps) in enumerate(metas))
             return nals
 
         return self._pool.submit(host_stage)

@@ -620,6 +620,10 @@ class Ctb32GopEncoder:
         self._poc = 0
         self._pool = None
         self._cap_hint = 65536
+        # decode-order recon digests (validate/digest.py); None for
+        # non-reference B pictures (their in-graph deblock lands with
+        # the B-pyramid work)
+        self.recon_digests: list = []
 
     def parameter_sets(self):
         return [write_vps(self.cfg), write_sps(self.cfg),
@@ -673,8 +677,12 @@ class Ctb32GopEncoder:
             cfg.deblock, cfg.sdh, cfg.rdoq, cap)
         self._pads_prev = None if is_idr else self._pads
         self._pads = (py, pcb, pcr)
+        from hevc_tpu.encoder.gop import _digest_stack_jit
+        dig = _digest_stack_jit(py[None], pcb[None], pcr[None], tr, tc,
+                                cfg.height, cfg.width)
         try:
             fetch.copy_to_host_async()
+            dig.copy_to_host_async()
         except Exception:
             pass
         self._poc = 0 if is_idr else self._poc + 1
@@ -697,7 +705,8 @@ class Ctb32GopEncoder:
                 vb = f1[spec.head_bytes + nbits:
                         spec.head_bytes + nbits + nnz * 2]
             else:
-                cap2 = min(-(-nnz // 65536) * 65536, spec.coef_elems // 2)
+                cap2 = min(-(-nnz // 65536) * 65536,
+                           vbuf.shape[0] // 2)
                 vb = np.concatenate(
                     [f1[spec.head_bytes + nbits:],
                      np.asarray(jax.device_get(
@@ -710,6 +719,7 @@ class Ctb32GopEncoder:
             dense[pos] = val
             dec = self._to_entropy_arrays(fields, dense, tnh32, tnw32,
                                           tr, tc)
+            self.recon_digests.append(np.asarray(jax.device_get(dig))[0])
             return entropy_encode_frame_ctb32(cfg_f, dec, poc=poc,
                                               rps_idx=rps_idx)
 
@@ -769,7 +779,8 @@ class Ctb32GopEncoder:
                 vb = f1[spec.head_bytes + nbits:
                         spec.head_bytes + nbits + nnz * 2]
             else:
-                cap2 = min(-(-nnz // 65536) * 65536, spec.coef_elems // 2)
+                cap2 = min(-(-nnz // 65536) * 65536,
+                           vbuf.shape[0] // 2)
                 vb = np.concatenate(
                     [f1[spec.head_bytes + nbits:],
                      np.asarray(jax.device_get(
@@ -782,6 +793,7 @@ class Ctb32GopEncoder:
             dense[pos] = val
             dec = self._to_entropy_arrays(fields, dense, tnh32, tnw32,
                                           tr, tc, b=True)
+            self.recon_digests.append(None)
             return entropy_encode_frame_ctb32(cfg_b, dec, poc=poc,
                                               b_slice=True)
 

@@ -9,6 +9,14 @@ missing.  Here validation is first-party and always available:
   2. level/tier constraint checks against the HEVC level table (SURVEY C4)
   3. full normative decode of every sample with the in-framework decoder,
      optionally cross-checked with the independent libavcodec decoder
+  4. whole-stream pixel verification against encoder recon digests when
+     the encode path supplies them (validate/digest.py): every frame
+     libavcodec decodes is reduced to a 6-word digest and compared with
+     the digest the encoder computed on device at encode time
+
+The pure-Python normative decode is bounded (DEEP_SELF_DECODE leading
+samples + the final GOP); the digest check covers every frame that has
+a digest, so late corruption cannot slip through on digested paths.
 
 Returns (ok, messages).
 """
@@ -30,7 +38,11 @@ DEEP_SELF_DECODE = 32
 
 
 def validate_mp4(path, expect_hdr: bool = False, deep: bool = True,
-                 cross_check: bool = True) -> tuple[bool, list[str]]:
+                 cross_check: bool = True,
+                 recon_digests=None) -> tuple[bool, list[str]]:
+    """recon_digests: optional {display_index: (6,) int32} of encoder
+    reconstruction digests (validate/digest.py) over the cropped frame;
+    every covered frame of the libavcodec decode must match."""
     msgs: list[str] = []
     path = Path(path)
     try:
@@ -72,7 +84,8 @@ def validate_mp4(path, expect_hdr: bool = False, deep: bool = True,
 
     if deep and not msgs:
         try:
-            ok_deep, deep_msgs = _deep_decode(path, cross_check)
+            ok_deep, deep_msgs = _deep_decode(path, cross_check,
+                                              recon_digests)
             msgs += deep_msgs
             if not ok_deep:
                 return False, msgs
@@ -82,9 +95,10 @@ def validate_mp4(path, expect_hdr: bool = False, deep: bool = True,
     return len(msgs) == 0, msgs
 
 
-def _deep_decode(path, cross_check: bool) -> tuple[bool, list[str]]:
+def _deep_decode(path, cross_check: bool,
+                 recon_digests=None) -> tuple[bool, list[str]]:
     """Decode every sample with the in-framework decoder; optionally compare
-    bit-exactly against libavcodec."""
+    bit-exactly against libavcodec and against encoder recon digests."""
     from hevc_tpu.io.mp4parse import extract_samples
     from hevc_tpu.decoder.decode import decode_annexb
     from hevc_tpu.utils.bitio import annexb
@@ -128,6 +142,19 @@ def _deep_decode(path, cross_check: bool) -> tuple[bool, list[str]]:
             # cross-checker missing => warn and pass through (the reference's
             # validator-missing semantics, core/transcoder.py:52-54)
             log.warning("libavcodec unavailable; self-decode only")
+
+    # Whole-stream pixel verification: every digested display frame of the
+    # libavcodec decode must match the digest the encoder computed from its
+    # own reconstruction at encode time (24 bytes/frame; validate/digest.py)
+    if ref is not None and recon_digests:
+        from hevc_tpu.validate.digest import digest_frame_np
+        for idx, want in recon_digests.items():
+            if not 0 <= idx < len(ref):
+                return False, [f"digest index {idx} out of range"]
+            got = digest_frame_np(*ref[idx])
+            if not np.array_equal(got, np.asarray(want, np.int32)):
+                return False, [f"frame {idx}: decoded pixels do not match "
+                               "encoder reconstruction digest"]
 
     # Normative decode with the in-framework (pure-Python) decoder: exact but
     # slow, so bounded in production to the first DEEP_SELF_DECODE samples
