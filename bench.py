@@ -61,7 +61,8 @@ def bench_res(W, H, F, QP, label, synth_frame, baseline=False):
     tc, tr = pick_tile_grid((H + 15) // 16, (W + 15) // 16)
     log(f"[{label}] tile grid: {tc}x{tr}")
     cfg = StreamConfig(width=W, height=H, qp=QP, tile_cols=tc, tile_rows=tr,
-                       inter=True, bframes=True)   # the medium preset
+                       inter=True, bframes=True, sao=True,
+                       sdh=True, weightp=True)   # the medium preset (planner/presets)
     enc = GopEncoder(cfg)            # medium preset (NxN + MC + B)
 
     # ---- warm up / compile + collect real decisions ----

@@ -148,6 +148,7 @@ def convert_video(file_path, out_dir, progress_callback=None, debug=False,
                                 bframes=pr.bframes,
                                 ctb32=getattr(pr, "ctb32", False),
                                 sdh=getattr(pr, "sdh", False),
+                                weightp=getattr(pr, "weightp", False),
                                 rate_plan=plan if qp_override is None else None,
                                 gop=plan.gop if pr.inter else 0,
                                 out_digests=digest_map)
@@ -352,7 +353,8 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
                    src_path=None, resume: bool = False, nxn: bool = True,
                    rate_plan=None, gop: int = 0, sao: bool = False,
                    bframes: bool = False, ctb32: bool = False,
-                   sdh: bool = False, out_digests: dict | None = None):
+                   sdh: bool = False, weightp: bool = False,
+                   out_digests: dict | None = None):
     from hevc_tpu.entropy.headers import StreamConfig
     from hevc_tpu.encoder.toplevel import VideoEncoder, entropy_encode_frame
     from hevc_tpu.io.mp4 import mux_mp4
@@ -395,6 +397,7 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
         inter=use_inter, sao=sao and use_inter,
         bframes=bframes and use_inter,
         sdh=sdh and backend == "jax",
+        weightp=weightp and use_inter,
     )
     enc = VideoEncoder(cfg, backend=backend)
     rc = None

@@ -146,6 +146,9 @@ class IntraDecoder:
         self.cbf_map = np.zeros((nh16, nw16), bool)
         self.p_slice = hdr.slice_type in (0, 1)
         self.b_slice = hdr.slice_type == 0
+        # explicit P-slice weights (pred_weight_table); B slices keep
+        # default weighting (weighted_bipred_flag is never set here)
+        self.wp = getattr(hdr, "wp", None) if hdr.slice_type == 1 else None
         self.ref = ref              # L0 reference picture (full, uncropped)
         self.ref1 = ref1            # L1 reference picture (B slices)
         self.pocs = pocs or (0, 0, None)   # (cur, poc_l0, poc_l1)
@@ -353,7 +356,13 @@ class IntraDecoder:
             py, pcb, pcr = (M.weight_bi(v0[i], v1[i], bd) for i in range(3))
         else:
             v = mc_i(self.ref if pf0 else self.ref1, mv0 if pf0 else mv1)
-            py, pcb, pcr = (M.weight_uni(v[i], bd) for i in range(3))
+            if self.wp is not None:     # explicit P weighting (8.5.3.2.9.3)
+                wy, oy, wcb, ocb, wcr, ocr = self.wp
+                py = M.weight_uni_w(v[0], wy, oy, bd)
+                pcb = M.weight_uni_w(v[1], wcb, ocb, bd)
+                pcr = M.weight_uni_w(v[2], wcr, ocr, bd)
+            else:
+                py, pcb, pcr = (M.weight_uni(v[i], bd) for i in range(3))
 
         bd = self.sps.bit_depth
 

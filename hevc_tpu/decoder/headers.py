@@ -224,6 +224,35 @@ class SliceHeader:
     payload_offset: int = 0             # byte offset of CABAC data in RBSP
     first_in_pic: bool = True
     entry_point_offsets: list = None    # EBSP byte sizes of substreams[:-1]
+    wp: tuple | None = None             # explicit P weights
+                                        # (wy, oy, wcb, ocb, wcr, ocr),
+                                        # denom fixed 2^6 (None = default)
+
+
+def _parse_pred_weight_table(r: BitReader) -> tuple:
+    """pred_weight_table (7.3.6.3), one L0 reference, 4:2:0.
+
+    Returns (wy, oy, wcb, ocb, wcr, ocr); the luma/chroma weight denom is
+    required to be 2^6 (the only denom this profile emits)."""
+    denom_y = r.ue()                    # luma_log2_weight_denom
+    denom_c = denom_y + r.se()          # + delta_chroma_log2_weight_denom
+    assert denom_y == 6 and denom_c == 6, "weight denom != 6 unsupported"
+    luma_f = r.u(1)                     # luma_weight_l0_flag[0]
+    chroma_f = r.u(1)                   # chroma_weight_l0_flag[0]
+    wy, oy = 64, 0
+    wcb, ocb, wcr, ocr = 64, 0, 64, 0
+    if luma_f:
+        wy = 64 + r.se()                # delta_luma_weight_l0[0]
+        oy = r.se()                     # luma_offset_l0[0]
+    if chroma_f:
+        cw = []
+        for _ in range(2):
+            wc = 64 + r.se()            # delta_chroma_weight_l0[0][j]
+            delta = r.se()              # delta_chroma_offset_l0[0][j]
+            oc = min(max(128 + delta - ((128 * wc) >> denom_c), -128), 127)
+            cw += [wc, oc]
+        wcb, ocb, wcr, ocr = cw
+    return (wy, oy, wcb, ocb, wcr, ocr)
 
 
 def parse_slice_header(rbsp: bytes, nal_type: int, sps: Sps, pps: Pps) -> SliceHeader:
@@ -255,7 +284,6 @@ def parse_slice_header(rbsp: bytes, nal_type: int, sps: Sps, pps: Pps) -> SliceH
         h.sao_luma = bool(r.u(1))
         h.sao_chroma = bool(r.u(1))
     if h.slice_type in (0, 1):          # P/B: ref lists + merge config
-        assert not pps.weighted_pred, "weighted prediction unsupported"
         assert not pps.lists_modification, "ref list modification unsupported"
         if r.u(1):                      # num_ref_idx_active_override_flag
             r.ue()                      # num_ref_idx_l0_active_minus1
@@ -269,6 +297,8 @@ def parse_slice_header(rbsp: bytes, nal_type: int, sps: Sps, pps: Pps) -> SliceH
                 else (2 if cabac_init else 1)
         else:
             h.init_type = 2 if h.slice_type == 0 else 1
+        if pps.weighted_pred and h.slice_type == 1:
+            h.wp = _parse_pred_weight_table(r)
         h.max_merge_cand = 5 - r.ue()   # five_minus_max_num_merge_cand
         assert h.max_merge_cand == 1, \
             "merge_idx signaling unsupported (single-candidate profile)"

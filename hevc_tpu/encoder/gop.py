@@ -128,12 +128,14 @@ def _intra_fields_j(outs):
 
 @partial(jax.jit, static_argnames=("tnh", "tnw", "tr", "tc_", "bit_depth",
                                    "enable_nxn", "nxn_p", "deblock",
-                                   "subpel", "sdh", "rdoq", "sao"))
+                                   "subpel", "sdh", "rdoq", "sao",
+                                   "weightp"))
 def _gop_chunk_jit(yp, cbp, crp, kinds, active, prev_pads, cur_pads,
                    qp_v, lam_bits_v, lam16_v, sl16_v,
                    tnh, tnw, tr, tc_,
                    bit_depth, enable_nxn, nxn_p, deblock, subpel,
-                   sdh=False, rdoq=False, sao=False):
+                   sdh=False, rdoq=False, sao=False,
+                   weightp=False, wp_v=None):
     """Encode a chunk of REFERENCE frames (IDR/P, decode order) in one
     device dispatch.
 
@@ -159,14 +161,14 @@ def _gop_chunk_jit(yp, cbp, crp, kinds, active, prev_pads, cur_pads,
                              cur_pads, qp_v, lam_bits_v, lam16_v, sl16_v,
                              tnh, tnw, tr, tc_, bit_depth, enable_nxn,
                              nxn_p, deblock, subpel, sdh=sdh, rdoq=rdoq,
-                             sao=sao)
+                             sao=sao, weightp=weightp, wp_v=wp_v)
 
 
 def _gop_chunk_blocks(ya, cba, cra, kinds, active, prev_pads, cur_pads,
                       qp_v, lam_bits_v, lam16_v, sl16_v,
                       tnh, tnw, tr, tc_, bit_depth, enable_nxn, nxn_p,
                       deblock, subpel, streams=1, sdh=False, rdoq=False,
-                      sao=False):
+                      sao=False, weightp=False, wp_v=None):
     """Traceable chunk-scan body over pre-split tile blocks (K, T, ...)
     with T = streams * tr * tc_.
 
@@ -241,7 +243,7 @@ def _gop_chunk_blocks(ya, cba, cra, kinds, active, prev_pads, cur_pads,
         return pads, params
 
     def body(carry, xs):
-        sy, scb, scr, kind, act, qp, lam_bits, lam16, sl16 = xs
+        sy, scb, scr, kind, act, qp, lam_bits, lam16, sl16, wpf = xs
         fy, fcb, fcr = (sy.astype(jnp.int32), scb.astype(jnp.int32),
                         scr.astype(jnp.int32))
 
@@ -264,7 +266,8 @@ def _gop_chunk_blocks(ya, cba, cra, kinds, active, prev_pads, cur_pads,
             outs = _rowscan_v1_scan(fy, fcb, fcr, qp, lam_bits, tnh, tnw,
                                     bit_depth, lam16=lam16, ref_pads=cur3,
                                     sl16=sl16, enable_nxn=nxn_p,
-                                    subpel=subpel, sdh=sdh, rdoq=rdoq)
+                                    subpel=subpel, sdh=sdh, rdoq=rdoq,
+                                    wp=wpf if weightp else None)
             inter_s = outs[13] | outs[14]
             pads, sao_f = _finish(
                 outs[10], outs[11], outs[12], qp, lam16, ~inter_s,
@@ -287,9 +290,13 @@ def _gop_chunk_blocks(ya, cba, cra, kinds, active, prev_pads, cur_pads,
                              new_carry, carry)
         return carry, (head, flat) + carry[1]
 
+    if wp_v is None:
+        wp_v = jnp.tile(jnp.asarray([64, 0, 64, 0, 64, 0], jnp.int32),
+                        (ya.shape[0], 1))
     carry, ys = jax.lax.scan(
         body, (prev_pads, cur_pads),
-        (ya, cba, cra, kinds, active, qp_v, lam_bits_v, lam16_v, sl16_v))
+        (ya, cba, cra, kinds, active, qp_v, lam_bits_v, lam16_v, sl16_v,
+         wp_v))
     heads, coefs, pads_y, pads_cb, pads_cr = ys
     # flatten the head stack: 1-D outputs transfer at full link speed
     return heads.reshape(-1), coefs, (pads_y, pads_cb, pads_cr), carry
@@ -507,6 +514,8 @@ class GopEncoder:
         self._poc = 0
         self._pool = None
         self._last_host = None
+        self._prev_ref_src = None   # last ref picture's SOURCE planes
+                                    # (weightp estimation signal)
         # decode-order per-frame recon digests (None for rows without one,
         # e.g. non-reference B); filled by the chunked path's entropy
         # worker, consumed by convert_video -> validate_mp4
@@ -890,6 +899,26 @@ class GopEncoder:
                         * 16))
 
         lbr, l16r, s16r = lam3(qp)
+        # weightp: per-P-frame explicit weights estimated host-side from
+        # the source planes (cur vs its reference's source) — the same
+        # values the slice pred_weight_table signals (x265 `weightp`)
+        wp_rows = np.tile(np.asarray([64, 0, 64, 0, 64, 0], np.int32),
+                          (KR, 1))
+        wps = {}
+        if cfg.weightp:
+            from hevc_tpu.ops.inter import estimate_weights_p
+            sh = cfg.bit_depth - 8
+            for i, j in enumerate(refs_pos):
+                cur3 = [np.asarray(pl) for pl in frames[j]]
+                if metas[j][0] != 0 and self._prev_ref_src is not None:
+                    args = []
+                    for cpl, rpl in zip(cur3, self._prev_ref_src):
+                        args += [cpl >> sh if sh else cpl,
+                                 rpl >> sh if sh else rpl]
+                    wp = estimate_weights_p(*args)
+                    wp_rows[i] = wp
+                    wps[j] = wp
+                self._prev_ref_src = cur3
         prev_in, cur_in = self._ref_blocks
         _t_g = time.perf_counter()
         heads_r, coefs_r, pad_stack, carry = _gop_chunk_jit(
@@ -900,7 +929,9 @@ class GopEncoder:
             jnp.full(KR, l16r, jnp.int32), jnp.full(KR, s16r, jnp.int32),
             tnh, tnw, tr, tc, cfg.bit_depth,
             self.enable_nxn, self.nxn_p, cfg.deblock, self.subpel,
-            sdh=cfg.sdh, rdoq=cfg.rdoq, sao=cfg.sao)
+            sdh=cfg.sdh, rdoq=cfg.rdoq, sao=cfg.sao,
+            weightp=cfg.weightp,
+            wp_v=jnp.asarray(wp_rows) if cfg.weightp else None)
         self._ref_blocks = carry
         # per-frame recon digests of the reference pictures (their padded
         # display planes are already in pad_stack); B digests need the
@@ -1018,7 +1049,8 @@ class GopEncoder:
                     nals.append(entropy_encode_frame_v1(
                         cfg_b if is_b else cfg_base, dec,
                         poc=None if kind == 0 else poc,
-                        b_slice=is_b, rps_idx=rps, sao=sao_lists))
+                        b_slice=is_b, rps_idx=rps, sao=sao_lists,
+                        wp=wps.get(j)))
                     self._last_dec = dec
             d = np.asarray(jax.device_get(digs))
             self.recon_digests.extend(

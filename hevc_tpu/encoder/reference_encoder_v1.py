@@ -98,8 +98,11 @@ class RefIntraEncoderV1:
         return nal, recon
 
     # ---- P frames (motion-compensated, CTU = CU = PU) --------------------------
-    def encode_frame_p_decisions(self, y, cb, cr, ref: dict):
+    def encode_frame_p_decisions(self, y, cb, cr, ref: dict, wp=None):
         """P-frame encode against ref (the previous DEBLOCKED reconstruction).
+
+        wp: explicit P weights (wy, oy, wcb, ocb, wcr, ocr) when
+        cfg.weightp (slice pred_weight_table); None = default weighting.
 
         Per CTU, four candidates under J = SSE + (lambda16 * bits_est >> 4):
           skip        merge cand 0 motion, no residual
@@ -133,13 +136,14 @@ class RefIntraEncoderV1:
                    "cbf": np.zeros((nh, nw), bool),
                    "mv": np.zeros((nh, nw, 2), np.int32)}
         tile_fn = self._encode_tile_p_mc if self.mc else self._encode_tile_p
+        kw = {"wp": wp} if self.mc else {}
         ty0 = 0
         for th in rows:
             tx0 = 0
             for tw in cols:
                 tile_fn(ys, cbs, crs, rec_y, rec_cb, rec_cr, ref,
                         tx0, ty0, tw, th, qp, qpc, sqrt_lam,
-                        lam16, ctus, cu_maps)
+                        lam16, ctus, cu_maps, **kw)
                 tx0 += tw
             ty0 += th
         return ctus, {"y": rec_y, "cb": rec_cb, "cr": rec_cr}, cu_maps
@@ -195,8 +199,11 @@ class RefIntraEncoderV1:
 
     def _encode_tile_p_mc(self, ys, cbs, crs, rec_y, rec_cb, rec_cr, ref,
                           tx0, ty0, tw, th, qp, qpc, sqrt_lam, lam16, ctus,
-                          cu_maps):
-        """MC tile encode: skip / merge / explicit-MV / intra per CTU."""
+                          cu_maps, wp=None):
+        """MC tile encode: skip / merge / explicit-MV / intra per CTU.
+
+        wp: explicit weights (spec 8.5.3.2.9.3) applied to every inter
+        prediction (skip/merge/explicit) and inside the motion search."""
         from hevc_tpu.ops import inter as M
         from hevc_tpu.encoder.ctu_modes import encode_tu
         cfg = self.cfg
@@ -253,10 +260,11 @@ class RefIntraEncoderV1:
                 # two-stage shared search (coarse center + dual fine
                 # windows + subpel) — see _mv_search
                 _, mv_e, mvp_e, mbits_e = self._mv_search(
-                    src3[0], ref["y"], gx0, gy0, amvp, sl16, bd, ctb)
+                    src3[0], ref["y"], gx0, gy0, amvp, sl16, bd, ctb,
+                    wp_l=None if wp is None else wp[:2])
 
                 # --- candidate: skip (merge motion, no residual) ---
-                pm3 = M.mc_block(ref, gx0, gy0, ctb, merge_mv, bd)
+                pm3 = M.mc_block_w(ref, gx0, gy0, ctb, merge_mv, wp, bd)
                 sse_skip = sum(_sse(s, p) for s, p in zip(src3, pm3))
                 j = sse_skip + ((lam16 * 2) >> 4)
                 choice = ("skip", j)
@@ -272,7 +280,7 @@ class RefIntraEncoderV1:
                         choice = ("merge", j)
 
                 # --- candidate: explicit MV (+- residual) ---
-                pe3 = M.mc_block(ref, gx0, gy0, ctb, mv_e, bd)
+                pe3 = M.mc_block_w(ref, gx0, gy0, ctb, mv_e, wp, bd)
                 te = tu3(src3, pe3)
                 rqt = int(any(t[1] for t in te))
                 if rqt:
@@ -338,7 +346,8 @@ class RefIntraEncoderV1:
                 ry[sl], rcb[slc], rcr[slc] = rec3[0], rec3[1], rec3[2]
 
     # ---- B frames (bi-prediction, non-reference, IbPbP GOP) -------------------
-    def _mv_search(self, src, ref_y, gx0, gy0, amvp, sl16, bd, ctb):
+    def _mv_search(self, src, ref_y, gx0, gy0, amvp, sl16, bd, ctb,
+                   wp_l=None):
         """Hierarchical motion search vs one ref (effective range +-40 px;
         the reference's x265-medium runs hex +-57):
 
@@ -355,8 +364,15 @@ class RefIntraEncoderV1:
         full-res SADs + cheap decimated stages (VERDICT r2 item 8)."""
         from hevc_tpu.ops import inter as M
 
+        def pred_l(mvx, mvy):
+            if wp_l is None:
+                return M.mc_luma(ref_y, gx0, gy0, ctb, mvx, mvy, bd)
+            return M.weight_uni_w(
+                M.mc_luma_i(ref_y, gx0, gy0, ctb, mvx, mvy, bd),
+                wp_l[0], wp_l[1], bd)
+
         def mv_cost(mv):
-            pred = M.mc_luma(ref_y, gx0, gy0, ctb, mv[0], mv[1], bd)
+            pred = pred_l(mv[0], mv[1])
             sad = int(np.abs(src.astype(np.int64)
                              - pred.astype(np.int64)).sum())
             mb0 = M.mvd_bits(mv[0] - amvp[0][0]) + \
@@ -371,7 +387,7 @@ class RefIntraEncoderV1:
         best4 = None
         for dy in range(-8, 9):
             for dx in range(-8, 9):
-                pred = M.mc_luma(ref_y, gx0, gy0, ctb, 16 * dx, 16 * dy, bd)
+                pred = pred_l(16 * dx, 16 * dy)
                 sad4 = int(np.abs(src4
                                   - pred[::4, ::4].astype(np.int64)).sum())
                 if best4 is None or sad4 < best4[0]:
@@ -384,7 +400,7 @@ class RefIntraEncoderV1:
         for dy in range(-3, 4):
             for dx in range(-3, 4):
                 ex, ey = cx + 2 * dx, cy + 2 * dy
-                pred = M.mc_luma(ref_y, gx0, gy0, ctb, 4 * ex, 4 * ey, bd)
+                pred = pred_l(4 * ex, 4 * ey)
                 sad2 = int(np.abs(src2
                                   - pred[::2, ::2].astype(np.int64)).sum())
                 if best2 is None or sad2 < best2[0]:
@@ -604,6 +620,24 @@ class RefIntraEncoderV1:
             ty0 += th
         return ctus, {"y": rec_y, "cb": rec_cb, "cr": rec_cr}, cu_maps
 
+    def _wp_for(self, cur3, ref3):
+        """Per-P-frame weightp analysis (host, source domain); offsets
+        are estimated in 8-bit units at any bit depth.  None when the
+        tool is off; (64,0)x3 codes as an all-default table."""
+        cfg = self.cfg
+        if not cfg.weightp or not self.mc:
+            return None
+        from hevc_tpu.ops.inter import estimate_weights_p
+        sh = cfg.bit_depth - 8
+        args = []
+        for c, r in zip(cur3, ref3):
+            c = np.asarray(c)
+            r = np.asarray(r)
+            if sh:
+                c, r = c >> sh, r >> sh
+            args += [c, r]
+        return estimate_weights_p(*args)
+
     def encode_video(self, frames, gop: int = 0):
         """Encode a GOP-structured sequence -> (annexb bytes, recons).
 
@@ -623,14 +657,16 @@ class RefIntraEncoderV1:
         poc = 0
         for i, (y, cb, cr) in enumerate(frames):
             idr = ref is None or (gop and i % gop == 0)
+            wp = None
             if idr:
                 ctus, recon = self.encode_frame_decisions(y, cb, cr)
                 cu_maps = None
                 poc = 0
             else:
                 poc += 1
+                wp = self._wp_for(frames[i], frames[i - 1])
                 ctus, recon, cu_maps = self.encode_frame_p_decisions(
-                    y, cb, cr, ref)
+                    y, cb, cr, ref, wp=wp)
             nh, nw = len(ctus), len(ctus[0])
             nxn_map = np.array([[bool(c.get("part_nxn")) for c in row]
                                 for row in ctus])
@@ -660,7 +696,8 @@ class RefIntraEncoderV1:
                 dy, dcb, dcr = out3
                 sao_params = (p_y, p_c)
             nal = entropy_encode_frame_v1(cfg, ctus, sao=sao_params,
-                                          poc=None if idr else poc)
+                                          poc=None if idr else poc,
+                                          wp=None if idr else wp)
             out += b"\x00\x00\x00\x01" + nal
             ref = {"y": dy, "cb": dcb, "cr": dcr}
             recons.append(ref)
@@ -738,12 +775,13 @@ class RefIntraEncoderV1:
             while prev_ref < e - 1:
                 r = min(k, e - 1)      # trailing odd segment -> lone P
                 poc_r = r - s
+                wp = self._wp_for(frames[r], frames[prev_ref])
                 ctus, recon, maps = self.encode_frame_p_decisions(
-                    *frames[r], refs[prev_ref])
+                    *frames[r], refs[prev_ref], wp=wp)
                 disp, sao_p = self._finish_pic(ctus, recon, maps, *frames[r])
                 emit(entropy_encode_frame_v1(
                     cfg, ctus, poc=poc_r, sao=sao_p,
-                    rps_idx=0 if r - prev_ref == 2 else 2))
+                    rps_idx=0 if r - prev_ref == 2 else 2, wp=wp))
                 refs[r] = disp
                 recons[r] = disp
                 if r - prev_ref == 2:  # the B between the two refs

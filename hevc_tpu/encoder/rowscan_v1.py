@@ -223,6 +223,26 @@ def _weight_bi_j(val0, val1, bit_depth):
                     (1 << bit_depth) - 1)
 
 
+def _weight_explicit_j(val, w, o, bit_depth):
+    """Explicit uni-prediction weighting (spec 8.5.3.2.9.3, P slices with
+    pred_weight_table): denom 2^6, offset coded in 8-bit units.  w/o are
+    traced scalars; (64, 0) reproduces _weight_uni_j bit-exactly (device
+    mirror of ops.inter.weight_uni_w)."""
+    log2wd = 6 + 14 - bit_depth
+    off = o << (bit_depth - 8)
+    v = (val * w + (1 << (log2wd - 1))) >> log2wd
+    return jnp.clip(v + off, 0, (1 << bit_depth) - 1)
+
+
+def _weight_px_j(p, w, o, bit_depth):
+    """Integer-pixel-domain explicit weighting of reference windows (the
+    SEARCH-side transform; equals _weight_explicit_j on the 14-bit
+    intermediate of any integer MV — ops.inter.weight_px_w)."""
+    off = o << (bit_depth - 8)
+    v = (p * w + 32) >> 6
+    return jnp.clip(v + off, 0, (1 << bit_depth) - 1)
+
+
 def _chroma_mc_j(win, mvx, mvy, bit_depth):
     """(B, 11, 11) gathered window -> (B, 8, 8) chroma MC prediction."""
     return _weight_uni_j(_chroma_mc_val_j(win, mvx, mvy, bit_depth),
@@ -247,7 +267,7 @@ def _luma_superwin(pad_y, r, c, n: int = 16):
 
 
 def _search_explicit_ref(src, pad_y, r, c, c0mv, c1mv, sl16, bit_depth,
-                         subpel, maxv, n: int = 16):
+                         subpel, maxv, n: int = 16, wl=None):
     """Hierarchical search against ONE reference pad (device mirror of
     the numpy _mv_search, any CU size n): 4x-decimated 17x17 coarse
     (+-32, clipped +-30) -> 2x-decimated 7x7 refine (+-6) -> full-res
@@ -257,8 +277,12 @@ def _search_explicit_ref(src, pad_y, r, c, c0mv, c1mv, sl16, bit_depth,
     cand1, and the 14-bit pre-weighting prediction intermediate)."""
     B = src.shape[0]
     WIN = _luma_superwin(pad_y, r, c, n)                # (B, n+96, n+96)
+    # wl = (w, o): SAD stages run on the explicitly-weighted window (the
+    # integer-domain transform equals spec weighting at integer MVs);
+    # prediction intermediates stay unweighted (callers weight them)
+    WINs = WIN if wl is None else _weight_px_j(WIN, wl[0], wl[1], bit_depth)
     # A: subsampled SAD over 17x17 decimated offsets (+-32 px)
-    dec = WIN[:, 16:80 + n:4, 16:80 + n:4]              # (B, 16+n/4, ...)
+    dec = WINs[:, 16:80 + n:4, 16:80 + n:4]             # (B, 16+n/4, ...)
     src4 = src[:, ::4, ::4]                             # (B, n/4, n/4)
     n4 = n // 4
     rows4 = jnp.stack([dec[:, k:k + n4, :] for k in range(17)], 1)
@@ -270,7 +294,7 @@ def _search_explicit_ref(src, pad_y, r, c, c0mv, c1mv, sl16, bit_depth,
 
     # B: 2x-decimated 7x7 refine in 2-px steps (+-6) around the coarse
     # center (ccx/ccy stay even so decimated indices are exact)
-    dec2 = WIN[:, ::2, ::2]                             # (B, (n+96)/2, ..)
+    dec2 = WINs[:, ::2, ::2]                            # (B, (n+96)/2, ..)
     src2 = src[:, ::2, ::2]                             # (B, n/2, n/2)
     n2 = n // 2
     w2 = jax.vmap(lambda p, yy, xx: jax.lax.dynamic_slice(
@@ -289,7 +313,7 @@ def _search_explicit_ref(src, pad_y, r, c, c0mv, c1mv, sl16, bit_depth,
     # candidate on ties (the numpy scan order)
     def fine_cands(cy0, cx0):
         w = jax.vmap(lambda p, yy, xx: jax.lax.dynamic_slice(
-            p, (yy, xx), (n + 8, n + 8)))(WIN, cy0 + 44, cx0 + 44)
+            p, (yy, xx), (n + 8, n + 8)))(WINs, cy0 + 44, cx0 + 44)
         rows_s = jnp.stack([w[:, k:k + n, :] for k in range(9)], 1)
         cnd = jnp.stack([rows_s[..., k:k + n] for k in range(9)], 2)
         return cnd.reshape(B, 81, n, n)
@@ -362,7 +386,8 @@ def _search_explicit_ref(src, pad_y, r, c, c0mv, c1mv, sl16, bit_depth,
                 if dqx == 0 and dqy == 0:
                     costs_q[(0, 0)] = cost_int
                     continue
-                p = _weight_uni_j(v, bit_depth)
+                p = _weight_uni_j(v, bit_depth) if wl is None else \
+                    _weight_explicit_j(v, wl[0], wl[1], bit_depth)
                 sadq = jnp.sum(jnp.abs(src - p), axis=(1, 2))
                 mvq = mv_e + jnp.asarray([dqx, dqy], I32)[None]
                 m0, m1 = mvd_pair(mvq)
@@ -398,9 +423,17 @@ def _search_explicit_ref(src, pad_y, r, c, c0mv, c1mv, sl16, bit_depth,
                               vals_q[(px, py)], 0)
                     for px in range(-3, 4) for py in range(-3, 4))
     else:
-        val_e = jnp.take_along_axis(
-            cand, bi[:, None, None, None], 1).reshape(B, n, n) \
-            << (14 - bit_depth)
+        if wl is None:
+            val_e = jnp.take_along_axis(
+                cand, bi[:, None, None, None], 1).reshape(B, n, n) \
+                << (14 - bit_depth)
+        else:
+            # cand holds WEIGHTED pixels (search domain); the prediction
+            # intermediate must be unweighted -- refetch from WIN
+            w = jax.vmap(lambda p_, yy, xx: jax.lax.dynamic_slice(
+                p_, (yy, xx), (n, n)))(WIN, (mv_e[:, 1] >> 2) + 48,
+                                       (mv_e[:, 0] >> 2) + 48)
+            val_e = w << (14 - bit_depth)
     mb0b, mb1b = mvd_pair(mv_e)
     return mv_e, mb0b, mb1b, val_e
 
@@ -483,7 +516,8 @@ def _chroma_val_ref(pad_c, r, c, mv, bit_depth, nc: int = 8):
 def _rowscan_v1_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh, tnw, bit_depth,
                      refs=None, lam16=None, enable_nxn=True,
                      ref_pads=None, sl16=None, subpel=True,
-                     ref_pads1=None, dsf=None, sdh=False, rdoq=False):
+                     ref_pads1=None, dsf=None, sdh=False, rdoq=False,
+                     wp=None):
     """Shared row-scan body.
 
     refs=(ref_y, ref_cb, ref_cr) (block layout) enables the P-slice zero-MV
@@ -503,6 +537,24 @@ def _rowscan_v1_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh, tnw, bit_depth,
     mc_mode = ref_pads is not None and not b_mode
     p_mode = refs is not None or mc_mode or b_mode
     maxv = (1 << bit_depth) - 1
+    # wp: (6,) traced vector (wy, oy, wcb, ocb, wcr, ocr) -> explicit
+    # P-slice weighted prediction (spec 8.5.3.2.9.3); None compiles the
+    # default-weighting graph.  (64,0) weights are bit-identical to None.
+    if wp is not None:
+        assert mc_mode, "weightp applies to the MC P step only"
+        _wl = (wp[0], wp[1])
+
+        def _wu_y(v):
+            return _weight_explicit_j(v, wp[0], wp[1], bit_depth)
+
+        def _wu_cb(v):
+            return _weight_explicit_j(v, wp[2], wp[3], bit_depth)
+
+        def _wu_cr(v):
+            return _weight_explicit_j(v, wp[4], wp[5], bit_depth)
+    else:
+        _wl = None
+        _wu_y = _wu_cb = _wu_cr = lambda v: _weight_uni_j(v, bit_depth)
 
     def shs(scan):
         """sdh_scan arg for _tu: the TB's entropy scan when sign-data
@@ -1004,8 +1056,8 @@ def _rowscan_v1_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh, tnw, bit_depth,
             # per-lane superwindow slices
             mv_e, mb0b, mb1b, val_e = _search_explicit_ref(
                 src, pad_y, r, c, c0mv, c1mv, sl16, bit_depth, subpel,
-                maxv)
-            pred_e = _weight_uni_j(val_e, bit_depth)
+                maxv, wl=_wl)
+            pred_e = _wu_y(val_e)
 
             def mvd_pair(mvq):
                 m0 = _mvd_bits_j(mvq[:, 0] - c0mv[:, 0]) \
@@ -1019,15 +1071,11 @@ def _rowscan_v1_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh, tnw, bit_depth,
 
             valm = _merge_luma_val_ref(pad_y, r, c, mg_mv, bit_depth,
                                        subpel)
-            pred_m = _weight_uni_j(valm, bit_depth)
-            pm_cb = _weight_uni_j(_chroma_val_ref(pad_cb, r, c, mg_mv,
-                                                  bit_depth), bit_depth)
-            pm_cr = _weight_uni_j(_chroma_val_ref(pad_cr, r, c, mg_mv,
-                                                  bit_depth), bit_depth)
-            pe_cb = _weight_uni_j(_chroma_val_ref(pad_cb, r, c, mv_e,
-                                                  bit_depth), bit_depth)
-            pe_cr = _weight_uni_j(_chroma_val_ref(pad_cr, r, c, mv_e,
-                                                  bit_depth), bit_depth)
+            pred_m = _wu_y(valm)
+            pm_cb = _wu_cb(_chroma_val_ref(pad_cb, r, c, mg_mv, bit_depth))
+            pm_cr = _wu_cr(_chroma_val_ref(pad_cr, r, c, mg_mv, bit_depth))
+            pe_cb = _wu_cb(_chroma_val_ref(pad_cb, r, c, mv_e, bit_depth))
+            pe_cr = _wu_cr(_chroma_val_ref(pad_cr, r, c, mv_e, bit_depth))
 
             lvlm_y, cbfm_y, recm_y = _tu(src, pred_m, qp_eff, 16,
                                          bit_depth, maxv, sdh_scan=shs(0))

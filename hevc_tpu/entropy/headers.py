@@ -65,6 +65,9 @@ class StreamConfig:
     sao: bool = False              # sample-adaptive offset (luma + chroma)
     sdh: bool = False              # sign-data hiding (x265-medium parity)
     rdoq: bool = False             # RD-aware quantization (encoder-only)
+    weightp: bool = False          # explicit weighted prediction, P slices
+                                   # (x265-medium `weightp`; PPS
+                                   # weighted_pred_flag + per-slice table)
     extra: dict = field(default_factory=dict)
 
     @property
@@ -263,7 +266,7 @@ def write_pps(cfg: StreamConfig) -> bytes:
     w.se(0)                         # pps_cb_qp_offset
     w.se(0)                         # pps_cr_qp_offset
     w.u(0, 1)                       # pps_slice_chroma_qp_offsets_present_flag
-    w.u(0, 1)                       # weighted_pred_flag
+    w.u(1 if cfg.weightp else 0, 1)  # weighted_pred_flag (P slices)
     w.u(0, 1)                       # weighted_bipred_flag
     w.u(0, 1)                       # transquant_bypass_enabled_flag
     w.u(1 if cfg.tiles_enabled else 0, 1)   # tiles_enabled_flag
@@ -325,15 +328,42 @@ def write_slice_header_idr(cfg: StreamConfig,
     return w
 
 
+def write_pred_weight_table(w: BitWriter, wp, bit_depth: int = 8) -> None:
+    """pred_weight_table (spec 7.3.6.3), one L0 reference.
+
+    wp = (wy, oy, wcb, ocb, wcr, ocr), weights with denom 2^6 and offsets
+    in 8-bit sample units (scaled by the decoder at higher bit depths).
+    (64, 0) planes code as flag-0 defaults."""
+    from hevc_tpu.ops.inter import WP_DENOM
+    wy, oy, wcb, ocb, wcr, ocr = wp
+    w.ue(WP_DENOM)                  # luma_log2_weight_denom
+    w.se(0)                         # delta_chroma_log2_weight_denom
+    luma_f = not (wy == 64 and oy == 0)
+    chroma_f = not (wcb == 64 and ocb == 0 and wcr == 64 and ocr == 0)
+    w.u(1 if luma_f else 0, 1)      # luma_weight_l0_flag[0]
+    w.u(1 if chroma_f else 0, 1)    # chroma_weight_l0_flag[0]
+    if luma_f:
+        w.se(wy - 64)               # delta_luma_weight_l0[0]
+        w.se(oy)                    # luma_offset_l0[0]
+    if chroma_f:
+        for wc, oc in ((wcb, ocb), (wcr, ocr)):
+            w.se(wc - 64)           # delta_chroma_weight_l0[0][j]
+            # 7.4.7.3: ChromaOffset = Clip3(-128, 127,
+            #   128 + delta - ((128 * w) >> denom))
+            w.se(oc - 128 + ((128 * wc) >> WP_DENOM))
+
+
 def write_slice_header_p(cfg: StreamConfig, poc_lsb: int,
                          entry_point_offsets: list[int] | None = None,
                          rps_idx: int = 0,
-                         sao_on: bool | None = None) -> BitWriter:
+                         sao_on: bool | None = None,
+                         wp=None) -> BitWriter:
     """P-slice (TRAIL_R) slice segment header (spec 7.3.6.1).
 
     Zero-MV-skip profile: one ref pic (the previous picture, RPS idx 0 from
-    the SPS), MaxNumMergeCand = 1 so skip CUs carry no merge_idx, no weighted
-    prediction, no temporal MVP.
+    the SPS), MaxNumMergeCand = 1 so skip CUs carry no merge_idx, no
+    temporal MVP.  With cfg.weightp the pred_weight_table is always
+    present; wp = (wy, oy, wcb, ocb, wcr, ocr) (None -> defaults).
     """
     w = BitWriter()
     w.u(1, 1)                       # first_slice_segment_in_pic_flag
@@ -348,6 +378,9 @@ def write_slice_header_p(cfg: StreamConfig, poc_lsb: int,
         w.u(s, 1)                   # slice_sao_luma_flag
         w.u(s, 1)                   # slice_sao_chroma_flag
     w.u(0, 1)                       # num_ref_idx_active_override_flag
+    if cfg.weightp:
+        write_pred_weight_table(w, wp or (64, 0, 64, 0, 64, 0),
+                                cfg.bit_depth)
     w.ue(4)                         # five_minus_max_num_merge_cand -> 1 cand
     w.se(cfg.qp - 26)               # slice_qp_delta
     if cfg.deblock:

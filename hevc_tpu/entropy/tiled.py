@@ -92,7 +92,8 @@ def encode_tile_payload(cfg: StreamConfig, tile: dict, last_tile: bool,
 
 def assemble_slice(cfg: StreamConfig, payloads: list[bytes],
                    poc: int | None = None, b_slice: bool = False,
-                   rps_idx: int = 0, sao_on: bool | None = None) -> bytes:
+                   rps_idx: int = 0, sao_on: bool | None = None,
+                   wp=None) -> bytes:
     """Slice NAL from per-tile substreams (entry points in EBSP bytes).
 
     poc=None -> IDR (I slice); poc=N -> TRAIL_R P slice (or, with b_slice,
@@ -107,7 +108,7 @@ def assemble_slice(cfg: StreamConfig, payloads: list[bytes],
         hdr = write_slice_header_b(cfg, poc, offs, sao_on=sao_on).bytes()
         return make_nal(NAL_TRAIL_N, hdr + b"".join(payloads))
     hdr = write_slice_header_p(cfg, poc, offs, rps_idx=rps_idx,
-                               sao_on=sao_on).bytes()
+                               sao_on=sao_on, wp=wp).bytes()
     return make_nal(NAL_TRAIL_R, hdr + b"".join(payloads))
 
 

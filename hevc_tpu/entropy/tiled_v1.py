@@ -287,7 +287,7 @@ def entropy_encode_frame_v1(cfg: StreamConfig, ctus,
                             use_cpp: bool = True,
                             poc: int | None = None,
                             sao=None, b_slice: bool = False,
-                            rps_idx: int = 0) -> bytes:
+                            rps_idx: int = 0, wp=None) -> bytes:
     """Frame of decisions -> slice NAL. Accepts per-CTU dict grid (numpy
     reference encoder) or the device graph's array-dict format.
 
@@ -331,7 +331,8 @@ def entropy_encode_frame_v1(cfg: StreamConfig, ctus,
     sao_on = (sao is not None) if cfg.sao else None
     if not cfg.tiles_enabled:
         return assemble_slice(cfg, [payload(0, 0, nh, nw, True)], poc=poc,
-                              b_slice=b_slice, rps_idx=rps_idx, sao_on=sao_on)
+                              b_slice=b_slice, rps_idx=rps_idx, sao_on=sao_on,
+                              wp=wp)
     cols, rows = cfg.tile_grid()
     jobs = []
     y0 = 0
@@ -351,4 +352,4 @@ def entropy_encode_frame_v1(cfg: StreamConfig, ctus,
     else:
         payloads = [payload(*j) for j in jobs]
     return assemble_slice(cfg, payloads, poc=poc, b_slice=b_slice,
-                          rps_idx=rps_idx, sao_on=sao_on)
+                          rps_idx=rps_idx, sao_on=sao_on, wp=wp)

@@ -69,6 +69,72 @@ def weight_uni(val: np.ndarray, bit_depth: int) -> np.ndarray:
                    0, (1 << bit_depth) - 1).astype(np.int32)
 
 
+WP_DENOM = 6        # luma/chroma log2 weight denom (x265 weightp default)
+
+
+def weight_uni_w(val: np.ndarray, w: int, o: int,
+                 bit_depth: int) -> np.ndarray:
+    """Explicit uni-prediction weighting (spec 8.5.3.2.9.3, P slices):
+    pred = Clip(((val14 * w + 2^(log2Wd-1)) >> log2Wd) + (o << (bd-8)))
+    with log2Wd = WP_DENOM + 14 - bit_depth.  w=64, o=0 reproduces
+    weight_uni bit-exactly."""
+    log2wd = WP_DENOM + 14 - bit_depth
+    off = o << (bit_depth - 8)
+    v = (np.asarray(val, np.int64) * int(w) + (1 << (log2wd - 1))) >> log2wd
+    return np.clip(v + off, 0, (1 << bit_depth) - 1).astype(np.int32)
+
+
+def weight_px_w(p: np.ndarray, w: int, o: int,
+                bit_depth: int) -> np.ndarray:
+    """Integer-pixel-domain explicit weighting (search-side transform of
+    reference pixels): identical to weight_uni_w on the 14-bit intermediate
+    of an integer MV, since (p<<s)*w + 2^(WP_DENOM+s-1) >> (WP_DENOM+s)
+    == (p*w + 2^(WP_DENOM-1)) >> WP_DENOM."""
+    off = o << (bit_depth - 8)
+    v = (np.asarray(p, np.int64) * int(w) + (1 << (WP_DENOM - 1))) >> WP_DENOM
+    return np.clip(v + off, 0, (1 << bit_depth) - 1).astype(np.int32)
+
+
+def mc_block_w(ref: dict, x0: int, y0: int, n: int, mv, wp,
+               bit_depth: int = 8):
+    """(luma, cb, cr) MC for one square PU with explicit weights
+    wp = (wy, oy, wcb, ocb, wcr, ocr); wp None -> default weighting."""
+    if wp is None:
+        return mc_block(ref, x0, y0, n, mv, bit_depth)
+    mvx, mvy = int(mv[0]), int(mv[1])
+    wy, oy, wcb, ocb, wcr, ocr = wp
+    py = weight_uni_w(mc_luma_i(ref["y"], x0, y0, n, mvx, mvy, bit_depth),
+                      wy, oy, bit_depth)
+    pcb = weight_uni_w(mc_chroma_i(ref["cb"], x0 // 2, y0 // 2, n // 2,
+                                   mvx, mvy, bit_depth), wcb, ocb, bit_depth)
+    pcr = weight_uni_w(mc_chroma_i(ref["cr"], x0 // 2, y0 // 2, n // 2,
+                                   mvx, mvy, bit_depth), wcr, ocr, bit_depth)
+    return py, pcb, pcr
+
+
+def estimate_weights_p(cur_y, ref_y, cur_cb, ref_cb, cur_cr, ref_cr):
+    """Host-side weightp analysis (x265 weightP-style DC/AC match): per
+    plane w = 64 * std(cur)/std(ref), o = mean(cur) - w*mean(ref)/64,
+    gated to defaults when the gain would be noise.  Returns
+    (wy, oy, wcb, ocb, wcr, ocr) with denom WP_DENOM; (64,0)x3 = default."""
+    out = []
+    for c, r in ((cur_y, ref_y), (cur_cb, ref_cb), (cur_cr, ref_cr)):
+        mc_ = float(np.mean(c))
+        mr = float(np.mean(r))
+        sc = float(np.std(c))
+        sr = float(np.std(r))
+        w = 64
+        if sr > 0.5 and 0.25 < sc / sr < 4.0:
+            w = int(round(64.0 * sc / sr))
+        w = min(max(w, 1), 127)
+        o = int(round(mc_ - (w * mr) / 64.0))
+        o = min(max(o, -128), 127)
+        if abs(o) < 2 and abs(w - 64) < 3:
+            w, o = 64, 0
+        out += [w, o]
+    return tuple(out)
+
+
 def weight_bi(val0: np.ndarray, val1: np.ndarray,
               bit_depth: int) -> np.ndarray:
     """Default bi-prediction averaging (spec 8.5.4.2.4)."""

@@ -20,6 +20,8 @@ class Preset:
     bframes: bool = False  # IbPbP GOP (non-reference B pictures)
     ctb32: bool = False    # 32/16 two-level coding quadtree (IPPP)
     sdh: bool = True       # sign-data hiding (x265-medium `signhide`)
+    weightp: bool = True   # explicit weighted P prediction (x265-medium
+                           # `weightp`; ctb32 path: not yet wired)
 
 
 PRESETS = {
@@ -32,7 +34,7 @@ PRESETS = {
     "slow": Preset("slow", nxn=True, batch_frames=4, sao=True),
     # ctb32: the 32/16 quadtree encoder (x265's large-CU analogue), IbPbP
     "ctb32": Preset("ctb32", nxn=False, batch_frames=8, ctb32=True,
-                    bframes=True),
+                    bframes=True, weightp=False),
 }
 
 
@@ -57,7 +59,8 @@ def degrade(preset: Preset, step: int) -> Preset:
         # core/transcoder.py:94-99)
         return Preset(preset.name + "-d1", preset.nxn,
                       max(preset.batch_frames // 2, 1), preset.inter,
-                      preset.sao, bframes=False, sdh=preset.sdh)
+                      preset.sao, bframes=False, sdh=preset.sdh,
+                      weightp=preset.weightp)
     return Preset(preset.name + f"-d{step}", False,
                   max(preset.batch_frames >> step, 1), inter=step < 3,
-                  sao=False, sdh=preset.sdh)
+                  sao=False, sdh=preset.sdh, weightp=preset.weightp)
