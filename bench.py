@@ -30,7 +30,8 @@ def pipeline_fps(enc, frames, iters=2, gop=30, chunk=8):
     CABAC overlapped."""
     from collections import deque
     from hevc_tpu.encoder.gop import b_schedule, chunk_groups
-    sched = b_schedule(len(frames), gop, enc.cfg.bframes)
+    sched = b_schedule(len(frames), gop, enc.cfg.bframes,
+                       enc.cfg.bframes_n)
     groups = chunk_groups(sched, enc.cfg.bframes, chunk)
     t0 = time.time()
     n = 0
@@ -61,15 +62,16 @@ def bench_res(W, H, F, QP, label, synth_frame, baseline=False):
     tc, tr = pick_tile_grid((H + 15) // 16, (W + 15) // 16)
     log(f"[{label}] tile grid: {tc}x{tr}")
     cfg = StreamConfig(width=W, height=H, qp=QP, tile_cols=tc, tile_rows=tr,
-                       inter=True, bframes=True, sao=True,
-                       sdh=True, weightp=True)   # the medium preset (planner/presets)
+                       inter=True, bframes=True, sao=True, sdh=True,
+                       weightp=True,
+                       bframes_n=2)   # the medium preset (planner/presets)
     enc = GopEncoder(cfg)            # medium preset (NxN + MC + B)
 
     # ---- warm up / compile + collect real decisions ----
     from hevc_tpu.encoder.gop import b_schedule
     t0 = time.time()
     nals, decs = [], []
-    sched = b_schedule(F, 30, True)
+    sched = b_schedule(F, 30, True, cfg.bframes_n)
     from hevc_tpu.encoder.gop import chunk_groups
     for grp in chunk_groups(sched, True, 8):
         nals += enc.encode_chunk_async([frames[e[0]] for e in grp],

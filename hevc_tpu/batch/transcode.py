@@ -149,6 +149,7 @@ def convert_video(file_path, out_dir, progress_callback=None, debug=False,
                                 ctb32=getattr(pr, "ctb32", False),
                                 sdh=getattr(pr, "sdh", False),
                                 weightp=getattr(pr, "weightp", False),
+                                bframes_n=getattr(pr, "bframes_n", 1),
                                 rate_plan=plan if qp_override is None else None,
                                 gop=plan.gop if pr.inter else 0,
                                 out_digests=digest_map)
@@ -280,7 +281,7 @@ def _encode_to_mp4_ctb32(frames, info, level, qp, out_path,
             except Exception:
                 pass
 
-    sched = b_schedule(total, gop, bframes)
+    sched = b_schedule(total, gop, bframes)   # ctb32: IbPbP (nb=1)
     for i, (disp, kind, poc, rps) in enumerate(sched):
         if stop_event is not None and stop_event.is_set():
             for _, _, fut in pending:
@@ -354,6 +355,7 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
                    rate_plan=None, gop: int = 0, sao: bool = False,
                    bframes: bool = False, ctb32: bool = False,
                    sdh: bool = False, weightp: bool = False,
+                   bframes_n: int = 1,
                    out_digests: dict | None = None):
     from hevc_tpu.entropy.headers import StreamConfig
     from hevc_tpu.encoder.toplevel import VideoEncoder, entropy_encode_frame
@@ -398,6 +400,7 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
         bframes=bframes and use_inter,
         sdh=sdh and backend == "jax",
         weightp=weightp and use_inter,
+        bframes_n=bframes_n,
     )
     enc = VideoEncoder(cfg, backend=backend)
     rc = None
@@ -469,7 +472,8 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
         # is restored at mux time via ctts composition offsets.
         chunked = genc.mc
         from hevc_tpu.encoder.gop import b_schedule, chunk_groups
-        sched = b_schedule(total, gop, cfg.bframes) if chunked else None
+        sched = (b_schedule(total, gop, cfg.bframes, cfg.bframes_n)
+                 if chunked else None)
         i0 = i                      # resume offset into sched
         groups = (chunk_groups(sched[i:], cfg.bframes) if chunked
                   else None)

@@ -353,7 +353,9 @@ def _b_batch_jit(yp, cbp, crp, stack_y, stack_cb, stack_cr,
     dimension (Kb*T lanes through one row scan — lane scaling is much
     cheaper than sequential steps).  stack_*: (M, T, h, w) padded ref
     planes (carry-in refs + this chunk's per-step pads); idx0/idx1:
-    (Kb,) row indices selecting each picture's L0/L1 reference.
+    (Kb,) row indices selecting each picture's L0/L1 reference; dsf:
+    (Kb, 2) per-picture cross-list MV scaling factors (IbbP mini-GOPs
+    mix (1,2)/(2,1)/(1,1) anchor distances).
     """
     from hevc_tpu.encoder.pack import FramePackSpec, _SAO_FIELDS
     spec = FramePackSpec(tnh, tnw, tr * tc_, sao=sao)
@@ -373,10 +375,11 @@ def _b_batch_jit(yp, cbp, crp, stack_y, stack_cb, stack_cr,
              gather(stack_cr, idx0))
     pads1 = (gather(stack_y, idx1), gather(stack_cb, idx1),
              gather(stack_cr, idx1))
+    dsf_l = jnp.repeat(dsf, T, axis=0) if dsf.ndim == 2 else dsf
     outs = _rowscan_v1_scan(lanes(ya), lanes(cba), lanes(cra), qp, lam_bits,
                             tnh, tnw, bit_depth, lam16=lam16,
                             ref_pads=pads0, ref_pads1=pads1, sl16=sl16,
-                            dsf=dsf, enable_nxn=nxn_p, subpel=subpel,
+                            dsf=dsf_l, enable_nxn=nxn_p, subpel=subpel,
                             sdh=sdh, rdoq=rdoq)
 
     def unlane(a):
@@ -412,13 +415,15 @@ def _b_batch_jit(yp, cbp, crp, stack_y, stack_cb, stack_cr,
     return heads.reshape(-1), flat
 
 
-def b_schedule(n: int, gop: int = 0, bframes: bool = True):
+def b_schedule(n: int, gop: int = 0, bframes: bool = True, nb: int = 1):
     """Decode-order schedule: [(display_idx, kind, poc, rps_idx)].
 
-    kind: 0 IDR, 1 P, 2 non-reference B.  bframes=True -> IbPbP per GOP
-    segment (reference pictures at even display offsets, decode order
-    I P2 B1 P4 B3 ..., mirror of reference_encoder_v1._encode_video_b);
-    bframes=False -> plain IPPP in display order.
+    kind: 0 IDR, 1 P, 2 non-reference B.  bframes=True -> nb non-ref B
+    pictures between anchors (nb=1: IbPbP, decode order I P2 B1 P4 B3;
+    nb=2: IbbPbbP, anchors 3 apart, decode order I P3 b1 b2 P6 b4 b5 —
+    x265's `bframes` without the pyramid).  rps_idx indexes
+    entropy.headers.rps_sets; B entries carry the set matching their
+    (past, future) anchor distances.  bframes=False -> plain IPPP.
     """
     if not bframes:
         return [(k, 0 if (k == 0 or (gop and k % gop == 0)) else 1,
@@ -427,18 +432,23 @@ def b_schedule(n: int, gop: int = 0, bframes: bool = True):
                 for k in range(n)]
     starts = [k for k in range(n) if k == 0 or (gop and k % gop == 0)]
     segments = [(s, (starts + [n])[i + 1]) for i, s in enumerate(starts)]
+    step = nb + 1
+    # rps set ids per anchor distance / b position (headers.rps_sets)
+    p_rps = {2: 0, 1: 2} if nb == 1 else {3: 0, 2: 4, 1: 2}
+    b_rps = {(1, 1): 1} if nb == 1 else {(1, 2): 1, (2, 1): 3, (1, 1): 5}
     sched = []
     for (s, e) in segments:
         sched.append((s, 0, None, 0))
         prev = s
-        k = s + 2
+        k = s + step
         while prev < e - 1:
             r = min(k, e - 1)
-            sched.append((r, 1, r - s, 0 if r - prev == 2 else 2))
-            if r - prev == 2:
-                sched.append((prev + 1, 2, prev + 1 - s, 0))
+            d = r - prev
+            sched.append((r, 1, r - s, p_rps[d]))
+            for b in range(prev + 1, r):
+                sched.append((b, 2, b - s, b_rps[(b - prev, r - b)]))
             prev = r
-            k = r + 2
+            k = r + step
     return sched
 
 
@@ -780,7 +790,7 @@ class GopEncoder:
         # the B batch a 2.2 s serial block on the tunnel and pushed the
         # 16-frame 4K graph past the remote compiler's limits
         KR = min(chunk, 4) if cfg.bframes else chunk
-        KB = min(chunk, 4) if cfg.bframes else 0
+        KB = cfg.bframes_n * min(chunk, 4) if cfg.bframes else 0
         refs_pos = [j for j, m in enumerate(metas) if m[0] != 2]
         bees_pos = [j for j, m in enumerate(metas) if m[0] == 2]
         assert 0 < len(refs_pos) <= KR and len(bees_pos) <= max(KB, 0), \
@@ -960,7 +970,17 @@ class GopEncoder:
                                  pad_stack[pl]])
                 for pl in range(3))
             lbb, l16b, s16b = lam3(qp_b)
-            poc0 = metas[bees_pos[0]][1]
+            # per-picture cross-list scaling factors from each B's RPS
+            # set (anchor distances differ inside an IbbP mini-GOP)
+            from hevc_tpu.entropy.headers import rps_sets
+            sets = rps_sets(cfg)
+            dsf_rows = []
+            for j in bees_pos:
+                poc_b = metas[j][1]
+                neg, pos = sets[metas[j][2]]
+                dsf_rows.append(dsf_pair(poc_b, poc_b - neg[0],
+                                         poc_b + pos[0]))
+            dsf_rows += [dsf_rows[-1]] * (KB - nbee)
             heads_b, coefs_b = _b_batch_jit(
                 staged[3], staged[4], staged[5],
                 *stacks, jnp.asarray(idx0, jnp.int32),
@@ -968,7 +988,7 @@ class GopEncoder:
                 jnp.asarray(np.arange(KB) < nbee),
                 jnp.asarray(qp_b), jnp.asarray(lbb),
                 jnp.asarray(l16b, jnp.int32), jnp.asarray(s16b, jnp.int32),
-                jnp.asarray(dsf_pair(poc0, poc0 - 1, poc0 + 1)),
+                jnp.asarray(np.stack(dsf_rows)),
                 tnh, tnw, tr, tc, cfg.bit_depth, self.nxn_p, self.subpel,
                 sdh=cfg.sdh, rdoq=cfg.rdoq, sao=cfg.sao)
         else:
@@ -1136,7 +1156,8 @@ class GopEncoder:
         sequence matches encode_video_b / the numpy reference)."""
         self.reset()
         out = annexb(self.parameter_sets())
-        sched = b_schedule(len(frames), gop, self.cfg.bframes)
+        sched = b_schedule(len(frames), gop, self.cfg.bframes,
+                           self.cfg.bframes_n)
         futs = [fut for _, fut in self.encode_groups_pipelined(
             frames, chunk_groups(sched, self.cfg.bframes, chunk), chunk)]
         for fut in futs:

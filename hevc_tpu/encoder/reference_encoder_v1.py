@@ -745,59 +745,60 @@ class RefIntraEncoderV1:
         return {"y": dy, "cb": dcb, "cr": dcr}, sao_params
 
     def _encode_video_b(self, frames, gop: int = 0):
-        """IbPbP GOP: reference pictures at even display offsets, one
-        non-reference B between each pair.  Decode order: I P2 B1 P4 B3...
+        """B GOP driver (decode order != display order), scheduled by
+        encoder.gop.b_schedule: cfg.bframes_n non-reference B pictures
+        between anchors (1 = IbPbP, 2 = IbbPbbP).  Each B references the
+        nearest past/future anchors per its RPS set (the device chunk
+        path mirrors this schedule exactly).
         Returns (annexb bytes, recons in DISPLAY order)."""
+        import dataclasses
         from hevc_tpu.utils.bitio import annexb
+        from hevc_tpu.encoder.gop import b_schedule
+        from hevc_tpu.entropy.headers import rps_sets
         cfg = self.cfg
+        sets = rps_sets(cfg)
         out = annexb(self.parameter_sets())
         n = len(frames)
         recons = [None] * n
-        starts = [k for k in range(n)
-                  if k == 0 or (gop and k % gop == 0)]
-        segments = [(s, (starts + [n])[i + 1])
-                    for i, s in enumerate(starts)]
-        for (s, e) in segments:
-            refs = {}                  # display idx -> deblocked ref planes
-
-            def emit(nal):
-                nonlocal out
-                out += b"\x00\x00\x00\x01" + nal
-
-            # IDR at s
-            ctus, recon = self.encode_frame_decisions(*frames[s])
-            disp, sao_p = self._finish_pic(ctus, recon, None, *frames[s])
-            emit(entropy_encode_frame_v1(cfg, ctus, sao=sao_p))
-            refs[s] = disp
-            recons[s] = disp
-            prev_ref = s
-            k = s + 2
-            while prev_ref < e - 1:
-                r = min(k, e - 1)      # trailing odd segment -> lone P
-                poc_r = r - s
-                wp = self._wp_for(frames[r], frames[prev_ref])
+        refs = {}                     # display idx -> deblocked planes
+        seg0 = 0                      # current segment's IDR display idx
+        prev_ref_disp = None
+        cfg_b = dataclasses.replace(
+            cfg, qp=min(cfg.qp + self.B_QP_OFFSET, 51))
+        for (disp, kind, poc, rps) in b_schedule(n, gop, True,
+                                                 cfg.bframes_n):
+            if kind == 0:
+                refs.clear()
+                seg0 = disp
+                ctus, recon = self.encode_frame_decisions(*frames[disp])
+                dispf, sao_p = self._finish_pic(ctus, recon, None,
+                                                *frames[disp])
+                nal = entropy_encode_frame_v1(cfg, ctus, sao=sao_p)
+                prev_ref_disp = disp
+            elif kind == 1:
+                wp = self._wp_for(frames[disp], frames[prev_ref_disp])
                 ctus, recon, maps = self.encode_frame_p_decisions(
-                    *frames[r], refs[prev_ref], wp=wp)
-                disp, sao_p = self._finish_pic(ctus, recon, maps, *frames[r])
-                emit(entropy_encode_frame_v1(
-                    cfg, ctus, poc=poc_r, sao=sao_p,
-                    rps_idx=0 if r - prev_ref == 2 else 2, wp=wp))
-                refs[r] = disp
-                recons[r] = disp
-                if r - prev_ref == 2:  # the B between the two refs
-                    import dataclasses
-                    bidx = prev_ref + 1
-                    cfg_b = dataclasses.replace(
-                        cfg, qp=min(cfg.qp + self.B_QP_OFFSET, 51))
-                    ctus, recon, maps = self.encode_frame_b_decisions(
-                        *frames[bidx], refs[prev_ref], refs[r],
-                        (bidx - s, prev_ref - s, r - s))
-                    disp, _ = self._finish_pic(ctus, recon, maps,
-                                               *frames[bidx],
-                                               qp=cfg_b.qp, do_sao=False)
-                    emit(entropy_encode_frame_v1(cfg_b, ctus, poc=bidx - s,
-                                                 sao=None, b_slice=True))
-                    recons[bidx] = disp
-                prev_ref = r
-                k = r + 2
+                    *frames[disp], refs[prev_ref_disp], wp=wp)
+                dispf, sao_p = self._finish_pic(ctus, recon, maps,
+                                                *frames[disp])
+                nal = entropy_encode_frame_v1(cfg, ctus, poc=poc,
+                                              sao=sao_p, rps_idx=rps,
+                                              wp=wp)
+                prev_ref_disp = disp
+            else:
+                neg, pos = sets[rps]
+                l0, l1 = disp - neg[0], disp + pos[0]
+                ctus, recon, maps = self.encode_frame_b_decisions(
+                    *frames[disp], refs[l0], refs[l1],
+                    (poc, l0 - seg0, l1 - seg0))
+                dispf, _ = self._finish_pic(ctus, recon, maps,
+                                            *frames[disp], qp=cfg_b.qp,
+                                            do_sao=False)
+                nal = entropy_encode_frame_v1(cfg_b, ctus, poc=poc,
+                                              sao=None, b_slice=True,
+                                              rps_idx=rps)
+            out += b"\x00\x00\x00\x01" + nal
+            if kind != 2:
+                refs[disp] = dispf
+            recons[disp] = dispf
         return out, recons

@@ -823,7 +823,8 @@ def _rowscan_v1_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh, tnw, bit_depth,
                 """Device mirror of ops.inter.amvp_list_b (distinct ref
                 POCs per list, so cross-list unscaled never applies)."""
                 ly = 1 - lx
-                d_ = dsf[lx]
+                # dsf: (2,) batch-uniform or (B, 2) per-lane factors
+                d_ = dsf[lx] if dsf.ndim == 1 else dsf[:, lx][:, None]
 
                 def unscaled(av_, pf_, mv_):
                     return av_ & pf_[:, lx], mv_[:, lx]

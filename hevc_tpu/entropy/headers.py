@@ -68,6 +68,10 @@ class StreamConfig:
     weightp: bool = False          # explicit weighted prediction, P slices
                                    # (x265-medium `weightp`; PPS
                                    # weighted_pred_flag + per-slice table)
+    bframes_n: int = 1             # non-reference B pictures per mini-GOP
+                                   # (1 = IbPbP, 2 = IbbPbbP; x265-medium
+                                   # runs bframes 4 w/ pyramid - multi-B
+                                   # is the non-pyramid step toward it)
     extra: dict = field(default_factory=dict)
 
     @property
@@ -77,6 +81,11 @@ class StreamConfig:
     @property
     def num_tiles(self) -> int:
         return self.tile_cols * self.tile_rows
+
+    def rps_nbits(self) -> int:
+        """Fixed-bit width of short_term_ref_pic_set_idx (7.4.7.1)."""
+        n = len(rps_sets(self))
+        return max(1, (n - 1).bit_length()) if n > 1 else 0
 
     def tile_grid(self) -> tuple[list[int], list[int]]:
         """(col_widths, row_heights) in CTUs, uniform spacing (spec 6.5.1)."""
@@ -134,8 +143,8 @@ def write_vps(cfg: StreamConfig) -> bytes:
     w.u(0xFFFF, 16)                 # vps_reserved_0xffff_16bits
     _profile_tier_level(w, cfg)
     w.u(0, 1)                       # vps_sub_layer_ordering_info_present_flag
-    w.ue(2 if cfg.bframes else 1)   # vps_max_dec_pic_buffering_minus1[0]
-    w.ue(1 if cfg.bframes else 0)   # vps_max_num_reorder_pics[0]
+    w.ue(1 + cfg.bframes_n if cfg.bframes else 1)   # vps_max_dec_pic_buffering_minus1[0]
+    w.ue(cfg.bframes_n if cfg.bframes else 0)       # vps_max_num_reorder_pics[0]
     w.ue(0)                         # vps_max_latency_increase_plus1[0]
     w.u(0, 6)                       # vps_max_layer_id
     w.ue(0)                         # vps_num_layer_sets_minus1
@@ -169,8 +178,8 @@ def write_sps(cfg: StreamConfig) -> bytes:
     w.ue(cfg.bit_depth - 8)         # bit_depth_chroma_minus8
     w.ue(4)                         # log2_max_pic_order_cnt_lsb_minus4 (=> 8 bits)
     w.u(0, 1)                       # sps_sub_layer_ordering_info_present_flag
-    w.ue(2 if cfg.bframes else 1)   # sps_max_dec_pic_buffering_minus1
-    w.ue(1 if cfg.bframes else 0)   # sps_max_num_reorder_pics
+    w.ue(1 + cfg.bframes_n if cfg.bframes else 1)   # sps_max_dec_pic_buffering_minus1
+    w.ue(cfg.bframes_n if cfg.bframes else 0)       # sps_max_num_reorder_pics
     w.ue(0)                         # sps_max_latency_increase_plus1
     w.ue(cfg.log2_min_cb - 3)       # log2_min_luma_coding_block_size_minus3
     w.ue(cfg.log2_ctb - cfg.log2_min_cb)
@@ -182,36 +191,19 @@ def write_sps(cfg: StreamConfig) -> bytes:
     w.u(0, 1)                       # amp_enabled_flag
     w.u(1 if cfg.sao else 0, 1)     # sample_adaptive_offset_enabled_flag
     w.u(0, 1)                       # pcm_enabled_flag
-    if cfg.inter and cfg.bframes:
-        # set 0 (P): the previous REFERENCE picture (POC distance 2);
-        # set 1 (B): nearest past + nearest future reference;
-        # set 2 (trailing P after an odd segment end): distance 1
-        w.ue(3)                     # num_short_term_ref_pic_sets
-        w.ue(1)                     # set0: num_negative_pics
-        w.ue(0)                     #       num_positive_pics
-        w.ue(1)                     #       delta_poc_s0_minus1[0] -> 2
-        w.u(1, 1)                   #       used_by_curr_pic_s0_flag[0]
-        w.u(0, 1)                   # set1: inter_ref_pic_set_prediction_flag
-        w.ue(1)                     #       num_negative_pics
-        w.ue(1)                     #       num_positive_pics
-        w.ue(0)                     #       delta_poc_s0_minus1[0] -> 1
-        w.u(1, 1)                   #       used_by_curr_pic_s0_flag[0]
-        w.ue(0)                     #       delta_poc_s1_minus1[0] -> 1
-        w.u(1, 1)                   #       used_by_curr_pic_s1_flag[0]
-        w.u(0, 1)                   # set2: inter_ref_pic_set_prediction_flag
-        w.ue(1)                     #       num_negative_pics
-        w.ue(0)                     #       num_positive_pics
-        w.ue(0)                     #       delta_poc_s0_minus1[0] -> 1
-        w.u(1, 1)                   #       used_by_curr_pic_s0_flag[0]
-    elif cfg.inter:
-        # one RPS: the immediately preceding picture, used by current
-        w.ue(1)                     # num_short_term_ref_pic_sets
-        w.ue(1)                     # num_negative_pics     (st_ref_pic_set(0))
-        w.ue(0)                     # num_positive_pics
-        w.ue(0)                     # delta_poc_s0_minus1[0]
-        w.u(1, 1)                   # used_by_curr_pic_s0_flag[0]
-    else:
-        w.ue(0)                     # num_short_term_ref_pic_sets
+    sets = rps_sets(cfg)
+    w.ue(len(sets))                 # num_short_term_ref_pic_sets
+    for i, (neg, pos) in enumerate(sets):
+        if i:
+            w.u(0, 1)               # inter_ref_pic_set_prediction_flag
+        w.ue(len(neg))              # num_negative_pics
+        w.ue(len(pos))              # num_positive_pics
+        for d in neg:               # single-entry lists, delta from cur
+            w.ue(d - 1)             # delta_poc_s0_minus1
+            w.u(1, 1)               # used_by_curr_pic_s0_flag
+        for d in pos:
+            w.ue(d - 1)             # delta_poc_s1_minus1
+            w.u(1, 1)               # used_by_curr_pic_s1_flag
     w.u(0, 1)                       # long_term_ref_pics_present_flag
     w.u(0, 1)                       # sps_temporal_mvp_enabled_flag
     w.u(0, 1)                       # strong_intra_smoothing_enabled_flag
@@ -246,6 +238,24 @@ def _write_vui(w: BitWriter, cfg: StreamConfig) -> None:
     w.u(0, 1)                       # vui_poc_proportional_to_timing_flag
     w.u(0, 1)                       # vui_hrd_parameters_present_flag
     w.u(0, 1)                       # bitstream_restriction_flag
+
+
+def rps_sets(cfg: StreamConfig) -> list:
+    """The SPS short-term RPS table: [(neg deltas, pos deltas)].
+
+    THE single source of truth shared by the SPS writer, the GOP
+    scheduler (encoder/gop.b_schedule rps_idx fields) and the per-B
+    dsf derivation.  bframes_n=1: {P@2, b(1,1), P@1};  bframes_n=2:
+    {P@3, b(1,2), P@1, b(2,1), P@2, b(1,1)} (trailing-segment P/b
+    shapes included)."""
+    if not cfg.inter:
+        return []
+    if not cfg.bframes:
+        return [([1], [])]
+    if cfg.bframes_n >= 2:
+        return [([3], []), ([1], [2]), ([1], []),
+                ([2], [1]), ([2], []), ([1], [1])]
+    return [([2], []), ([1], [1]), ([1], [])]
 
 
 def write_pps(cfg: StreamConfig) -> bytes:
@@ -372,7 +382,7 @@ def write_slice_header_p(cfg: StreamConfig, poc_lsb: int,
     w.u(poc_lsb & 0xFF, 8)          # slice_pic_order_cnt_lsb (log2 = 8)
     w.u(1, 1)                       # short_term_ref_pic_set_sps_flag
     if cfg.bframes:
-        w.u(rps_idx, 2)             # short_term_ref_pic_set_idx (3 sets)
+        w.u(rps_idx, cfg.rps_nbits())   # short_term_ref_pic_set_idx
     if cfg.sao:
         s = 1 if (sao_on or sao_on is None) else 0
         w.u(s, 1)                   # slice_sao_luma_flag
@@ -400,11 +410,14 @@ def write_slice_header_p(cfg: StreamConfig, poc_lsb: int,
 
 def write_slice_header_b(cfg: StreamConfig, poc_lsb: int,
                          entry_point_offsets: list[int] | None = None,
-                         sao_on: bool | None = None) -> BitWriter:
+                         sao_on: bool | None = None,
+                         rps_idx: int = 1) -> BitWriter:
     """B-slice (TRAIL_N, non-reference) slice segment header.
 
-    RPS set 1 (nearest past + nearest future), one active ref per list,
-    MaxNumMergeCand = 1, mvd_l1_zero off, default weighting.
+    rps_idx selects the (past, future) reference pair from rps_sets
+    (set 1 = the nearest-past + nearest-future IbPbP pair); one active
+    ref per list, MaxNumMergeCand = 1, mvd_l1_zero off, default
+    weighting.
     """
     w = BitWriter()
     w.u(1, 1)                       # first_slice_segment_in_pic_flag
@@ -412,7 +425,7 @@ def write_slice_header_b(cfg: StreamConfig, poc_lsb: int,
     w.ue(0)                         # slice_type = B
     w.u(poc_lsb & 0xFF, 8)          # slice_pic_order_cnt_lsb
     w.u(1, 1)                       # short_term_ref_pic_set_sps_flag
-    w.u(1, 2)                       # short_term_ref_pic_set_idx = 1 (B set)
+    w.u(rps_idx, cfg.rps_nbits())   # short_term_ref_pic_set_idx
     if cfg.sao:
         s = 1 if (sao_on or sao_on is None) else 0
         w.u(s, 1)                   # slice_sao_luma_flag

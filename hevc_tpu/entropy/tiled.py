@@ -105,7 +105,8 @@ def assemble_slice(cfg: StreamConfig, payloads: list[bytes],
         hdr = write_slice_header_idr(cfg, offs, sao_on=sao_on).bytes()
         return make_nal(NAL_IDR_W_RADL, hdr + b"".join(payloads))
     if b_slice:
-        hdr = write_slice_header_b(cfg, poc, offs, sao_on=sao_on).bytes()
+        hdr = write_slice_header_b(cfg, poc, offs, sao_on=sao_on,
+                                   rps_idx=rps_idx or 1).bytes()
         return make_nal(NAL_TRAIL_N, hdr + b"".join(payloads))
     hdr = write_slice_header_p(cfg, poc, offs, rps_idx=rps_idx,
                                sao_on=sao_on, wp=wp).bytes()

@@ -22,15 +22,18 @@ class Preset:
     sdh: bool = True       # sign-data hiding (x265-medium `signhide`)
     weightp: bool = True   # explicit weighted P prediction (x265-medium
                            # `weightp`; ctb32 path: not yet wired)
+    bframes_n: int = 1     # non-ref B pictures per mini-GOP (2 = IbbP,
+                           # the multi-B step toward x265's bframes 4)
 
 
 PRESETS = {
-    "fast": Preset("fast", nxn=False, batch_frames=16, bframes=True),
+    "fast": Preset("fast", nxn=False, batch_frames=16, bframes=True,
+                   bframes_n=2),
     # medium matches x265-medium's always-on SAO (reference delegate
     # core/transcoder.py:398-412); SAO runs inside the chunk scan,
     # non-reference B slices code SAO-off
     "medium": Preset("medium", nxn=True, batch_frames=8, bframes=True,
-                     sao=True),
+                     sao=True, bframes_n=2),
     "slow": Preset("slow", nxn=True, batch_frames=4, sao=True),
     # ctb32: the 32/16 quadtree encoder (x265's large-CU analogue), IbPbP
     "ctb32": Preset("ctb32", nxn=False, batch_frames=8, ctb32=True,

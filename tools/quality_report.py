@@ -241,7 +241,7 @@ def run_bd(width, height, n_frames, qps, crfs, kinds, gop=30,
                 cfg = StreamConfig(width=width, height=height, qp=qp,
                                    tile_cols=tc, tile_rows=tr, deblock=True,
                                    inter=True, bframes=True, sdh=True,
-                                   weightp=True)
+                                   weightp=True, bframes_n=2)
                 stream = GopEncoder(cfg).encode_video_chunked(frames,
                                                               gop=gop)
             enc_t = time.time() - t0
