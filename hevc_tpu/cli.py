@@ -29,7 +29,9 @@ def parse_args(argv=None):
     p.add_argument("--workers", type=int, default=None)
     p.add_argument("--qp", type=int, default=None,
                    help="override the planned QP (constant-QP encode)")
-    p.add_argument("--preset", choices=["fast", "medium", "slow", "ctb32"],
+    p.add_argument("--preset", choices=["p4", "p5", "p6", "p7",
+                                    "fast", "medium", "slow",
+                                    "ctb32"],
                    default=None, help="encoder preset (default: auto by "
                    "resolution/HDR, the reference's p4-p7 analogue)")
     p.add_argument("--resume", action="store_true",

@@ -67,11 +67,25 @@ def main() -> int:
 
     overall = ttk.Progressbar(frm, maximum=100)
     overall.pack(fill="x", pady=4)
-    tree = ttk.Treeview(frm, columns=("status", "pct"), show="tree headings",
-                        height=12)
-    tree.heading("status", text="status")
-    tree.heading("pct", text="%")
-    tree.pack(fill="both", expand=True)
+    # per-file rows: custom pulse/inverse-text progress bars with a
+    # green/red finish border (reference TextProgressBar/FileItemWidget,
+    # gui/mainwindow.py:23-153), in a scrollable list.  Rows key by FULL
+    # path — the reference keyed by basename and collided (known bug,
+    # SURVEY §7).
+    from hevc_tpu.gui_widgets import FileItemRow
+    list_wrap = ttk.Frame(frm)
+    list_wrap.pack(fill="both", expand=True)
+    list_canvas = tk.Canvas(list_wrap, height=240)
+    scroll = ttk.Scrollbar(list_wrap, orient="vertical",
+                           command=list_canvas.yview)
+    rows_frame = ttk.Frame(list_canvas)
+    rows_frame.bind("<Configure>", lambda e: list_canvas.configure(
+        scrollregion=list_canvas.bbox("all")))
+    list_canvas.create_window((0, 0), window=rows_frame, anchor="nw")
+    list_canvas.configure(yscrollcommand=scroll.set)
+    list_canvas.pack(side="left", fill="both", expand=True)
+    scroll.pack(side="right", fill="y")
+    rows: dict[str, FileItemRow] = {}
     logbox = tk.Text(frm, height=5)
     logbox.pack(fill="x", pady=4)
 
@@ -85,7 +99,7 @@ def main() -> int:
         files = find_inputs(in_var.get())
         msg_q.put(("log", f"{len(files)} files queued"))
         for f in files:
-            msg_q.put(("item", f.name))
+            msg_q.put(("item", str(f), f.name))
         try:
             results = batch_convert(in_var.get(), out_var.get(),
                                     max_workers=workers_var.get(),
@@ -118,22 +132,27 @@ def main() -> int:
                     logbox.insert("end", msg[1] + "\n")
                     logbox.see("end")
                 elif msg[0] == "item":
-                    if not tree.exists(msg[1]):
-                        tree.insert("", "end", iid=msg[1], text=msg[1],
-                                    values=("queued", "0"))
+                    path, name = msg[1:]
+                    if path not in rows:
+                        rows[path] = FileItemRow(rows_frame, name)
+                        rows[path].name = name
                 elif msg[0] == "progress":
                     name, frame, total = msg[1:]
-                    pct = int(100 * frame / max(total, 1))
+                    pct = 100 * frame / max(total, 1)
                     progress_state[name] = pct
-                    if tree.exists(name):
-                        tree.item(name, values=("encoding", str(pct)))
+                    for r in rows.values():
+                        if r.name == name:
+                            r.bar.status = "encoding"
+                            r.set_progress(pct)
                     if progress_state:
                         overall["value"] = (sum(progress_state.values())
                                             / len(progress_state))
                 elif msg[0] == "done":
                     name, status = msg[1:]
-                    if tree.exists(name):
-                        tree.item(name, values=(status, "100"))
+                    for r in rows.values():
+                        if r.name == name:
+                            r.set_progress(100)
+                            r.set_status(status)
         except queue.Empty:
             pass
         root.after(100, poll)

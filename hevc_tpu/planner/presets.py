@@ -27,29 +27,44 @@ class Preset:
 
 
 PRESETS = {
-    "fast": Preset("fast", nxn=False, batch_frames=16, bframes=True,
-                   bframes_n=2),
-    # medium matches x265-medium's always-on SAO (reference delegate
-    # core/transcoder.py:398-412); SAO runs inside the chunk scan,
-    # non-reference B slices code SAO-off
-    "medium": Preset("medium", nxn=True, batch_frames=8, bframes=True,
-                     sao=True, bframes_n=2),
-    "slow": Preset("slow", nxn=True, batch_frames=4, sao=True),
+    # p4..p7: the reference's NVENC quality ladder (select_nvenc_preset,
+    # reference core/transcoder.py:77-92) re-expressed as encoder
+    # toolsets — higher p = more RD tools, not a GPU clock:
+    #   p4  no NxN intra, single-B mini-GOPs, no SAO        (fastest)
+    #   p5  multi-B (IbbP) + weightp + SDH                  (= fast)
+    #   p6  + NxN intra in I pictures, SAO in the chunk scan (= medium,
+    #       the x265-medium toolset analogue)
+    #   p7  + smaller batches for tighter rate control       (= slow-mt)
+    # RDOQ-lite is deliberately OFF at every tier: measured +3% bytes,
+    # -0.3 dB on the bench content (r3) — the lambda model needs work.
+    "p4": Preset("p4", nxn=False, batch_frames=16, bframes=True,
+                 bframes_n=1),
+    "p5": Preset("p5", nxn=False, batch_frames=16, bframes=True,
+                 bframes_n=2),
+    "p6": Preset("p6", nxn=True, batch_frames=8, bframes=True,
+                 sao=True, bframes_n=2),
+    "p7": Preset("p7", nxn=True, batch_frames=4, bframes=True,
+                 sao=True, bframes_n=2),
     # ctb32: the 32/16 quadtree encoder (x265's large-CU analogue), IbPbP
     "ctb32": Preset("ctb32", nxn=False, batch_frames=8, ctb32=True,
                     bframes=True, weightp=False),
+    # legacy per-frame pipeline with SAO (pre-chunked slow path)
+    "slow": Preset("slow", nxn=True, batch_frames=4, sao=True),
 }
+# x265-ish aliases kept for the CLI and tests
+PRESETS["fast"] = PRESETS["p5"]
+PRESETS["medium"] = PRESETS["p6"]
 
 
 def select_preset(width: int, height: int, is_hdr: bool) -> Preset:
-    """Resolution x HDR matrix (the reference biased presets by the same
-    two inputs).  Bigger frames lean faster; HDR biases one step faster."""
-    if height >= 2160:
-        name = "fast"
-    elif height >= 1080:
-        name = "fast" if is_hdr else "medium"
+    """The reference's resolution x HDR preset matrix, verbatim
+    (select_nvenc_preset, core/transcoder.py:77-92): bigger/HDR content
+    gets the higher-quality tier."""
+    res = max(width, height)
+    if is_hdr:
+        name = "p7" if res >= 3840 else ("p6" if res >= 2560 else "p5")
     else:
-        name = "medium" if is_hdr else "slow"
+        name = "p6" if res >= 3840 else ("p5" if res >= 2560 else "p4")
     return PRESETS[name]
 
 
