@@ -357,13 +357,31 @@ def _b_batch_jit(yp, cbp, crp, stack_y, stack_cb, stack_cr,
     (Kb, 2) per-picture cross-list MV scaling factors (IbbP mini-GOPs
     mix (1,2)/(2,1)/(1,1) anchor distances).
     """
+    ya = _split_tiles_j(yp, tr, tc_, tnh, tnw, 16)
+    cba = _split_tiles_j(cbp, tr, tc_, tnh, tnw, 8)
+    cra = _split_tiles_j(crp, tr, tc_, tnh, tnw, 8)
+    return _b_batch_blocks(ya, cba, cra, stack_y, stack_cb, stack_cr,
+                           idx0, idx1, act, qp, lam_bits, lam16, sl16,
+                           dsf, tnh, tnw, tr, tc_, bit_depth, nxn_p,
+                           subpel, sdh=sdh, rdoq=rdoq, sao=sao)
+
+
+def _b_batch_blocks(ya, cba, cra, stack_y, stack_cb, stack_cr,
+                    idx0, idx1, act, qp, lam_bits, lam16, sl16, dsf,
+                    tnh, tnw, tr, tc_, bit_depth, nxn_p, subpel,
+                    streams=1, sdh=False, rdoq=False, sao=False):
+    """Traceable B-batch body over pre-split tile blocks
+    (Kb, T, tnh, tnw, n, n) with T = streams * tr * tc_ — the
+    shard-friendly entry (parallel.streams.encode_b_batch_sharded), the
+    lane axis carries streams x tiles exactly like _gop_chunk_blocks."""
     from hevc_tpu.encoder.pack import FramePackSpec, _SAO_FIELDS
-    spec = FramePackSpec(tnh, tnw, tr * tc_, sao=sao)
-    S, T = tnh * tnw, tr * tc_
-    Kb = yp.shape[0]
-    ya = _split_tiles_j(yp, tr, tc_, tnh, tnw, 16).astype(jnp.int32)
-    cba = _split_tiles_j(cbp, tr, tc_, tnh, tnw, 8).astype(jnp.int32)
-    cra = _split_tiles_j(crp, tr, tc_, tnh, tnw, 8).astype(jnp.int32)
+    T1 = streams * tr * tc_
+    spec = FramePackSpec(tnh, tnw, T1, sao=sao)
+    S, T = tnh * tnw, T1
+    Kb = ya.shape[0]
+    ya = ya.astype(jnp.int32)
+    cba = cba.astype(jnp.int32)
+    cra = cra.astype(jnp.int32)
 
     def lanes(a):
         return a.reshape((Kb * T,) + a.shape[2:])
