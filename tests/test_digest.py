@@ -50,6 +50,7 @@ def test_verify_digests_crop_and_mismatch():
     assert msgs and "frame 1" in msgs[0]
 
 
+@pytest.mark.slow
 def test_chunked_digests_match_decoded_frames():
     """The chunk scan's device digests must equal digests of the decoded
     display frames (the validator's whole-stream pixel check end to end:

@@ -21,6 +21,7 @@ def _frames(rng, W, H, n):
     return out
 
 
+@pytest.mark.slow
 def test_ici_step_matches_single_device():
     import jax.numpy as jnp
     from hevc_tpu.encoder.gop import _gop_step_jit, GopEncoder

@@ -199,6 +199,7 @@ def test_sdh_cpp_entropy_identical():
         assert py == cpp, qp
 
 
+@pytest.mark.slow
 def test_sdh_device_gop_matches_reference():
     """The chunked device production path with sdh drives the same
     IbPbP stream as the numpy reference encoder, byte-identical."""
