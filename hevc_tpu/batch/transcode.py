@@ -229,6 +229,7 @@ def _encode_to_mp4_ctb32(frames, info, level, qp, out_path,
                          progress_callback, file_name, stop_event, deadline,
                          audio, rate_plan, gop, fps, bit_depth,
                          sdh: bool = False, bframes: bool = False,
+                         sao: bool = False,
                          out_digests: dict | None = None):
     """ctb32-preset encode: 32/16 quadtree IPPP/IbPbP on the fused device
     path.  With B pictures samples land in decode order and display order
@@ -254,7 +255,7 @@ def _encode_to_mp4_ctb32(frames, info, level, qp, out_path,
         color_transfer=info.color_transfer, color_space=info.color_space,
         full_range=info.color_range == "pc", chromaloc=info.chromaloc,
         hdr=info.is_hdr, tile_cols=tc, tile_rows=tr, inter=True, sdh=sdh,
-        bframes=bframes)
+        bframes=bframes, sao=sao)
     rc = None
     if rate_plan is not None:
         from hevc_tpu.encoder.rc import RateController
@@ -384,7 +385,7 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
                                     progress_callback, file_name,
                                     stop_event, deadline, audio, rate_plan,
                                     gop, fps, bit_depth, sdh,
-                                    bframes=bframes and use_inter,
+                                    bframes=bframes and use_inter, sao=sao,
                                     out_digests=out_digests)
     cfg = StreamConfig(
         width=w, height=h, qp=qp, fps=fps, bit_depth=bit_depth,

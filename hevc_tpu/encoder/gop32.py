@@ -363,7 +363,9 @@ _INT_G_B = _INT_G + (("dir32", np.int8, 1), ("mvp32_1", np.int8, 1),
 class Ctb32PackSpec:
     """Device-packed per-frame syntax layout for the ctb32 profile."""
 
-    def __init__(self, tnh32: int, tnw32: int, T: int, b: bool = False):
+    def __init__(self, tnh32: int, tnw32: int, T: int, b: bool = False,
+                 sao: bool = False, sao_grid: tuple[int, int] | None = None):
+        from hevc_tpu.encoder.pack import _SAO_FIELDS
         self.s32 = tnh32 * tnw32
         self.s16 = 4 * self.s32
         self.T = T
@@ -378,10 +380,18 @@ class Ctb32PackSpec:
         self.bool_pad = (-nbool) % 8
         self.bool_bytes = (nbool + self.bool_pad) // 8
         self.coef_elems = (256 + 64 + 64) * n16
-        self.head_bytes = self.int_bytes + self.bool_bytes + 4
+        # sao section: the 9 sao_frame_j param grids per CTB32, int8,
+        # FRAME-grid raster (nh32, nw32[, 4]) — estimated on the
+        # assembled frame, not per lane (same layout rule as
+        # pack.FramePackSpec's sao section)
+        self.sao = sao
+        self.sao_grid = sao_grid
+        self.sao_bytes = sum(k for _, k in _SAO_FIELDS) * n32 if sao else 0
+        self.head_bytes = (self.int_bytes + self.bool_bytes
+                           + self.sao_bytes + 4)
 
-    def pack_head(self, c16: dict, c32: dict, nnz):
-        from hevc_tpu.encoder.pack import _u8, _bitpack_j
+    def pack_head(self, c16: dict, c32: dict, nnz, sao_f: dict | None = None):
+        from hevc_tpu.encoder.pack import _u8, _bitpack_j, _SAO_FIELDS
         parts = []
         for nm, dt, k in self.int_c:
             parts.append(_u8(c16[nm]))
@@ -394,6 +404,9 @@ class Ctb32PackSpec:
             bools = jnp.concatenate([bools,
                                      jnp.zeros(self.bool_pad, bool)])
         parts.append(_bitpack_j(bools))
+        if self.sao:
+            parts += [_u8(sao_f[nm].astype(jnp.int8))
+                      for nm, _ in _SAO_FIELDS]
         parts.append(_u8(nnz.astype(jnp.int32).reshape(1)))
         return jnp.concatenate(parts)
 
@@ -421,6 +434,16 @@ class Ctb32PackSpec:
         for nm in _BOOL_G:
             out[nm] = bits[boff:boff + s32 * T].astype(bool).reshape(s32, T)
             boff += s32 * T
+        if self.sao:
+            from hevc_tpu.encoder.pack import _SAO_FIELDS
+            grid = self.sao_grid
+            for nm, k in _SAO_FIELDS:
+                cnt = k * s32 * T
+                a = buf[off:off + cnt].view(np.int8)
+                if grid is not None:
+                    a = a.reshape(grid if k == 1 else grid + (k,))
+                out[nm] = a
+                off += cnt
         nnz = int(buf[off:off + 4].view(np.int32)[0])
         return out, nnz
 
@@ -434,13 +457,15 @@ def _split32_j(p, tr, tc_, tnh32, tnw32, bs):
 
 @partial(jax.jit, static_argnames=("tnh32", "tnw32", "tr", "tc_",
                                    "bit_depth", "idr", "subpel", "deblock",
-                                   "sdh", "rdoq", "cap"))
+                                   "sdh", "rdoq", "sao", "cap"))
 def _gop32_step_jit(flat, pad_y, pad_cb, pad_cr, qp, lam_bits, lam16, sl16,
                     tnh32, tnw32, tr, tc_, bit_depth, idr, subpel, deblock,
-                    sdh, rdoq, cap):
+                    sdh, rdoq, sao, cap):
     """One fused ctb32 frame dispatch: stage sources from the flat upload,
-    scan, deblock + DPB pad, device-pack the syntax, and assemble the one
-    fetch buffer.  Single round trip per frame on the tunnel."""
+    scan, deblock [+ SAO at CTB granularity 32] + DPB pad, device-pack the
+    syntax, and assemble the one fetch buffer.  Single round trip per
+    frame on the tunnel; the SAO'd reconstruction is the DPB feedback
+    (spec order: SAO output is the reference picture)."""
     from hevc_tpu.encoder.pack import coef_stream
     from hevc_tpu.ops.deblock_jax import assemble_deblock_pad_jit
     T = tr * tc_
@@ -480,11 +505,14 @@ def _gop32_step_jit(flat, pad_y, pad_cb, pad_cr, qp, lam_bits, lam16, sl16,
         cbf_s = jnp.where(intra_s, zr(cells["cbf_y"]), zr(cells["cbf_yi"]))
         mv_s = zr(cells["mv"])
     nxn_s = jnp.zeros((S16, T), bool)
+    srcs3 = (yp.astype(jnp.int32), cbp.astype(jnp.int32),
+             crp.astype(jnp.int32)) if sao else None
     d = assemble_deblock_pad_jit.__wrapped__(
         rec_y, rec_cb, rec_cr, qp, intra_s, cbf_s, mv_s, nxn_s,
-        tnh16, tnw16, tr, tc_, bit_depth, deblock, do_pad=True)
+        tnh16, tnw16, tr, tc_, bit_depth, deblock, do_pad=True,
+        sao_srcs=srcs3, lam16=lam16, sao_ctb=32)
 
-    spec = Ctb32PackSpec(tnh32, tnw32, T)
+    spec = Ctb32PackSpec(tnh32, tnw32, T, sao=sao)
     z16 = jnp.zeros((S16, T), jnp.int8)
     z16v = jnp.zeros((S16, T, 2), jnp.int16)
     z32 = jnp.zeros((spec.s32, T), jnp.int8)
@@ -524,7 +552,11 @@ def _gop32_step_jit(flat, pad_y, pad_cb, pad_cr, qp, lam_bits, lam16, sl16,
                                  lvl_cb.astype(jnp.int16).reshape(-1),
                                  lvl_cr.astype(jnp.int16).reshape(-1)])
     nnz = (flat_coef != 0).sum(dtype=jnp.int32)
-    head = spec.pack_head(c16, g32, nnz)
+    sao_f = None
+    if sao:
+        from hevc_tpu.encoder.pack import _SAO_FIELDS
+        sao_f = {nm: d[6 + i] for i, (nm, _) in enumerate(_SAO_FIELDS)}
+    head = spec.pack_head(c16, g32, nnz, sao_f)
     bits, vbuf, _ = coef_stream(flat_coef[None])
     fetch = jnp.concatenate([head, bits, vbuf[:cap * 2]])
     return fetch, vbuf, d[3], d[4], d[5]
@@ -607,7 +639,7 @@ class Ctb32GopEncoder:
     pipeline shape at log2_ctb = 5)."""
 
     def __init__(self, cfg: StreamConfig, subpel: bool = True):
-        assert cfg.log2_ctb == 5 and cfg.log2_min_cb == 4 and not cfg.sao
+        assert cfg.log2_ctb == 5 and cfg.log2_min_cb == 4
         from hevc_tpu.utils.jaxcfg import ensure_compile_cache
         ensure_compile_cache()
         self.cfg = cfg
@@ -669,12 +701,13 @@ class Ctb32GopEncoder:
         lam16 = jnp.asarray(skip_lambda16(qp_eff), jnp.int32)
         sl16 = jnp.asarray(int(np.sqrt(0.85 * 2.0 ** ((qp_eff - 12) / 3.0))
                                * 16), jnp.int32)
-        spec = Ctb32PackSpec(tnh32, tnw32, T)
+        spec = Ctb32PackSpec(tnh32, tnw32, T, sao=cfg.sao,
+                             sao_grid=(tr * tnh32, tc * tnw32))
         cap = min(self._cap_hint, spec.coef_elems // 2)
         fetch, vbuf, py, pcb, pcr = _gop32_step_jit(
             flat, *self._pads, jnp.asarray(qp), rs.lam_bits, lam16, sl16,
             tnh32, tnw32, tr, tc, cfg.bit_depth, is_idr, self.subpel,
-            cfg.deblock, cfg.sdh, cfg.rdoq, cap)
+            cfg.deblock, cfg.sdh, cfg.rdoq, cfg.sao, cap)
         self._pads_prev = None if is_idr else self._pads
         self._pads = (py, pcb, pcr)
         from hevc_tpu.encoder.gop import _digest_stack_jit
@@ -719,9 +752,16 @@ class Ctb32GopEncoder:
             dense[pos] = val
             dec = self._to_entropy_arrays(fields, dense, tnh32, tnw32,
                                           tr, tc)
+            sao_lists = None
+            if cfg.sao:
+                from hevc_tpu.encoder.gop import _sao_param_lists
+                from hevc_tpu.encoder.pack import _SAO_FIELDS
+                sao_lists = _sao_param_lists(
+                    [fields[nm] for nm, _ in _SAO_FIELDS])
             self.recon_digests.append(np.asarray(jax.device_get(dig))[0])
             return entropy_encode_frame_ctb32(cfg_f, dec, poc=poc,
-                                              rps_idx=rps_idx)
+                                              rps_idx=rps_idx,
+                                              sao=sao_lists)
 
         return self._pool.submit(host_stage)
 

@@ -186,7 +186,7 @@ def _pad_tiles_j(plane, tr, tc_, m):
 
 def _deblock_pad_body(y, cb, cr, qp, intra, cbf, mv, nxn,
                       tr, tc_, bit_depth, deblock, across_tiles,
-                      sao_srcs=None, lam16=None, do_pad=True):
+                      sao_srcs=None, lam16=None, do_pad=True, sao_ctb=16):
     from hevc_tpu.encoder.rowscan_v1 import MARGIN, MARGIN_C
     H, W = y.shape
     nh, nw = intra.shape
@@ -213,7 +213,7 @@ def _deblock_pad_body(y, cb, cr, qp, intra, cbf, mv, nxn,
         txp = tuple(m * 16 for m in tile_cols)
         typ_ = tuple(m * 16 for m in tile_rows)
         (y, cb, cr), sao_params = sao_frame_j(
-            sao_srcs, (y, cb, cr), 16, bit_depth, lam16, txp, typ_)
+            sao_srcs, (y, cb, cr), sao_ctb, bit_depth, lam16, txp, typ_)
     if not do_pad:
         return (y, cb, cr) + (sao_params if sao_params is not None else ())
     pad_y = _pad_tiles_j(y, tr, tc_, MARGIN)
@@ -239,11 +239,12 @@ def deblock_pad_jit(y, cb, cr, qp, intra, cbf, mv, nxn,
 
 
 @partial(jax.jit, static_argnames=("tnh", "tnw", "tr", "tc_", "bit_depth",
-                                   "deblock", "do_pad"))
+                                   "deblock", "do_pad", "sao_ctb"))
 def assemble_deblock_pad_jit(rec_y, rec_cb, rec_cr, qp,
                              intra_s, cbf_s, mv_s, nxn_s,
                              tnh, tnw, tr, tc_, bit_depth=8, deblock=True,
-                             sao_srcs=None, lam16=None, do_pad=True):
+                             sao_srcs=None, lam16=None, do_pad=True,
+                             sao_ctb=16):
     """Step-major kernel outputs -> deblocked frame + padded refs, on device.
 
     rec_*: (steps, T, n, n) with steps = tnh*tnw (row-scan order) and
@@ -268,7 +269,8 @@ def assemble_deblock_pad_jit(rec_y, rec_cb, rec_cr, qp,
     return _deblock_pad_body(y, cb, cr, qp, asm_map(intra_s), asm_map(cbf_s),
                              asm_map(mv_s.astype(I32)), asm_map(nxn_s),
                              tr, tc_, bit_depth, deblock, False,
-                             sao_srcs=sao_srcs, lam16=lam16, do_pad=do_pad)
+                             sao_srcs=sao_srcs, lam16=lam16, do_pad=do_pad,
+                             sao_ctb=sao_ctb)
 
 
 @partial(jax.jit, static_argnames=("tnh", "tnw", "tr", "tc_", "bit_depth"))

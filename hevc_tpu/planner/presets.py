@@ -47,7 +47,7 @@ PRESETS = {
                  sao=True, bframes_n=2),
     # ctb32: the 32/16 quadtree encoder (x265's large-CU analogue), IbPbP
     "ctb32": Preset("ctb32", nxn=False, batch_frames=8, ctb32=True,
-                    bframes=True, weightp=False),
+                    bframes=True, sao=True, weightp=False),
     # legacy per-frame pipeline with SAO (pre-chunked slow path)
     "slow": Preset("slow", nxn=True, batch_frames=4, sao=True),
 }

@@ -200,6 +200,34 @@ def test_ctb32_prod_matches_numpy_ibpbp():
 
 
 @pytest.mark.slow
+def test_ctb32_prod_sao_matches_numpy():
+    """Chunked production driver with SAO: in-dispatch estimate+apply at
+    CTB-32 granularity, SAO'd DPB feedback, packed per-CTB params — must
+    equal the numpy spec byte-for-byte and decode bit-exactly (the
+    ctb32-preset production configuration with x265-medium's always-on
+    SAO)."""
+    from hevc_tpu.encoder.gop32 import Ctb32GopEncoder
+    W, H, QP, F = 64, 64, 30, 5
+    frames = [tuple(np.asarray(p, np.int32)
+                    for p in synth_frame_kind(W, H, t, "mixed"))
+              for t in range(F)]
+    cfg = make_ctb32_config(width=W, height=H, qp=QP, inter=True,
+                            bframes=True, sdh=True, sao=True)
+    sn, rn = Ctb32RefEncoder(cfg).encode_video(frames, gop=0)
+    sd = Ctb32GopEncoder(cfg).encode_video(frames, gop=0)
+    assert sn == sd
+    dec = decode_annexb(sd)
+    for d, r in zip(dec, rn):
+        for k in ("y", "cb", "cr"):
+            assert np.array_equal(d[k], r[k]), k
+    if avref.available():
+        ref = avref.decode_hevc(sd)
+        assert len(ref) == F
+        for a, r in zip(ref, rn):
+            assert np.array_equal(a[0].astype(np.int32), r["y"][:H, :W])
+
+
+@pytest.mark.slow
 def test_ctb32_preset_convert(tmp_path):
     """convert_video with the ctb32 preset: SUCCESS, decodable mp4 with
     B pictures (ctts present), frame count preserved."""
