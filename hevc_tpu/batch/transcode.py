@@ -229,7 +229,8 @@ def _encode_to_mp4_ctb32(frames, info, level, qp, out_path,
                          progress_callback, file_name, stop_event, deadline,
                          audio, rate_plan, gop, fps, bit_depth,
                          sdh: bool = False, bframes: bool = False,
-                         sao: bool = False,
+                         sao: bool = False, weightp: bool = False,
+                         bframes_n: int = 1,
                          out_digests: dict | None = None):
     """ctb32-preset encode: 32/16 quadtree IPPP/IbPbP on the fused device
     path.  With B pictures samples land in decode order and display order
@@ -255,7 +256,7 @@ def _encode_to_mp4_ctb32(frames, info, level, qp, out_path,
         color_transfer=info.color_transfer, color_space=info.color_space,
         full_range=info.color_range == "pc", chromaloc=info.chromaloc,
         hdr=info.is_hdr, tile_cols=tc, tile_rows=tr, inter=True, sdh=sdh,
-        bframes=bframes, sao=sao)
+        bframes=bframes, sao=sao, weightp=weightp, bframes_n=bframes_n)
     rc = None
     if rate_plan is not None:
         from hevc_tpu.encoder.rc import RateController
@@ -282,7 +283,9 @@ def _encode_to_mp4_ctb32(frames, info, level, qp, out_path,
             except Exception:
                 pass
 
-    sched = b_schedule(total, gop, bframes)   # ctb32: IbPbP (nb=1)
+    from hevc_tpu.entropy.headers import rps_sets
+    sets = rps_sets(cfg)
+    sched = b_schedule(total, gop, bframes, bframes_n)
     for i, (disp, kind, poc, rps) in enumerate(sched):
         if stop_event is not None and stop_event.is_set():
             for _, _, fut in pending:
@@ -295,8 +298,10 @@ def _encode_to_mp4_ctb32(frames, info, level, qp, out_path,
         planes = (np.asarray(f[0], np.int32), np.asarray(f[1], np.int32),
                   np.asarray(f[2], np.int32))
         if kind == 2:
-            fut = enc.encode_b_async(*planes, pocs=(poc, poc - 1, poc + 1),
-                                     qp=cur_qp)
+            neg, pos = sets[rps]
+            fut = enc.encode_b_async(*planes,
+                                     pocs=(poc, poc - neg[0], poc + pos[0]),
+                                     qp=cur_qp, rps_idx=rps)
         else:
             fut = enc.encode_next_async(*planes, idr=kind == 0, qp=cur_qp,
                                         poc=poc, rps_idx=rps)
@@ -386,6 +391,7 @@ def _encode_to_mp4(frames, info: VideoInfo, level, qp: int, out_path: Path,
                                     stop_event, deadline, audio, rate_plan,
                                     gop, fps, bit_depth, sdh,
                                     bframes=bframes and use_inter, sao=sao,
+                                    weightp=weightp, bframes_n=bframes_n,
                                     out_digests=out_digests)
     cfg = StreamConfig(
         width=w, height=h, qp=qp, fps=fps, bit_depth=bit_depth,

@@ -79,12 +79,14 @@ class Ctb32RefEncoder:
         lam = 0.85 * 2.0 ** ((qp_eff - 12) / 3.0)
         return float(np.sqrt(lam)), skip_lambda16(qp_eff)
 
-    def _mv_search(self, src, ref_y, gx0, gy0, amvp, sl16, bd, n):
+    def _mv_search(self, src, ref_y, gx0, gy0, amvp, sl16, bd, n,
+                   wp_l=None):
         """Size-n hierarchical search — same pyramid/tie rules as
-        RefIntraEncoderV1._mv_search (reference_encoder_v1.py)."""
+        RefIntraEncoderV1._mv_search (reference_encoder_v1.py).  wp_l:
+        (w, o) luma weights; SAD stages run on the weighted window."""
         from hevc_tpu.encoder.reference_encoder_v1 import RefIntraEncoderV1
         return RefIntraEncoderV1._mv_search(
-            self, src, ref_y, gx0, gy0, amvp, sl16, bd, n)
+            self, src, ref_y, gx0, gy0, amvp, sl16, bd, n, wp_l=wp_l)
 
     def _tu3(self, src3, pred3, qp, qpc, bd):
         out = []
@@ -399,11 +401,14 @@ class Ctb32RefEncoder:
                     self._store_cu32(dec, g32y, g32x, r32, lvl3, cbfs)
 
     def encode_frame_p(self, y, cb, cr, ref: dict, ref1: dict | None = None,
-                       pocs: tuple | None = None, qp_ovr: int | None = None):
+                       pocs: tuple | None = None, qp_ovr: int | None = None,
+                       wp=None):
         """P (or B when ref1 is given) frame -> (dec arrays, recon, cu_maps).
 
         ref/ref1: deblocked full reference planes; pocs=(cur, poc0, poc1)
-        for B cross-list scaling.
+        for B cross-list scaling.  wp: explicit P weights (wy, oy, wcb,
+        ocb, wcr, ocr) applied to every inter prediction and inside the
+        motion search (spec 8.5.3.2.9.3); B slices ignore it.
         """
         cfg = self.cfg
         bd = cfg.bit_depth
@@ -434,15 +439,18 @@ class Ctb32RefEncoder:
                 self._encode_tile_p(ys, cbs, crs, rec_y, rec_cb, rec_cr,
                                     ref, ref1, pocs, tx0, ty0, tw, th,
                                     qp, qpc, sqrt_lam, lam16, dec, cu_maps,
-                                    bd)
+                                    bd, wp=wp)
                 tx0 += tw
             ty0 += th
         return dec, {"y": rec_y, "cb": rec_cb, "cr": rec_cr}, cu_maps
 
     def _encode_tile_p(self, ys, cbs, crs, rec_y, rec_cb, rec_cr, ref, ref1,
                        pocs, tx0, ty0, tw, th, qp, qpc, sqrt_lam, lam16,
-                       dec, cu_maps, bd):
+                       dec, cu_maps, bd, wp=None):
         b_slice = ref1 is not None
+        if b_slice:
+            wp = None          # weightp is a P-slice tool here (v1 policy)
+        wp_l = None if wp is None else wp[:2]
         sl16 = int(sqrt_lam * 16)
         vy = ys[ty0 * 32:(ty0 + th) * 32, tx0 * 32:(tx0 + tw) * 32]
         vcb = cbs[ty0 * 16:(ty0 + th) * 16, tx0 * 16:(tx0 + tw) * 16]
@@ -464,7 +472,7 @@ class Ctb32RefEncoder:
                 return M.mc_block_bi(refp[0], refp[1], gx, gy, n, mv0, mv1,
                                      bd)
             rp = refp[0] if pf0 else refp[1]
-            return M.mc_block(rp, gx, gy, n, mv0 if pf0 else mv1, bd)
+            return M.mc_block_w(rp, gx, gy, n, mv0 if pf0 else mv1, wp, bd)
 
         def explicit_eval(src3, x1, y1, n, nbrs):
             """Best explicit candidate(s): [(j, rec_m, te, rqt, extra)]."""
@@ -473,8 +481,9 @@ class Ctb32RefEncoder:
             if not b_slice:
                 amvp = M.amvp_list_b(nbrs, 0, 1, (0, None))
                 _, mv_e, mvp_e, mbits = self._mv_search(
-                    src3[0], ref["y"], gx, gy, amvp, sl16, bd, n)
-                pe3 = M.mc_block(ref, gx, gy, n, mv_e, bd)
+                    src3[0], ref["y"], gx, gy, amvp, sl16, bd, n,
+                    wp_l=wp_l)
+                pe3 = M.mc_block_w(ref, gx, gy, n, mv_e, wp, bd)
                 te, rqt, sse_e, lv = self._resid(src3, pe3, n, qp, qpc, bd)
                 bits = min(16 + mbits + level_bits_estimate(lv),
                            2048 if n == 16 else 8192)
@@ -828,6 +837,24 @@ class Ctb32RefEncoder:
             sao_params = (p_y, p_c)
         return {"y": dy, "cb": dcb, "cr": dcr}, sao_params
 
+    def _wp_for(self, cur3, ref3):
+        """Per-P-frame weightp analysis (host, source domain) — same
+        estimator and 8-bit-unit convention as the v1 path
+        (RefIntraEncoderV1._wp_for)."""
+        cfg = self.cfg
+        if not cfg.weightp:
+            return None
+        from hevc_tpu.ops.inter import estimate_weights_p
+        sh = cfg.bit_depth - 8
+        args = []
+        for c, r in zip(cur3, ref3):
+            c = np.asarray(c)
+            r = np.asarray(r)
+            if sh:
+                c, r = c >> sh, r >> sh
+            args += [c, r]
+        return estimate_weights_p(*args)
+
     def encode_video(self, frames, gop: int = 0):
         """IPPP (or IbPbP when cfg.bframes) -> (annexb bytes, recons)."""
         from hevc_tpu.utils.bitio import annexb
@@ -840,56 +867,70 @@ class Ctb32RefEncoder:
         poc = 0
         for i, f in enumerate(frames):
             idr = ref is None or (gop and i % gop == 0)
+            wp = None
             if idr:
                 dec, recon = self.encode_frame_i(*f)
                 maps = None
                 poc = 0
             else:
                 poc += 1
-                dec, recon, maps = self.encode_frame_p(*f, ref)
+                wp = self._wp_for(f, frames[i - 1])
+                dec, recon, maps = self.encode_frame_p(*f, ref, wp=wp)
             disp, sao_p = self._finish(recon, maps, src=f)
             out += b"\x00\x00\x00\x01" + entropy_encode_frame_ctb32(
-                cfg, dec, poc=None if idr else poc, sao=sao_p)
+                cfg, dec, poc=None if idr else poc, sao=sao_p, wp=wp)
             ref = disp
             recons.append(disp)
         return out, recons
 
     def _encode_video_b(self, frames, gop, out):
+        """B GOP driver scheduled by encoder.gop.b_schedule:
+        cfg.bframes_n non-reference B pictures between anchors
+        (1 = IbPbP, 2 = IbbPbbP); each B references the nearest
+        past/future anchors per its RPS set (same schedule contract as
+        reference_encoder_v1._encode_video_b)."""
         import dataclasses
+        from hevc_tpu.encoder.gop import b_schedule
+        from hevc_tpu.entropy.headers import rps_sets
         cfg = self.cfg
+        sets = rps_sets(cfg)
         n = len(frames)
         recons = [None] * n
+        refs = {}                     # display idx -> deblocked planes
+        seg0 = 0
+        prev_ref_disp = None
         qp_b = min(cfg.qp + self.B_QP_OFFSET, 51)
         cfg_b = dataclasses.replace(cfg, qp=qp_b)
-        starts = [k for k in range(n) if k == 0 or (gop and k % gop == 0)]
-        segments = [(s, (starts + [n])[i + 1]) for i, s in enumerate(starts)]
-        for (s, e) in segments:
-            dec, recon = self.encode_frame_i(*frames[s])
-            disp, sao_p = self._finish(recon, None, src=frames[s])
-            out += b"\x00\x00\x00\x01" + entropy_encode_frame_ctb32(
-                cfg, dec, sao=sao_p)
-            recons[s] = disp
-            prev = s
-            k = s + 2
-            while prev < e - 1:
-                r = min(k, e - 1)
+        for (disp, kind, poc, rps) in b_schedule(n, gop, True,
+                                                 cfg.bframes_n):
+            if kind == 0:
+                refs.clear()
+                seg0 = disp
+                dec, recon = self.encode_frame_i(*frames[disp])
+                dispf, sao_p = self._finish(recon, None, src=frames[disp])
+                nal = entropy_encode_frame_ctb32(cfg, dec, sao=sao_p)
+                prev_ref_disp = disp
+            elif kind == 1:
+                wp = self._wp_for(frames[disp], frames[prev_ref_disp])
                 dec, recon, maps = self.encode_frame_p(
-                    *frames[r], recons[prev])
-                disp, sao_p = self._finish(recon, maps, src=frames[r])
-                out += b"\x00\x00\x00\x01" + entropy_encode_frame_ctb32(
-                    cfg, dec, poc=r - s,
-                    rps_idx=0 if r - prev == 2 else 2, sao=sao_p)
-                recons[r] = disp
-                if r - prev == 2:
-                    bidx = prev + 1
-                    dec, recb, maps = self.encode_frame_p(
-                        *frames[bidx], recons[prev], ref1=recons[r],
-                        pocs=(bidx - s, prev - s, r - s), qp_ovr=qp_b)
-                    dispb, _ = self._finish(recb, maps, qp=qp_b,
-                                            do_sao=False)
-                    out += b"\x00\x00\x00\x01" + entropy_encode_frame_ctb32(
-                        cfg_b, dec, poc=bidx - s, b_slice=True)
-                    recons[bidx] = dispb
-                prev = r
-                k = r + 2
+                    *frames[disp], refs[prev_ref_disp], wp=wp)
+                dispf, sao_p = self._finish(recon, maps, src=frames[disp])
+                nal = entropy_encode_frame_ctb32(cfg, dec, poc=poc,
+                                                 rps_idx=rps, sao=sao_p,
+                                                 wp=wp)
+                prev_ref_disp = disp
+            else:
+                neg, pos = sets[rps]
+                l0, l1 = disp - neg[0], disp + pos[0]
+                dec, recon, maps = self.encode_frame_p(
+                    *frames[disp], refs[l0], ref1=refs[l1],
+                    pocs=(poc, l0 - seg0, l1 - seg0), qp_ovr=qp_b)
+                dispf, _ = self._finish(recon, maps, qp=qp_b,
+                                        do_sao=False)
+                nal = entropy_encode_frame_ctb32(cfg_b, dec, poc=poc,
+                                                 b_slice=True, rps_idx=rps)
+            out += b"\x00\x00\x00\x01" + nal
+            if kind != 2:
+                refs[disp] = dispf
+            recons[disp] = dispf
         return out, recons

@@ -68,10 +68,11 @@ class Ctb32DeviceEncoder:
                 pj(jnp.asarray(disp["cr"]), 1, 1, MARGIN_C))
 
     def encode_frame_arrays(self, y, cb, cr, ref=None, ref1=None,
-                            pocs=None, qp_ovr=None):
+                            pocs=None, qp_ovr=None, wp=None):
         """One frame through the device graph -> (dec arrays, recon,
         cu_maps) in the entropy/ctb32 format.  ref1/pocs enable the
-        B kernel (two reference lists; pocs=(cur, poc0, poc1))."""
+        B kernel (two reference lists; pocs=(cur, poc0, poc1)); wp:
+        explicit P weights (6-tuple) for the weighted scan."""
         cfg = self.cfg
         ya, cba, cra, t32h, t32w, H, W = self._blocks(y, cb, cr)
         qp_s = cfg.qp if qp_ovr is None else qp_ovr
@@ -98,7 +99,9 @@ class Ctb32DeviceEncoder:
             cells, o32 = rowscan32_scan_jit(
                 ya, cba, cra, jnp.asarray(qp_s), rs.lam_bits, lam16, sl16,
                 *pads, t32h, t32w, cfg.bit_depth, self.subpel, i_slice,
-                sdh=cfg.sdh, rdoq=cfg.rdoq)
+                sdh=cfg.sdh, rdoq=cfg.rdoq,
+                wp=None if (wp is None or i_slice)
+                else jnp.asarray(wp, jnp.int32))
         cells = {k: np.asarray(v) for k, v in cells.items()}
         o32 = {k: np.asarray(v) for k, v in o32.items()}
         nh16, nw16 = 2 * t32h, 2 * t32w
@@ -277,67 +280,78 @@ class Ctb32DeviceEncoder:
         out = annexb(self.parameter_sets())
         if cfg.bframes:
             return self._encode_video_b(frames, gop, out)
+        from hevc_tpu.encoder.ctb32_ref import Ctb32RefEncoder
         ref = None
         recons = []
         poc = 0
         for i, f in enumerate(frames):
             idr = ref is None or (gop and i % gop == 0)
+            wp = None
             if idr:
                 dec, recon, maps = self.encode_frame_arrays(*f)
                 poc = 0
             else:
                 poc += 1
-                dec, recon, maps = self.encode_frame_arrays(*f, ref=ref)
+                wp = Ctb32RefEncoder._wp_for(self, f, frames[i - 1])
+                dec, recon, maps = self.encode_frame_arrays(*f, ref=ref,
+                                                            wp=wp)
             disp, sao_p = self._finish(recon, maps, src=f)
             out += b"\x00\x00\x00\x01" + entropy_encode_frame_ctb32(
-                cfg, dec, poc=None if idr else poc, sao=sao_p)
+                cfg, dec, poc=None if idr else poc, sao=sao_p, wp=wp)
             ref = disp
             recons.append(disp)
         return out, recons
 
     def _encode_video_b(self, frames, gop, out):
+        """Schedule-driven mirror of Ctb32RefEncoder._encode_video_b
+        (cfg.bframes_n non-reference B pictures between anchors)."""
         import dataclasses
         from hevc_tpu.encoder.ctb32_ref import Ctb32RefEncoder
+        from hevc_tpu.encoder.gop import b_schedule
+        from hevc_tpu.entropy.headers import rps_sets
         cfg = self.cfg
+        sets = rps_sets(cfg)
         n = len(frames)
         recons = [None] * n
+        refs = {}
+        seg0 = 0
+        prev_ref_disp = None
         qp_b = min(cfg.qp + Ctb32RefEncoder.B_QP_OFFSET, 51)
         cfg_b = dataclasses.replace(cfg, qp=qp_b)
-        starts = [k for k in range(n) if k == 0 or (gop and k % gop == 0)]
-        segments = [(s, (starts + [n])[i + 1]) for i, s in
-                    enumerate(starts)]
-        for (s, e) in segments:
-            dec, recon, _ = self.encode_frame_arrays(*frames[s])
-            disp, sao_p = self._finish(recon, None, src=frames[s])
-            out += b"\x00\x00\x00\x01" + entropy_encode_frame_ctb32(
-                cfg, dec, sao=sao_p)
-            recons[s] = disp
-            prev = s
-            k = s + 2
-            while prev < e - 1:
-                r = min(k, e - 1)
+        for (disp, kind, poc, rps) in b_schedule(n, gop, True,
+                                                 cfg.bframes_n):
+            if kind == 0:
+                refs.clear()
+                seg0 = disp
+                dec, recon, _ = self.encode_frame_arrays(*frames[disp])
+                dispf, sao_p = self._finish(recon, None, src=frames[disp])
+                nal = entropy_encode_frame_ctb32(cfg, dec, sao=sao_p)
+                prev_ref_disp = disp
+            elif kind == 1:
+                wp = Ctb32RefEncoder._wp_for(self, frames[disp],
+                                             frames[prev_ref_disp])
                 dec, recon, maps = self.encode_frame_arrays(
-                    *frames[r], ref=recons[prev])
-                disp, sao_p = self._finish(recon, maps, src=frames[r])
-                out += b"\x00\x00\x00\x01" + entropy_encode_frame_ctb32(
-                    cfg, dec, poc=r - s,
-                    rps_idx=0 if r - prev == 2 else 2, sao=sao_p)
-                recons[r] = disp
-                if r - prev == 2:
-                    bidx = prev + 1
-                    dec, recb, maps = self.encode_frame_arrays(
-                        *frames[bidx], ref=recons[prev],
-                        ref1=recons[r],
-                        pocs=(bidx - s, prev - s, r - s), qp_ovr=qp_b)
-                    dispb, _ = self._finish(recb, maps, qp=qp_b,
-                                            do_sao=False)
-                    out += b"\x00\x00\x00\x01" + \
-                        entropy_encode_frame_ctb32(cfg_b, dec,
-                                                   poc=bidx - s,
-                                                   b_slice=True)
-                    recons[bidx] = dispb
-                prev = r
-                k = r + 2
+                    *frames[disp], ref=refs[prev_ref_disp], wp=wp)
+                dispf, sao_p = self._finish(recon, maps, src=frames[disp])
+                nal = entropy_encode_frame_ctb32(cfg, dec, poc=poc,
+                                                 rps_idx=rps, sao=sao_p,
+                                                 wp=wp)
+                prev_ref_disp = disp
+            else:
+                neg, pos = sets[rps]
+                l0, l1 = disp - neg[0], disp + pos[0]
+                dec, recon, maps = self.encode_frame_arrays(
+                    *frames[disp], ref=refs[l0], ref1=refs[l1],
+                    pocs=(poc, l0 - seg0, l1 - seg0), qp_ovr=qp_b)
+                dispf, _ = self._finish(recon, maps, qp=qp_b,
+                                        do_sao=False)
+                nal = entropy_encode_frame_ctb32(cfg_b, dec, poc=poc,
+                                                 b_slice=True,
+                                                 rps_idx=rps)
+            out += b"\x00\x00\x00\x01" + nal
+            if kind != 2:
+                refs[disp] = dispf
+            recons[disp] = dispf
         return out, recons
 
 
@@ -457,10 +471,10 @@ def _split32_j(p, tr, tc_, tnh32, tnw32, bs):
 
 @partial(jax.jit, static_argnames=("tnh32", "tnw32", "tr", "tc_",
                                    "bit_depth", "idr", "subpel", "deblock",
-                                   "sdh", "rdoq", "sao", "cap"))
+                                   "sdh", "rdoq", "sao", "weightp", "cap"))
 def _gop32_step_jit(flat, pad_y, pad_cb, pad_cr, qp, lam_bits, lam16, sl16,
                     tnh32, tnw32, tr, tc_, bit_depth, idr, subpel, deblock,
-                    sdh, rdoq, sao, cap):
+                    sdh, rdoq, sao, cap, weightp=False, wp=None):
     """One fused ctb32 frame dispatch: stage sources from the flat upload,
     scan, deblock [+ SAO at CTB granularity 32] + DPB pad, device-pack the
     syntax, and assemble the one fetch buffer.  Single round trip per
@@ -486,7 +500,8 @@ def _gop32_step_jit(flat, pad_y, pad_cb, pad_cr, qp, lam_bits, lam16, sl16,
         ya, cba, cra, qp, lam_bits, tnh32, tnw32, bit_depth,
         lam16=lam16, sl16=sl16,
         ref_pads=None if idr else (pad_y, pad_cb, pad_cr), subpel=subpel,
-        sdh=sdh, rdoq=rdoq)
+        sdh=sdh, rdoq=rdoq,
+        wp=wp if (weightp and not idr) else None)
 
     def zr(a):
         return zr_j(a, tnh32, tnw32)
@@ -652,6 +667,9 @@ class Ctb32GopEncoder:
         self._poc = 0
         self._pool = None
         self._cap_hint = 65536
+        # source planes of the last REFERENCE picture (weightp analysis
+        # runs in the source domain, current vs reference source)
+        self._prev_ref_src = None
         # decode-order recon digests (validate/digest.py); None for
         # non-reference B pictures (their in-graph deblock lands with
         # the B-pyramid work)
@@ -701,13 +719,23 @@ class Ctb32GopEncoder:
         lam16 = jnp.asarray(skip_lambda16(qp_eff), jnp.int32)
         sl16 = jnp.asarray(int(np.sqrt(0.85 * 2.0 ** ((qp_eff - 12) / 3.0))
                                * 16), jnp.int32)
+        wp = None
+        if cfg.weightp and not is_idr and self._prev_ref_src is not None:
+            from hevc_tpu.encoder.ctb32_ref import Ctb32RefEncoder
+            wp = Ctb32RefEncoder._wp_for(self, (y, cb, cr),
+                                         self._prev_ref_src)
+        self._prev_ref_src = (np.asarray(y), np.asarray(cb),
+                              np.asarray(cr))
+        wp_v = jnp.asarray(wp if wp is not None
+                           else (64, 0, 64, 0, 64, 0), jnp.int32)
         spec = Ctb32PackSpec(tnh32, tnw32, T, sao=cfg.sao,
                              sao_grid=(tr * tnh32, tc * tnw32))
         cap = min(self._cap_hint, spec.coef_elems // 2)
         fetch, vbuf, py, pcb, pcr = _gop32_step_jit(
             flat, *self._pads, jnp.asarray(qp), rs.lam_bits, lam16, sl16,
             tnh32, tnw32, tr, tc, cfg.bit_depth, is_idr, self.subpel,
-            cfg.deblock, cfg.sdh, cfg.rdoq, cfg.sao, cap)
+            cfg.deblock, cfg.sdh, cfg.rdoq, cfg.sao, cap,
+            weightp=cfg.weightp, wp=wp_v)
         self._pads_prev = None if is_idr else self._pads
         self._pads = (py, pcb, pcr)
         from hevc_tpu.encoder.gop import _digest_stack_jit
@@ -761,15 +789,17 @@ class Ctb32GopEncoder:
             self.recon_digests.append(np.asarray(jax.device_get(dig))[0])
             return entropy_encode_frame_ctb32(cfg_f, dec, poc=poc,
                                               rps_idx=rps_idx,
-                                              sao=sao_lists)
+                                              sao=sao_lists, wp=wp)
 
         return self._pool.submit(host_stage)
 
-    def encode_b_async(self, y, cb, cr, pocs, qp: int | None = None):
+    def encode_b_async(self, y, cb, cr, pocs, qp: int | None = None,
+                       rps_idx: int = 1):
         """Dispatch one non-reference B picture (refs: the last two
         reference pictures still resident in the device DPB).  pocs =
         (cur, poc0, poc1) display offsets within the GOP segment; the
-        slice codes at qp + B_QP_OFFSET."""
+        slice codes at qp + B_QP_OFFSET.  rps_idx selects the B RPS set
+        matching the (past, future) anchor distances (headers.rps_sets)."""
         import dataclasses
         from hevc_tpu.encoder.ctb32_ref import Ctb32RefEncoder
         from hevc_tpu.encoder.rowscan_v1 import dsf_pair
@@ -835,7 +865,8 @@ class Ctb32GopEncoder:
                                           tr, tc, b=True)
             self.recon_digests.append(None)
             return entropy_encode_frame_ctb32(cfg_b, dec, poc=poc,
-                                              b_slice=True)
+                                              b_slice=True,
+                                              rps_idx=rps_idx)
 
         return self._pool.submit(host_stage)
 
@@ -911,20 +942,25 @@ class Ctb32GopEncoder:
         return dec
 
     def encode_video(self, frames, gop: int = 0):
-        """Pipelined IPPP (or IbPbP when cfg.bframes) encode in decode
-        order -> annexb bytes (no recons returned; byte-identical to
-        Ctb32RefEncoder.encode_video)."""
+        """Pipelined IPPP (or mini-GOP B when cfg.bframes, nb =
+        cfg.bframes_n) encode in decode order -> annexb bytes (no recons
+        returned; byte-identical to Ctb32RefEncoder.encode_video)."""
         from collections import deque
         from hevc_tpu.encoder.gop import b_schedule
+        from hevc_tpu.entropy.headers import rps_sets
+        sets = rps_sets(self.cfg)
         self.reset()
         out = annexb(self.parameter_sets())
         pending: deque = deque()
         for disp, kind, poc, rps in b_schedule(len(frames), gop,
-                                               self.cfg.bframes):
+                                               self.cfg.bframes,
+                                               self.cfg.bframes_n):
             fr = frames[disp]
             if kind == 2:
-                fut = self.encode_b_async(*fr, pocs=(poc, poc - 1,
-                                                     poc + 1))
+                neg, pos = sets[rps]
+                fut = self.encode_b_async(*fr, pocs=(poc, poc - neg[0],
+                                                     poc + pos[0]),
+                                          rps_idx=rps)
             else:
                 fut = self.encode_next_async(*fr, idr=kind == 0, poc=poc,
                                              rps_idx=rps)

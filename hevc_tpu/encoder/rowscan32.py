@@ -27,7 +27,7 @@ from hevc_tpu.encoder.rowscan_v1 import (
     MARGIN, MARGIN_C, _CQP, _assemble_ref, _chroma_val_ref, _level_bits,
     _merge_luma_val_ref, _mode_bits, _mpm_jax, _mvd_bits_j, _predict_all,
     _scale_mv_j, _search_explicit_ref, _search_select, _sse_j, _tu_q,
-    _weight_bi_j, _weight_uni_j)
+    _weight_bi_j, _weight_explicit_j, _weight_uni_j)
 
 I32 = jnp.int32
 INF32 = jnp.asarray(2**31 - 1, I32)
@@ -64,12 +64,13 @@ def _amvp_p(a_list, b_list):
                                    "i_slice", "sdh", "rdoq"))
 def rowscan32_scan_jit(src_y, src_cb, src_cr, qp, lam_bits, lam16, sl16,
                        pad_y, pad_cb, pad_cr, tnh32, tnw32, bit_depth,
-                       subpel=True, i_slice=False, sdh=False, rdoq=False):
+                       subpel=True, i_slice=False, sdh=False, rdoq=False,
+                       wp=None):
     return _rowscan32_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh32,
                            tnw32, bit_depth, lam16=lam16, sl16=sl16,
                            ref_pads=None if i_slice
                            else (pad_y, pad_cb, pad_cr), subpel=subpel,
-                           sdh=sdh, rdoq=rdoq)
+                           sdh=sdh, rdoq=rdoq, wp=wp)
 
 
 @partial(jax.jit, static_argnames=("tnh32", "tnw32", "bit_depth", "subpel",
@@ -90,7 +91,7 @@ def rowscan32_scan_b_jit(src_y, src_cb, src_cr, qp, lam_bits, lam16, sl16,
 def _rowscan32_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh32, tnw32,
                     bit_depth, lam16=None, sl16=None, ref_pads=None,
                     ref_pads1=None, dsf=None, subpel=True, sdh=False,
-                    rdoq=False):
+                    rdoq=False, wp=None):
     """Shared ctb32 scan body.  src_y: (B, tnh32, tnw32, 32, 32); chroma
     (B, tnh32, tnw32, 16, 16).  ref_pads enables the P step; ref_pads1
     additionally enables the B step (two lists, skip / merge / L0 / L1 /
@@ -100,6 +101,24 @@ def _rowscan32_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh32, tnw32,
     b_mode = ref_pads1 is not None
     p_mode = ref_pads is not None
     maxv = (1 << bit_depth) - 1
+    # wp: (6,) traced vector (wy, oy, wcb, ocb, wcr, ocr) -> explicit
+    # P-slice weighted prediction (spec 8.5.3.2.9.3); None compiles the
+    # default-weighting graph.  Same contract as _rowscan_v1_scan.
+    if wp is not None:
+        assert p_mode and not b_mode, "ctb32 weightp is a P-slice tool"
+        _wl = (wp[0], wp[1])
+
+        def _wu_y(v):
+            return _weight_explicit_j(v, wp[0], wp[1], bit_depth)
+
+        def _wu_cb(v):
+            return _weight_explicit_j(v, wp[2], wp[3], bit_depth)
+
+        def _wu_cr(v):
+            return _weight_explicit_j(v, wp[4], wp[5], bit_depth)
+    else:
+        _wl = None
+        _wu_y = _wu_cb = _wu_cr = lambda v: _weight_uni_j(v, bit_depth)
     # every ctb32-profile TB is diag-scanned; one static sdh_scan arg
     shs0 = 0 if sdh else None
     _tu = partial(_tu_q, rdoq=rdoq)
@@ -639,21 +658,21 @@ def _rowscan32_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh32, tnw32,
             c16 = 2 * c32 + qx
             mv_e, mb0b, mb1b, val_e = _search_explicit_ref(
                 src, pad_py, r16, c16, c0mv, c1mv, sl16, bit_depth,
-                subpel, maxv)
+                subpel, maxv, wl=_wl)
             mvp_e = (mb0b > mb1b).astype(I32)
             mbits_e = jnp.minimum(mb0b, mb1b)
-            pred_e = _weight_uni_j(val_e, bit_depth)
+            pred_e = _wu_y(val_e)
             valm = _merge_luma_val_ref(pad_py, r16, c16, mg_mv, bit_depth,
                                        subpel)
-            pred_m = _weight_uni_j(valm, bit_depth)
-            pm_cb = _weight_uni_j(_chroma_val_ref(pad_pcb, r16, c16, mg_mv,
-                                                  bit_depth), bit_depth)
-            pm_cr = _weight_uni_j(_chroma_val_ref(pad_pcr, r16, c16, mg_mv,
-                                                  bit_depth), bit_depth)
-            pe_cb = _weight_uni_j(_chroma_val_ref(pad_pcb, r16, c16, mv_e,
-                                                  bit_depth), bit_depth)
-            pe_cr = _weight_uni_j(_chroma_val_ref(pad_pcr, r16, c16, mv_e,
-                                                  bit_depth), bit_depth)
+            pred_m = _wu_y(valm)
+            pm_cb = _wu_cb(_chroma_val_ref(pad_pcb, r16, c16, mg_mv,
+                                           bit_depth))
+            pm_cr = _wu_cr(_chroma_val_ref(pad_pcr, r16, c16, mg_mv,
+                                           bit_depth))
+            pe_cb = _wu_cb(_chroma_val_ref(pad_pcb, r16, c16, mv_e,
+                                           bit_depth))
+            pe_cr = _wu_cr(_chroma_val_ref(pad_pcr, r16, c16, mv_e,
+                                           bit_depth))
 
             lvlm_y, cbfm_y, recm_y = _tu(src, pred_m, qp_eff, 16,
                                          bit_depth, maxv, sdh_scan=shs0)
@@ -994,21 +1013,21 @@ def _rowscan32_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh32, tnw32,
                                  [nb32["b0"], nb32["b1"], nb32["b2"]])
             mv_e32, mb0b, mb1b, val_e32 = _search_explicit_ref(
                 s32, pad_py, r32, c32, c0mv, c1mv, sl16, bit_depth,
-                subpel, maxv, n=32)
+                subpel, maxv, n=32, wl=_wl)
             mvp_e32 = (mb0b > mb1b).astype(I32)
             mbits32 = jnp.minimum(mb0b, mb1b)
-            pred_e32 = _weight_uni_j(val_e32, bit_depth)
+            pred_e32 = _wu_y(val_e32)
             valm32 = _merge_luma_val_ref(pad_py, r32, c32, mg32, bit_depth,
                                          subpel, n=32)
-            pred_m32 = _weight_uni_j(valm32, bit_depth)
-            pm32_cb = _weight_uni_j(_chroma_val_ref(
-                pad_pcb, r32, c32, mg32, bit_depth, nc=16), bit_depth)
-            pm32_cr = _weight_uni_j(_chroma_val_ref(
-                pad_pcr, r32, c32, mg32, bit_depth, nc=16), bit_depth)
-            pe32_cb = _weight_uni_j(_chroma_val_ref(
-                pad_pcb, r32, c32, mv_e32, bit_depth, nc=16), bit_depth)
-            pe32_cr = _weight_uni_j(_chroma_val_ref(
-                pad_pcr, r32, c32, mv_e32, bit_depth, nc=16), bit_depth)
+            pred_m32 = _wu_y(valm32)
+            pm32_cb = _wu_cb(_chroma_val_ref(
+                pad_pcb, r32, c32, mg32, bit_depth, nc=16))
+            pm32_cr = _wu_cr(_chroma_val_ref(
+                pad_pcr, r32, c32, mg32, bit_depth, nc=16))
+            pe32_cb = _wu_cb(_chroma_val_ref(
+                pad_pcb, r32, c32, mv_e32, bit_depth, nc=16))
+            pe32_cr = _wu_cr(_chroma_val_ref(
+                pad_pcr, r32, c32, mv_e32, bit_depth, nc=16))
 
             def tu32(py, pcb_, pcr_):
                 """Forced-split TU16 residual of a 32 CU (per-quadrant)."""

@@ -255,11 +255,14 @@ def encode_tile_payload_ctb32(cfg: StreamConfig, dec: dict,
 def entropy_encode_frame_ctb32(cfg: StreamConfig, dec: dict,
                                poc: int | None = None,
                                b_slice: bool = False, rps_idx: int = 0,
-                               use_cpp: bool = True, sao=None) -> bytes:
+                               use_cpp: bool = True, sao=None,
+                               wp=None) -> bytes:
     """Frame of ctb32-profile decision arrays -> slice NAL.
 
     sao: full-frame (params_y, params_c) CTB32 grids when cfg.sao; None
-    with cfg.sao codes slice_sao_*_flag=0 (non-reference B policy)."""
+    with cfg.sao codes slice_sao_*_flag=0 (non-reference B policy).
+    wp: explicit P-slice weights (wy, oy, wcb, ocb, wcr, ocr) for the
+    pred_weight_table when cfg.weightp (same contract as the v1 path)."""
     assert cfg.log2_ctb == 5 and cfg.log2_min_cb == 4
     p_slice = poc is not None
     nh32, nw32 = dec["split32"].shape
@@ -294,7 +297,7 @@ def entropy_encode_frame_ctb32(cfg: StreamConfig, dec: dict,
     if not cfg.tiles_enabled:
         return assemble_slice(cfg, [payload(0, 0, nh32, nw32, True)],
                               poc=poc, b_slice=b_slice, rps_idx=rps_idx,
-                              sao_on=sao_on)
+                              sao_on=sao_on, wp=wp)
     cols, rows = cfg.tile_grid()
     payloads = []
     y0 = 0
@@ -314,4 +317,4 @@ def entropy_encode_frame_ctb32(cfg: StreamConfig, dec: dict,
     else:
         payloads = [payload(*j) for j in jobs]
     return assemble_slice(cfg, payloads, poc=poc, b_slice=b_slice,
-                          rps_idx=rps_idx, sao_on=sao_on)
+                          rps_idx=rps_idx, sao_on=sao_on, wp=wp)

@@ -21,7 +21,7 @@ class Preset:
     ctb32: bool = False    # 32/16 two-level coding quadtree (IPPP)
     sdh: bool = True       # sign-data hiding (x265-medium `signhide`)
     weightp: bool = True   # explicit weighted P prediction (x265-medium
-                           # `weightp`; ctb32 path: not yet wired)
+                           # `weightp`)
     bframes_n: int = 1     # non-ref B pictures per mini-GOP (2 = IbbP,
                            # the multi-B step toward x265's bframes 4)
 
@@ -45,9 +45,10 @@ PRESETS = {
                  sao=True, bframes_n=2),
     "p7": Preset("p7", nxn=True, batch_frames=4, bframes=True,
                  sao=True, bframes_n=2),
-    # ctb32: the 32/16 quadtree encoder (x265's large-CU analogue), IbPbP
+    # ctb32: the 32/16 quadtree encoder (x265's large-CU analogue) with
+    # the full production toolset (SAO + SDH + weightp + IbbP mini-GOPs)
     "ctb32": Preset("ctb32", nxn=False, batch_frames=8, ctb32=True,
-                    bframes=True, sao=True, weightp=False),
+                    bframes=True, sao=True, bframes_n=2),
     # legacy per-frame pipeline with SAO (pre-chunked slow path)
     "slow": Preset("slow", nxn=True, batch_frames=4, sao=True),
 }

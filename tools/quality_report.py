@@ -235,7 +235,9 @@ def run_bd(width, height, n_frames, qps, crfs, kinds, gop=30,
             if encoder == "ctb32":
                 cfg = make_ctb32_config(width=width, height=height, qp=qp,
                                         tile_cols=tc, tile_rows=tr,
-                                        inter=True, bframes=True, sdh=True)
+                                        inter=True, bframes=True, sdh=True,
+                                        sao=True, weightp=True,
+                                        bframes_n=2)
                 stream = Ctb32GopEncoder(cfg).encode_video(frames, gop=gop)
             else:
                 cfg = StreamConfig(width=width, height=height, qp=qp,
