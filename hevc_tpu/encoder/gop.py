@@ -316,7 +316,7 @@ def _finalize_chunk_jit(heads_r, coefs_r, heads_b, coefs_b, cap):
     else:
         heads, coefs = heads_r, coefs_r
     bits, vbuf, _ = coef_stream(coefs)
-    return jnp.concatenate([heads, bits, vbuf[:cap * 2]]), vbuf
+    return jnp.concatenate([heads, bits]), vbuf[:cap], vbuf
 
 
 @partial(jax.jit, static_argnames=("tr", "tc_", "hc", "wc"))
@@ -1019,16 +1019,17 @@ class GopEncoder:
                              sao_grid=(nh, nw))
         vhalf = nrows * spec.coef_elems // 2
         cap_hint = min(getattr(self, "_cap_hint", 262144), vhalf)
-        # ONE finalize dispatch, then start the host copy NOW, in stream
+        # ONE finalize dispatch, then start the host copies NOW, in stream
         # order right behind this chunk's compute — a plain device_get in
         # the worker thread would queue behind the NEXT chunk's dispatch
         # and serialize the pipeline.  The value-stream length isn't known
         # host-side yet, so copy a running-capacity prefix and fall back
         # to a second fetch on rare growth.
-        fetch1, vbuf = _finalize_chunk_jit(heads_r, coefs_r, heads_b,
-                                           coefs_b, cap_hint)
+        fetch1, vpre, vbuf = _finalize_chunk_jit(heads_r, coefs_r, heads_b,
+                                                 coefs_b, cap_hint)
         try:
             fetch1.copy_to_host_async()
+            vpre.copy_to_host_async()
         except Exception:
             pass
         GLOBAL_TIMERS.add("disp_dispatch", time.perf_counter() - _t_st)
@@ -1056,20 +1057,20 @@ class GopEncoder:
                 nbits = nrows * (spec.coef_elems // 8)
                 bmap = f1[nhead:nhead + nbits]
                 if total <= cap_hint:
-                    vb = f1[nhead + nbits:nhead + nbits + total * 2]
+                    vb = np.asarray(jax.device_get(vpre))[:total]
                 else:
                     # capacity miss: fetch the tail (slow path; bucketed
                     # so the slice-program cache stays small)
                     cap = min(-(-total // 131072) * 131072,
-                              vbuf.shape[0] // 2)
+                              vbuf.shape[0])
                     vb = np.concatenate(
-                        [f1[nhead + nbits:],
+                        [np.asarray(jax.device_get(vpre)),
                          np.asarray(jax.device_get(
-                             vbuf[cap_hint * 2:cap * 2]))])[:total * 2]
+                             vbuf[cap_hint:cap]))])[:total]
                 # leave ~25% headroom for the next chunk's stream
                 self._cap_hint = min(
                     max(-(-total * 5 // (4 * 65536)) * 65536, 131072),
-                    vbuf.shape[0] // 2)
+                    vbuf.shape[0])
             coef = split_coef_bitmap(bmap, vb, spec.coef_elems, nnz)
             nals = []
             with GLOBAL_TIMERS.stage("entropy"):

@@ -573,8 +573,8 @@ def _gop32_step_jit(flat, pad_y, pad_cb, pad_cr, qp, lam_bits, lam16, sl16,
         sao_f = {nm: d[6 + i] for i, (nm, _) in enumerate(_SAO_FIELDS)}
     head = spec.pack_head(c16, g32, nnz, sao_f)
     bits, vbuf, _ = coef_stream(flat_coef[None])
-    fetch = jnp.concatenate([head, bits, vbuf[:cap * 2]])
-    return fetch, vbuf, d[3], d[4], d[5]
+    fetch = jnp.concatenate([head, bits])
+    return fetch, vbuf[:cap], vbuf, d[3], d[4], d[5]
 
 
 @partial(jax.jit, static_argnames=("tnh32", "tnw32", "tr", "tc_",
@@ -644,8 +644,8 @@ def _gop32_step_b_jit(flat, pad0_y, pad0_cb, pad0_cr, pad1_y, pad1_cb,
     nnz = (flat_coef != 0).sum(dtype=jnp.int32)
     head = spec.pack_head(c16, g32, nnz)
     bits, vbuf, _ = coef_stream(flat_coef[None])
-    fetch = jnp.concatenate([head, bits, vbuf[:cap * 2]])
-    return fetch, vbuf
+    fetch = jnp.concatenate([head, bits])
+    return fetch, vbuf[:cap], vbuf
 
 
 class Ctb32GopEncoder:
@@ -731,7 +731,7 @@ class Ctb32GopEncoder:
         spec = Ctb32PackSpec(tnh32, tnw32, T, sao=cfg.sao,
                              sao_grid=(tr * tnh32, tc * tnw32))
         cap = min(self._cap_hint, spec.coef_elems // 2)
-        fetch, vbuf, py, pcb, pcr = _gop32_step_jit(
+        fetch, vpre, vbuf, py, pcb, pcr = _gop32_step_jit(
             flat, *self._pads, jnp.asarray(qp), rs.lam_bits, lam16, sl16,
             tnh32, tnw32, tr, tc, cfg.bit_depth, is_idr, self.subpel,
             cfg.deblock, cfg.sdh, cfg.rdoq, cfg.sao, cap,
@@ -743,6 +743,7 @@ class Ctb32GopEncoder:
                                 cfg.height, cfg.width)
         try:
             fetch.copy_to_host_async()
+            vpre.copy_to_host_async()
             dig.copy_to_host_async()
         except Exception:
             pass
@@ -763,15 +764,14 @@ class Ctb32GopEncoder:
             nbits = spec.coef_elems // 8
             bmap = f1[spec.head_bytes:spec.head_bytes + nbits]
             if nnz <= cap:
-                vb = f1[spec.head_bytes + nbits:
-                        spec.head_bytes + nbits + nnz * 2]
+                vb = np.asarray(jax.device_get(vpre))[:nnz]
             else:
                 cap2 = min(-(-nnz // 65536) * 65536,
-                           vbuf.shape[0] // 2)
+                           vbuf.shape[0])
                 vb = np.concatenate(
-                    [f1[spec.head_bytes + nbits:],
+                    [np.asarray(jax.device_get(vpre)),
                      np.asarray(jax.device_get(
-                         vbuf[cap * 2:cap2 * 2]))])[:nnz * 2]
+                         vbuf[cap:cap2]))])[:nnz]
             self._cap_hint = min(max(-(-nnz * 5 // (4 * 65536)) * 65536,
                                      65536), spec.coef_elems // 2)
             coef = split_coef_bitmap(bmap, vb, spec.coef_elems, [nnz])
@@ -824,13 +824,14 @@ class Ctb32GopEncoder:
                                * 16), jnp.int32)
         spec = Ctb32PackSpec(tnh32, tnw32, T, b=True)
         cap = min(self._cap_hint, spec.coef_elems // 2)
-        fetch, vbuf = _gop32_step_b_jit(
+        fetch, vpre, vbuf = _gop32_step_b_jit(
             flat, *self._pads_prev, *self._pads,
             jnp.asarray(dsf_pair(*pocs)), jnp.asarray(qp_b), rs.lam_bits,
             lam16, sl16, tnh32, tnw32, tr, tc, cfg.bit_depth, self.subpel,
             cfg.sdh, cfg.rdoq, cap)
         try:
             fetch.copy_to_host_async()
+            vpre.copy_to_host_async()
         except Exception:
             pass
         if self._pool is None:
@@ -846,15 +847,14 @@ class Ctb32GopEncoder:
             nbits = spec.coef_elems // 8
             bmap = f1[spec.head_bytes:spec.head_bytes + nbits]
             if nnz <= cap:
-                vb = f1[spec.head_bytes + nbits:
-                        spec.head_bytes + nbits + nnz * 2]
+                vb = np.asarray(jax.device_get(vpre))[:nnz]
             else:
                 cap2 = min(-(-nnz // 65536) * 65536,
-                           vbuf.shape[0] // 2)
+                           vbuf.shape[0])
                 vb = np.concatenate(
-                    [f1[spec.head_bytes + nbits:],
+                    [np.asarray(jax.device_get(vpre)),
                      np.asarray(jax.device_get(
-                         vbuf[cap * 2:cap2 * 2]))])[:nnz * 2]
+                         vbuf[cap:cap2]))])[:nnz]
             self._cap_hint = min(max(-(-nnz * 5 // (4 * 65536)) * 65536,
                                      65536), spec.coef_elems // 2)
             coef = split_coef_bitmap(bmap, vb, spec.coef_elems, [nnz])

@@ -188,13 +188,17 @@ class FramePackSpec:
 
 def coef_stream(dense):
     """(K, coef_elems) int16 -> (bitpacked significance map, compacted
-    value bytes, total nnz).  Traceable body; see coef_stream_jit.
+    int16 value stream, total nnz).  Traceable body; see coef_stream_jit.
 
     Positions travel as a dense bitmap (1 bit/coefficient) instead of
     per-record int32s: a 6-byte-row record scatter costs ~1.9 s for 25M
     rows on TPU while a single int16 element scatter is ~5-10x cheaper,
     and the bitmap is a fixed cheap vector op.  The host fetches the
-    bitmap plus vals[:total*2] and rebuilds positions with unpackbits.
+    bitmap plus vals[:total] and rebuilds positions with unpackbits.
+
+    The value stream stays int16 on device: bitcasting to bytes makes a
+    u8[n, 2] intermediate whose TPU tiled layout pads the trailing dim
+    2 -> 128 (a 64x HBM blowup — 19 GB at 4K, the round-3 OOM).
     """
     flat = dense.reshape(-1)
     mask = flat != 0
@@ -207,20 +211,19 @@ def coef_stream(dense):
     vals = jnp.zeros(n, jnp.int16).at[tgt].set(
         flat, mode="drop", unique_indices=True)
     bits = _bitpack_j(mask)
-    return bits, jax.lax.bitcast_convert_type(
-        vals, jnp.uint8).reshape(-1), mask.sum(dtype=jnp.int32)
+    return bits, vals, mask.sum(dtype=jnp.int32)
 
 
 coef_stream_jit = jax.jit(coef_stream)
 
 
-def split_coef_bitmap(bitmap: np.ndarray, vals_bytes: np.ndarray,
+def split_coef_bitmap(bitmap: np.ndarray, vals: np.ndarray,
                       coef_elems: int, nnz_per_frame):
-    """Host: (bitpacked map, compacted int16 bytes) -> per-frame
+    """Host: (bitpacked map, compacted int16 values) -> per-frame
     (positions, values).  Frames are contiguous in both streams."""
     bits = np.unpackbits(np.ascontiguousarray(bitmap, np.uint8),
                          bitorder="little")
-    vals = np.ascontiguousarray(vals_bytes, np.uint8).view(np.int16)
+    vals = np.asarray(vals, np.int16)
     out = []
     off = 0
     for k, nz in enumerate(nnz_per_frame):

@@ -234,7 +234,7 @@ def test_sharded_chunk_equals_local_and_decodes():
         # decode-back: rebuild NALs from the single-device dispatch
         bits, vbuf, _ = coef_stream_jit(c1)
         total = int(sum(nnz for _, nnz in f1))
-        vb = np.asarray(vbuf)[:total * 2]
+        vb = np.asarray(vbuf)[:total]
         coef = split_coef_bitmap(np.asarray(bits), vb, spec1.coef_elems,
                                  [nnz for _, nnz in f1])
         enc = GopEncoder(cfg)
@@ -408,13 +408,13 @@ def test_sharded_ibpbp_group_with_b_batch_decodes():
         f1 = [spec1.unpack_head(h1[k]) for k in range(KR)]
         bits, vbuf, _ = coef_stream_jit(c1)
         tot = int(sum(nnz for _, nnz in f1))
-        coef = split_coef_bitmap(np.asarray(bits), np.asarray(vbuf)[:tot * 2],
+        coef = split_coef_bitmap(np.asarray(bits), np.asarray(vbuf)[:tot],
                                  spec1.coef_elems, [nnz for _, nnz in f1])
         fb = [spec1.unpack_head(hb1[k]) for k in range(KB)]
         bitsb, vbufb, _ = coef_stream_jit(cb1)
         totb = int(sum(nnz for _, nnz in fb))
         coefb = split_coef_bitmap(np.asarray(bitsb),
-                                  np.asarray(vbufb)[:totb * 2],
+                                  np.asarray(vbufb)[:totb],
                                   spec1.coef_elems,
                                   [nnz for _, nnz in fb])
         decode_order = [(0, 0), (2, 1), (1, 2), (4, 1), (3, 2), (6, 1),
