@@ -196,6 +196,18 @@ def _sdh_perms(n: int):
     return perm, inv
 
 
+@lru_cache(maxsize=None)
+def _sdh_rank4(n: int):
+    """(3, 4, 4) within-group scan ranks.  Every HEVC coefficient scan
+    partitions an n x n TB into spatial 4x4 groups and orders the 16
+    coefficients of each group by one shared rank map per scan class
+    (verified against _sdh_perms for n in {4,8,16,32} x all scans) —
+    so sign-data hiding never needs the full n*n permutation."""
+    _, inv_np = _sdh_perms(n)
+    return np.stack([(inv_np[s] % 16).reshape(n, n)[:4, :4]
+                     for s in range(3)])
+
+
 def sdh_fixup(lvl: jnp.ndarray, coef: jnp.ndarray, qp, n: int,
               scan_sel=0, bit_depth: int = 8) -> jnp.ndarray:
     """Device mirror of reference.sdh_fixup (bit-exact, batched).
@@ -207,19 +219,23 @@ def sdh_fixup(lvl: jnp.ndarray, coef: jnp.ndarray, qp, n: int,
     intra TBs are data).  Per eligible sub-block with a parity mismatch
     the +-1 magnitude move with the smallest capped-int32 distortion
     delta wins (decrements first on ties, matching the numpy argmin
-    order).  Pure gathers + dense reductions; no scatters.
+    order).
+
+    Entirely in block layout: coefficient groups are spatial 4x4 blocks
+    for every scan, so the scan only enters through a constant 4x4
+    within-group rank map and all ops are dense reshapes + group
+    reductions.  (The earlier formulation permuted the three cost
+    tensors to scan order with take_along_axis — those three gathers
+    alone were ~80% of the whole fixup's TPU time.)
     """
-    perm_np, inv_np = _sdh_perms(n)
-    perm_t, inv_t = jnp.asarray(perm_np), jnp.asarray(inv_np)
+    rank_np = _sdh_rank4(n)
+    g = n // 4
     lead = lvl.shape[:-2]
-    flat = lvl.reshape(lead + (n * n,))
     if isinstance(scan_sel, int):
-        perm = perm_t[scan_sel]
-        inv = inv_t[scan_sel]
+        rank = jnp.asarray(rank_np[scan_sel])[None, :, None, :]
     else:
         sel = jnp.broadcast_to(jnp.asarray(scan_sel, I32), lead)
-        perm = perm_t[sel]          # (..., n*n)
-        inv = inv_t[sel]
+        rank = jnp.asarray(rank_np)[sel][..., None, :, None, :]
 
     # capped distortion-delta costs per coefficient (block layout)
     def err(lv):
@@ -242,41 +258,54 @@ def sdh_fixup(lvl: jnp.ndarray, coef: jnp.ndarray, qp, n: int,
     cost_zero = jnp.where(mag == 1,
                           (e_dec - e0) * (e_dec + e0) - 3 * lam_c, BIG)
 
-    def to_sb(a):
-        f = a.reshape(lead + (n * n,))
-        g = jnp.take_along_axis(f, jnp.broadcast_to(perm, f.shape), axis=-1)
-        return g.reshape(lead + (n * n // 16, 16))
+    def blk(a):                       # (..., n, n) -> (..., g, 4, g, 4)
+        return a.reshape(lead + (g, 4, g, 4))
 
-    v = to_sb(lvl)
-    ci = to_sb(cost_inc)
-    cd = to_sb(cost_dec)
-    cz = to_sb(cost_zero)
-    k = jnp.arange(16, dtype=I32)
+    def gmin(a):
+        return a.min(axis=(-3, -1))   # -> (..., g, g)
+
+    def gmax(a):
+        return a.max(axis=(-3, -1))
+
+    def gsum(a):
+        return a.sum(axis=(-3, -1))
+
+    def bexp(a):                      # (..., g, g) -> broadcast over group
+        return a[..., :, None, :, None]
+
+    v = blk(lvl)
+    ci = blk(cost_inc)
+    cd = blk(cost_dec)
+    cz = blk(cost_zero)
     nz = v != 0
-    first = jnp.min(jnp.where(nz, k, 16), axis=-1)
-    last = jnp.max(jnp.where(nz, k, -1), axis=-1)
+    first = gmin(jnp.where(nz, rank, 16))
+    last = gmax(jnp.where(nz, rank, -1))
     hidden = (last - first) > 3
-    sumabs = jnp.sum(jnp.abs(v), axis=-1)
-    fidx = jnp.clip(first, 0, 15)
-    fval = jnp.take_along_axis(v, fidx[..., None], axis=-1)[..., 0]
+    sumabs = gsum(jnp.abs(v))
+    fval = gsum(jnp.where(rank == bexp(first), v, 0))
     mismatch = (sumabs & 1) != (fval < 0).astype(I32)
     adj = hidden & mismatch
     # zeroing is only legal strictly inside (first, last): span survives
-    czi = jnp.where((k > first[..., None]) & (k < last[..., None]), cz, BIG)
-    # argmin over [dec, zero, inc]x16: ties prefer dec, zero, inc/low idx
-    cands = jnp.concatenate([cd, czi, ci], axis=-1)  # (..., 48)
-    j = jnp.argmin(cands, axis=-1).astype(I32)
-    tgt = j % 16
-    cls = j // 16
-    tval = jnp.take_along_axis(v, tgt[..., None], axis=-1)[..., 0]
+    czi = jnp.where((rank > bexp(first)) & (rank < bexp(last)), cz, BIG)
+    # min over [dec, zero, inc] x 16 ranks; ties prefer dec, zero, inc,
+    # then low scan rank — the priority index t = class*16 + rank
+    # reproduces the scan-order argmin of the numpy spec exactly
+    m = jnp.minimum(jnp.minimum(gmin(cd), gmin(czi)), gmin(ci))
+    mb = bexp(m)
+    BT = jnp.int32(64)
+    tsel = jnp.minimum(jnp.minimum(
+        gmin(jnp.where(cd == mb, rank, BT)),
+        gmin(jnp.where(czi == mb, rank + 16, BT))),
+        gmin(jnp.where(ci == mb, rank + 32, BT)))
+    cls = tsel // 16
+    tgt = tsel % 16
+    tmask = rank == bexp(tgt)
+    tval = gsum(jnp.where(tmask, v, 0))
     tsgn = jnp.where(tval < 0, -1, 1)
     newv = jnp.where(cls == 1, 0,
                      tval + jnp.where(cls == 2, tsgn, -tsgn))
-    v = jnp.where(adj[..., None] & (k == tgt[..., None]),
-                  newv[..., None], v)
-    out = jnp.take_along_axis(v.reshape(lead + (n * n,)),
-                              jnp.broadcast_to(inv, flat.shape), axis=-1)
-    return out.reshape(lvl.shape)
+    v = jnp.where(bexp(adj) & tmask, bexp(newv), v)
+    return v.reshape(lvl.shape)
 
 
 def dequantize(level: jnp.ndarray, qp: jnp.ndarray, n: int,
