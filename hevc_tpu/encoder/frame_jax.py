@@ -372,9 +372,11 @@ def _merge_tiles(tiles: list[dict], tile_cols: int, tile_rows: int,
 
 def pick_tile_grid(nh: int, nw: int, ctb: int = CTB) -> tuple[int, int]:
     """Largest even tile grid obeying Main-profile minima (tiles >= 256 luma
-    wide, >= 64 tall) with tile dims dividing the CTU grid."""
-    max_cols = max(1, (nw * ctb) // 256)
-    max_rows = max(1, (nh * ctb) // 64)
+    wide, >= 64 tall), the level-6 tile-count maxima (Table A.1: 20 cols x
+    22 rows — StreamConfig auto-raises level_idc to match the grid), with
+    tile dims dividing the CTU grid."""
+    max_cols = min(20, max(1, (nw * ctb) // 256))
+    max_rows = min(22, max(1, (nh * ctb) // 64))
 
     def best_divisor(n, cap):
         for d in range(min(cap, n), 0, -1):

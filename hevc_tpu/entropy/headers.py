@@ -35,6 +35,40 @@ MATRICES = {"gbr": 0, "bt709": 1, "unknown": 2, "smpte170m": 6,
             "bt2020nc": 9, "bt2020c": 10}
 
 
+# spec Table A.1 (level limits): level_idc -> (MaxTileCols, MaxTileRows,
+# MaxLumaPs, MaxLumaSr).  Used to auto-raise the signaled level when the
+# tile lane grid (our device-parallelism axis) exceeds the tile-count
+# limits of the resolution-derived level — the stream then conforms to
+# the level it signals (A.4.2 items f/g).
+LEVEL_CAPS: tuple = (
+    (30, 1, 1, 36_864, 552_960),
+    (60, 1, 1, 122_880, 3_686_400),
+    (63, 1, 1, 245_760, 7_372_800),
+    (90, 2, 2, 552_960, 16_588_800),
+    (93, 3, 3, 983_040, 33_177_600),
+    (120, 5, 5, 2_228_224, 66_846_720),
+    (123, 5, 5, 2_228_224, 133_693_440),
+    (150, 10, 11, 8_912_896, 267_386_880),
+    (153, 10, 11, 8_912_896, 534_773_760),
+    (156, 10, 11, 8_912_896, 1_069_547_520),
+    (180, 20, 22, 35_651_584, 1_069_547_520),
+    (183, 20, 22, 35_651_584, 2_139_095_040),
+    (186, 20, 22, 35_651_584, 4_278_190_080),
+)
+
+
+def min_level_idc(pic_w: int, pic_h: int, tile_cols: int, tile_rows: int,
+                  fps: float = 30.0) -> int:
+    """Smallest level_idc whose Table A.1 limits admit this stream."""
+    luma_ps = pic_w * pic_h
+    luma_sr = luma_ps * fps
+    for idc, mc, mr, mps, msr in LEVEL_CAPS:
+        if tile_cols <= mc and tile_rows <= mr and luma_ps <= mps \
+                and luma_sr <= msr:
+            return idc
+    return LEVEL_CAPS[-1][0]
+
+
 @dataclass
 class StreamConfig:
     """Static per-stream coding configuration (one compiled bucket)."""
@@ -73,6 +107,15 @@ class StreamConfig:
                                    # runs bframes 4 w/ pyramid - multi-B
                                    # is the non-pyramid step toward it)
     extra: dict = field(default_factory=dict)
+
+    def __post_init__(self):
+        # the signaled level must admit the tile grid / luma rate
+        # (Table A.1); the planner's resolution-derived level is a floor
+        need = min_level_idc(self.pic_width, self.pic_height,
+                             self.tile_cols, self.tile_rows,
+                             float(self.fps))
+        if self.level_idc < need:
+            self.level_idc = need
 
     @property
     def tiles_enabled(self) -> bool:

@@ -117,3 +117,25 @@ def test_hdr_metadata_defaults():
     parsed = parse_master_display(md["master_display"])
     assert parsed["g"] == (13250, 34500) and parsed["max_lum"] == 10000000
     assert build_hdr_metadata(info()) == {}
+
+
+def test_level_autoraise_for_tile_grid():
+    """StreamConfig signals a level whose Table A.1 tile limits admit the
+    lane grid (A.4.2): 102 tiles at 1080p needs level 6.0, not 4.0."""
+    from hevc_tpu.entropy.headers import StreamConfig, min_level_idc
+    cfg = StreamConfig(width=1920, height=1080, tile_cols=6, tile_rows=17)
+    assert cfg.level_idc == 180                      # 17 rows -> level 6.0
+    assert StreamConfig(width=1920, height=1080).level_idc == 120
+    # explicit higher level is kept
+    cfg = StreamConfig(width=640, height=384, level_idc=153)
+    assert cfg.level_idc == 153
+    assert min_level_idc(3840, 2176, 15, 17, 30.0) == 180
+    assert min_level_idc(1280, 720, 3, 3, 30.0) == 93
+
+
+def test_pick_tile_grid_obeys_level6_caps():
+    from hevc_tpu.encoder.frame_jax import pick_tile_grid
+    for nh, nw, ctb in ((135, 240, 16), (68, 120, 32), (68, 120, 16)):
+        tc, tr = pick_tile_grid(nh, nw, ctb)
+        assert tc <= 20 and tr <= 22
+        assert nw % tc == 0 and nh % tr == 0
