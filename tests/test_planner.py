@@ -60,6 +60,22 @@ def test_crf_envelope():
     assert 16 <= p.crf <= 24
 
 
+def test_crf_to_qp_calibrated():
+    # piecewise-linear through the measured matched-PSNR anchors
+    # (tools/quality_bd_r3_*.jsonl); monotone; clamped to [0, 51]
+    from hevc_tpu.planner.rate import crf_to_qp
+    i = info()
+    assert crf_to_qp(18, i) == 21
+    assert crf_to_qp(23, i) == 24   # round(24.5) banker's -> 24
+    assert crf_to_qp(28, i) == 28   # round(27.5) -> 28
+    assert crf_to_qp(33, i) == 32   # round(31.5) -> 32
+    qs = [crf_to_qp(c, i) for c in range(0, 52)]
+    assert all(a <= b for a, b in zip(qs, qs[1:]))
+    assert 0 <= qs[0] and qs[-1] <= 51
+    # the old crf+5 stub over-quantized mid-range CRFs by ~4 QP
+    assert crf_to_qp(28, i) <= 28 + 1
+
+
 def test_bitrate_envelope():
     assert target_bitrate_kbps(info(1920, 1080)) == 16000
     assert target_bitrate_kbps(info(1920, 1080, hdr=True)) == 19000
