@@ -28,7 +28,11 @@ class IntraDecoder:
     def __init__(self, sps: Sps, pps: Pps):
         self.sps = sps
         self.pps = pps
-        assert not pps.cu_qp_delta_enabled, "cu_qp_delta unsupported (v0)"
+        # cu_qp_delta: QG = CTB only (diff depth 0), intra slices — the
+        # shapes this framework's AQ emits (encoder/reference_encoder.py)
+        assert not pps.cu_qp_delta_enabled or \
+            pps.diff_cu_qp_delta_depth == 0, \
+            "cu_qp_delta with sub-CTB quantization groups unsupported"
         assert not pps.transform_skip, "transform skip unsupported (v0)"
         assert not pps.constrained_intra, "constrained intra unsupported"
         self.W = sps.pic_width
@@ -121,11 +125,10 @@ class IntraDecoder:
                      ref1: dict | None = None,
                      pocs: tuple | None = None) -> dict:
         qp_bd = 6 * (self.sps.bit_depth - 8)   # Qp' = Qp + QpBdOffset (8.6.3)
-        self.qp = hdr.qp + qp_bd
-        self.qpc_cb = R.chroma_qp(
-            min(max(hdr.qp + self.pps.cb_qp_offset, 0), 57)) + qp_bd
-        self.qpc_cr = R.chroma_qp(
-            min(max(hdr.qp + self.pps.cr_qp_offset, 0), 57)) + qp_bd
+        self._qp_bd = qp_bd
+        self._set_qg_qp(hdr.qp)
+        self.qp_pred = hdr.qp      # qPY_PREV, reset at slice/tile start
+        self.qg_coded = False
         self.y = np.zeros((self.H, self.W), dtype=np.int32)
         self.cb = np.zeros((self.H // 2, self.W // 2), dtype=np.int32)
         self.cr = np.zeros((self.H // 2, self.W // 2), dtype=np.int32)
@@ -163,8 +166,16 @@ class IntraDecoder:
         use_sao = self.sps.sao_enabled and (hdr.sao_luma or hdr.sao_chroma)
         self.sao_y = [[None] * ctbs_w for _ in range(ctbs_h)]
         self.sao_c = [[None] * ctbs_w for _ in range(ctbs_h)]
+        aq = self.pps.cu_qp_delta_enabled
+        assert not (aq and self.p_slice), \
+            "cu_qp_delta in P/B slices unsupported"
         for cy in range(ctbs_h):
             for cx in range(ctbs_w):
+                if aq:
+                    # new quantization group (QG = CTB): QP predicts
+                    # from the previous QG until a delta is parsed
+                    self.qg_coded = False
+                    self._set_qg_qp(self.qp_pred)
                 if use_sao:
                     p = self.syn.decode_sao_ctu(cx > 0, cy > 0,
                                                 self.sps.bit_depth)
@@ -175,6 +186,8 @@ class IntraDecoder:
                     self.sao_y[cy][cx], self.sao_c[cy][cx] = p
                 self._coding_quadtree(cx * self.ctb, cy * self.ctb,
                                       self.sps.log2_ctb)
+                if aq:
+                    self.qp_pred = self.cur_qpy   # qPY_PREV for next QG
                 last = (cy == ctbs_h - 1) and (cx == ctbs_w - 1)
                 got = self.syn.decode_end_of_slice()
                 assert got == (1 if (last and expect_end) else 0), \
@@ -472,9 +485,23 @@ class IntraDecoder:
     def _luma_mode_at(self, x: int, y: int) -> int:
         return int(self.modes[y >> 2, x >> 2])
 
+    def _set_qg_qp(self, qpy: int) -> None:
+        """Derive the current QG's luma/chroma Qp' scalars (8.6.1-8.6.3)."""
+        self.cur_qpy = qpy
+        self.qp = qpy + self._qp_bd
+        self.qpc_cb = R.chroma_qp(
+            min(max(qpy + self.pps.cb_qp_offset, 0), 57)) + self._qp_bd
+        self.qpc_cr = R.chroma_qp(
+            min(max(qpy + self.pps.cr_qp_offset, 0), 57)) + self._qp_bd
+
     def _transform_unit(self, x0, y0, x_base, y_base, log2size, depth,
                         blk_idx, cbf_luma, cbf_cb, cbf_cr):
         n = 1 << log2size
+        if (self.pps.cu_qp_delta_enabled and not self.qg_coded
+                and (cbf_luma or cbf_cb or cbf_cr)):
+            # first coded TU of the quantization group (7.3.8.10)
+            self.qg_coded = True
+            self._set_qg_qp(self.qp_pred + self.syn.decode_cu_qp_delta())
         mode = self._luma_mode_at(x0, y0)
         # luma: predict + reconstruct
         pred = self._predict(self.y, x0, y0, n, mode, 0)

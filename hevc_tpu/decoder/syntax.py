@@ -81,6 +81,31 @@ class SliceSyntaxDecoder:
             out.append(-a if c.decode_bypass() else a)
         return out[0], out[1]
 
+    def decode_cu_qp_delta(self) -> int:
+        """cu_qp_delta_abs + sign (7.3.8.10): TR cMax=5 prefix (bin 0 ctx
+        +0, bins 1-4 ctx +1), EG0 bypass suffix, bypass sign."""
+        c = self.cabac
+        base = T.CTX_OFF["cu_qp_delta_abs"]
+        if not c.decode_bin(base):
+            return 0
+        a = 1
+        while a < 5 and c.decode_bin(base + 1):
+            a += 1
+        if a == 5:
+            a += self._decode_eg0()
+        return -a if c.decode_bypass() else a
+
+    def _decode_eg0(self) -> int:
+        c = self.cabac
+        length = 0
+        v = 0
+        while c.decode_bypass():
+            v += 1 << length
+            length += 1
+            if length > 30:
+                raise ValueError("corrupt cu_qp_delta_abs")
+        return v + (c.decode_bypass_bits(length) if length else 0)
+
     def _decode_eg1(self) -> int:
         c = self.cabac
         length = 1

@@ -77,6 +77,24 @@ class RefIntraEncoder:
         lam = 0.85 * 2.0 ** ((qp - 12) / 3.0)
         sqrt_lam = np.sqrt(lam)
 
+        # ---- per-CTB QP map (cu_qp_delta; QG = CTB since PPS
+        # diff_cu_qp_delta_depth = 0).  Variance AQ in the x265 aq-mode-2
+        # shape: busy CTBs code coarser, flat CTBs finer (reference
+        # delegate runs "AQ: mode 2 / str 1.0", BENCH log /
+        # core/transcoder.py:398-412).
+        qp_map = None
+        if cfg.cu_qp_delta:
+            blk = ys.reshape(nh, ctb, nw, ctb).transpose(0, 2, 1, 3)
+            var = blk.astype(np.float64).var(axis=(2, 3))
+            lv = np.log2(var + 1.0)
+            off = np.clip(np.rint(cfg.aq_strength * (lv - lv.mean())),
+                          -6, 6).astype(np.int32)
+            qp_map = np.clip(cfg.qp + off, 1, 51)
+        qp_pred = cfg.qp             # qPY_PREV: QG = CTB means both
+        #                              spatial QP candidates fall outside
+        #                              the current CTB, so qPY_PRED is
+        #                              always the previous QG's QP (8.6.1)
+
         syn = SliceSyntaxEncoder(cfg.qp, sdh=cfg.sdh)  # CABAC init: SliceQpY
         mode_row = np.full(nw, INTRA_DC, dtype=np.int32)  # left-neighbor modes
 
@@ -84,6 +102,10 @@ class RefIntraEncoder:
             left_mode = INTRA_DC
             for cx in range(nw):
                 x0, y0 = cx * ctb, cy * ctb
+                if qp_map is not None:
+                    qp_y = int(qp_map[cy, cx])
+                    qp = qp_y + qp_bd
+                    qpc = R.chroma_qp(min(max(qp_y, 0), 57)) + qp_bd
                 # ---- luma: search 35 modes on reconstructed refs ----
                 src = ys[y0:y0 + ctb, x0:x0 + ctb]
                 ref = R.build_reference(rec_y, x0, y0, ctb,
@@ -156,6 +178,13 @@ class RefIntraEncoder:
                 syn.encode_cbf_chroma(cbf_cb, 0)
                 syn.encode_cbf_chroma(cbf_cr, 0)
                 syn.encode_cbf_luma(cbf_y, 0)
+                if qp_map is not None:
+                    # cu_qp_delta at the QG's first coded TU (7.3.8.10);
+                    # an all-zero CTB transmits nothing and inherits
+                    # qPY_PRED, so it does not advance the predictor
+                    if cbf_y or cbf_cb or cbf_cr:
+                        syn.encode_cu_qp_delta(qp_y - qp_pred)
+                        qp_pred = qp_y
                 if cbf_y:
                     scan = T.intra_scan_idx(4, mode, 0)
                     syn.encode_residual(lvl, 4, scan, 0)

@@ -106,6 +106,11 @@ class StreamConfig:
                                    # (1 = IbPbP, 2 = IbbPbbP; x265-medium
                                    # runs bframes 4 w/ pyramid - multi-B
                                    # is the non-pyramid step toward it)
+    cu_qp_delta: bool = False      # per-CTB QP (PPS cu_qp_delta_enabled,
+                                   # QG = CTB); carrier for adaptive QP
+                                   # (x265-medium AQ mode 2)
+    aq_strength: float = 0.0       # variance AQ: per-CTB QP offset =
+                                   # clip(round(s*(log2 var - mean)), +-6)
     extra: dict = field(default_factory=dict)
 
     def __post_init__(self):
@@ -315,7 +320,9 @@ def write_pps(cfg: StreamConfig) -> bytes:
     w.se(0)                         # init_qp_minus26
     w.u(0, 1)                       # constrained_intra_pred_flag
     w.u(0, 1)                       # transform_skip_enabled_flag
-    w.u(0, 1)                       # cu_qp_delta_enabled_flag
+    w.u(1 if cfg.cu_qp_delta else 0, 1)   # cu_qp_delta_enabled_flag
+    if cfg.cu_qp_delta:
+        w.ue(0)                     # diff_cu_qp_delta_depth (QG = CTB)
     w.se(0)                         # pps_cb_qp_offset
     w.se(0)                         # pps_cr_qp_offset
     w.u(0, 1)                       # pps_slice_chroma_qp_offsets_present_flag

@@ -111,6 +111,36 @@ class SliceSyntaxEncoder:
             if a:
                 c.encode_bypass(1 if v < 0 else 0)
 
+    def encode_cu_qp_delta(self, delta: int) -> None:
+        """cu_qp_delta_abs + sign (7.3.8.10): TR prefix cMax=5 (bin 0 ctx
+        +0, bins 1-4 ctx +1, Table 9-37), EG0 bypass suffix for abs >= 5,
+        bypass sign."""
+        c = self.cabac
+        a = abs(delta)
+        base = T.CTX_OFF["cu_qp_delta_abs"]
+        c.encode_bin(base, 1 if a > 0 else 0)
+        if not a:
+            return
+        for _ in range(min(a, 5) - 1):
+            c.encode_bin(base + 1, 1)
+        if a < 5:
+            c.encode_bin(base + 1, 0)
+        else:
+            self._encode_eg0(a - 5)
+        c.encode_bypass(1 if delta < 0 else 0)
+
+    def _encode_eg0(self, v: int) -> None:
+        """0th-order exp-Golomb, bypass (cu_qp_delta_abs suffix)."""
+        c = self.cabac
+        length = 0
+        while v >= (1 << length):
+            c.encode_bypass(1)
+            v -= 1 << length
+            length += 1
+        c.encode_bypass(0)
+        if length:
+            c.encode_bypass_bits(v, length)
+
     def _encode_eg1(self, v: int) -> None:
         """1st-order exp-Golomb, bypass (abs_mvd_minus2 binarization)."""
         c = self.cabac
