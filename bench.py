@@ -147,25 +147,45 @@ def main():
     sys.path.insert(0, "tests")
     from generate_test_videos import synth_frame
 
+    wall0 = time.time()
     fps, frames = bench_ctb32(1920, 1080, 16, 27, "1080p", synth_frame)
     base_fps = x265_baseline(frames, "1080p")
-    try:
-        fps16 = bench_ctb16(1920, 1080, 16, 27, "1080p-ctb16", synth_frame)
-        log(f"[1080p-ctb16] medium preset: {fps16:.2f} fps")
-    except Exception as e:
-        log("ctb16 bench failed:", e)
-    try:
-        fps4k, _ = bench_ctb32(3840, 2160, 8, 27, "4k", synth_frame)
-        log(f"[4k] {fps4k:.2f} fps (north star: 30)")
-    except Exception as e:
-        log("4k bench failed:", e)
 
+    # Canonical JSON FIRST — diagnostics below must never cost the round
+    # its headline number (round-3 failure mode: driver timeout before
+    # this line printed).
     print(json.dumps({
         "metric": "1080p_gop_encode_fps_per_chip_vs_x265_medium",
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / base_fps, 3) if base_fps else 0.0,
-    }))
+    }), flush=True)
+
+    # Diagnostics under a wall-clock guard: skip any stage that would
+    # plausibly run past the driver's budget.
+    BUDGET_S = 3000.0
+
+    def left():
+        return BUDGET_S - (time.time() - wall0)
+
+    if left() > 600:
+        try:
+            fps4k, _ = bench_ctb32(3840, 2160, 8, 27, "4k", synth_frame,
+                                   iters=1)
+            log(f"[4k] {fps4k:.2f} fps (north star: 30)")
+        except Exception as e:
+            log("4k bench failed:", e)
+    else:
+        log(f"[4k] skipped (only {left():.0f}s budget left)")
+    if left() > 400:
+        try:
+            fps16 = bench_ctb16(1920, 1080, 16, 27, "1080p-ctb16",
+                                synth_frame)
+            log(f"[1080p-ctb16] medium preset: {fps16:.2f} fps")
+        except Exception as e:
+            log("ctb16 bench failed:", e)
+    else:
+        log(f"[1080p-ctb16] skipped (only {left():.0f}s budget left)")
 
 
 if __name__ == "__main__":
