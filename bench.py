@@ -61,9 +61,13 @@ def bench_ctb32(W, H, F, QP, label, synth_frame, iters=2):
                             bframes_n=2)   # the ctb32 preset toolset
     enc = Ctb32GopEncoder(cfg)
     t0 = time.time()
+    enc.warmup_parallel()       # I/P/B graphs compile concurrently
+    t_c = time.time() - t0
+    t0 = time.time()
     bs = enc.encode_video(frames, gop=30)
-    log(f"[{label}] compile+first: {time.time()-t0:.1f}s, {len(bs)} bytes "
-        f"({len(bs)*8*30/F/1e6:.2f} Mbps @30fps)")
+    log(f"[{label}] compile(parallel): {t_c:.1f}s, first encode: "
+        f"{time.time()-t0:.1f}s (compile+first {t_c+time.time()-t0:.1f}s), "
+        f"{len(bs)} bytes ({len(bs)*8*30/F/1e6:.2f} Mbps @30fps)")
     t0 = time.time()
     n = 0
     for _ in range(iters):
@@ -135,7 +139,25 @@ def bench_ctb16(W, H, F, QP, label, synth_frame):
     return fps
 
 
+_JSON_DONE = False
+
+
+def emit(fps, base_fps):
+    global _JSON_DONE
+    if _JSON_DONE:
+        return
+    _JSON_DONE = True
+    print(json.dumps({
+        "metric": "1080p_gop_encode_fps_per_chip_vs_x265_medium",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / base_fps, 3) if base_fps else 0.0,
+    }), flush=True)
+
+
 def main():
+    import os
+    import signal
     import jax
     try:
         jax.config.update("jax_compilation_cache_dir",
@@ -143,6 +165,20 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     except Exception:
         pass
+
+    # Watchdog: whatever happens, a canonical JSON line is on stdout and
+    # the process exits 0 before any plausible driver budget (round-3
+    # failure mode: rc=124, parsed=null).
+    BUDGET_S = 2700.0
+
+    def _alarm(signum, frame):
+        log("WATCHDOG: wall budget reached; emitting and exiting")
+        emit(0.0, 0.0)
+        os._exit(0)
+
+    signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(int(BUDGET_S))
+
     log("devices:", jax.devices())
     sys.path.insert(0, "tests")
     from generate_test_videos import synth_frame
@@ -152,19 +188,11 @@ def main():
     base_fps = x265_baseline(frames, "1080p")
 
     # Canonical JSON FIRST — diagnostics below must never cost the round
-    # its headline number (round-3 failure mode: driver timeout before
-    # this line printed).
-    print(json.dumps({
-        "metric": "1080p_gop_encode_fps_per_chip_vs_x265_medium",
-        "value": round(fps, 3),
-        "unit": "fps",
-        "vs_baseline": round(fps / base_fps, 3) if base_fps else 0.0,
-    }), flush=True)
+    # its headline number.
+    emit(fps, base_fps)
 
     # Diagnostics under a wall-clock guard: skip any stage that would
     # plausibly run past the driver's budget.
-    BUDGET_S = 3000.0
-
     def left():
         return BUDGET_S - (time.time() - wall0)
 

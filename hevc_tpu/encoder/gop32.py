@@ -471,11 +471,11 @@ def _split32_j(p, tr, tc_, tnh32, tnw32, bs):
 
 @partial(jax.jit, static_argnames=("tnh32", "tnw32", "tr", "tc_",
                                    "bit_depth", "idr", "subpel", "deblock",
-                                   "sdh", "rdoq", "sao", "weightp", "cap",
+                                   "sdh", "rdoq", "sao", "weightp",
                                    "hc", "wc"))
 def _gop32_step_jit(flat, pad_y, pad_cb, pad_cr, qp, lam_bits, lam16, sl16,
                     tnh32, tnw32, tr, tc_, bit_depth, idr, subpel, deblock,
-                    sdh, rdoq, sao, cap, weightp=False, wp=None,
+                    sdh, rdoq, sao, weightp=False, wp=None,
                     hc=0, wc=0):
     """One fused ctb32 frame dispatch: stage sources from the flat upload,
     scan, deblock [+ SAO at CTB granularity 32] + DPB pad, device-pack the
@@ -583,18 +583,28 @@ def _gop32_step_jit(flat, pad_y, pad_cb, pad_cr, qp, lam_bits, lam16, sl16,
     from hevc_tpu.encoder.pack import _u8
     dig = _digest_stack_jit.__wrapped__(d[3][None], d[4][None], d[5][None],
                                         tr, tc_, hc, wc)
-    wire = jnp.concatenate([head, bits, _u8(dig.reshape(-1)),
-                            _u8(vbuf[:cap])])
-    return wire, vbuf, d[3], d[4], d[5]
+    # the value-stream tail (vbuf[:cap]) is appended by the tiny
+    # _wire32_jit so the adaptive cap NEVER recompiles this scan graph
+    pre = jnp.concatenate([head, bits, _u8(dig.reshape(-1))])
+    return pre, vbuf, d[3], d[4], d[5]
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def _wire32_jit(pre, vbuf, cap):
+    """Append the capped value-stream prefix to the packed frame buffer.
+    cap is static but this graph is a trivial slice+concat, so adaptive
+    cap growth costs microseconds to recompile — NOT the full scan (the
+    round-3 1052 s ctb32 compile was dominated by scan-graph recompiles
+    every time the per-frame nnz crossed a 64K cap bucket)."""
+    from hevc_tpu.encoder.pack import _u8
+    return jnp.concatenate([pre, _u8(vbuf[:cap])])
 
 
 @partial(jax.jit, static_argnames=("tnh32", "tnw32", "tr", "tc_",
-                                   "bit_depth", "subpel", "sdh", "rdoq",
-                                   "cap"))
+                                   "bit_depth", "subpel", "sdh", "rdoq"))
 def _gop32_step_b_jit(flat, pad0_y, pad0_cb, pad0_cr, pad1_y, pad1_cb,
                       pad1_cr, dsf, qp, lam_bits, lam16, sl16,
-                      tnh32, tnw32, tr, tc_, bit_depth, subpel, sdh, rdoq,
-                      cap):
+                      tnh32, tnw32, tr, tc_, bit_depth, subpel, sdh, rdoq):
     """Fused ctb32 B-frame dispatch: two reference pad sets, bi-pred scan,
     device-packed syntax (B layout), one fetch buffer.  B pictures are
     non-reference so no deblock/DPB update is produced."""
@@ -655,9 +665,8 @@ def _gop32_step_b_jit(flat, pad0_y, pad0_cb, pad0_cr, pad1_y, pad1_cb,
     nnz = (flat_coef != 0).sum(dtype=jnp.int32)
     head = spec.pack_head(c16, g32, nnz)
     bits, vbuf, _ = coef_stream(flat_coef[None])
-    from hevc_tpu.encoder.pack import _u8
-    wire = jnp.concatenate([head, bits, _u8(vbuf[:cap])])
-    return wire, vbuf
+    pre = jnp.concatenate([head, bits])
+    return pre, vbuf
 
 
 class Ctb32GopEncoder:
@@ -697,6 +706,62 @@ class Ctb32GopEncoder:
         tr, tc = cfg.tile_rows, cfg.tile_cols
         tnh32, tnw32 = H // 32 // tr, W // 32 // tc
         return H, W, tr, tc, tnh32, tnw32
+
+    def warmup_parallel(self):
+        """Compile the I, P and B step graphs CONCURRENTLY on dummy
+        zero frames.  The three compiles are independent cache entries
+        (distinct static args / functions) and XLA compilation releases
+        the GIL, so three threads cut cold-start wall-clock to roughly
+        the slowest single graph instead of their sum.  Dummy calls use
+        the exact production avals (shape/dtype/weak-type + statics), so
+        the real first dispatch is a cache hit."""
+        import dataclasses
+        from concurrent.futures import ThreadPoolExecutor
+        cfg = self.cfg
+        H, W, tr, tc, tnh32, tnw32 = self._geometry()
+        T = tr * tc
+        sdt = np.uint8 if cfg.bit_depth == 8 else np.uint16
+        flat = jnp.zeros(H * W + 2 * (H // 2) * (W // 2), sdt)
+        th, tw = H // tr, W // tc
+        pads = (jnp.zeros((T, th + 2 * MARGIN, tw + 2 * MARGIN), jnp.int32),
+                jnp.zeros((T, th // 2 + 2 * MARGIN_C,
+                           tw // 2 + 2 * MARGIN_C), jnp.int32),
+                jnp.zeros((T, th // 2 + 2 * MARGIN_C,
+                           tw // 2 + 2 * MARGIN_C), jnp.int32))
+
+        def a32(v):
+            return jnp.asarray(v, jnp.int32)
+
+        wp_v = jnp.asarray((64, 0, 64, 0, 64, 0), jnp.int32)
+
+        def ip(idr):
+            rs = RowScanEncoderV1(cfg.qp, cfg.bit_depth)
+            out = _gop32_step_jit(
+                flat, *pads, jnp.asarray(cfg.qp), rs.lam_bits, a32(1),
+                a32(1), tnh32, tnw32, tr, tc, cfg.bit_depth, idr,
+                self.subpel, cfg.deblock, cfg.sdh, cfg.rdoq, cfg.sao,
+                weightp=cfg.weightp, wp=wp_v, hc=cfg.height, wc=cfg.width)
+            jax.block_until_ready(out[0])
+
+        def bee():
+            from hevc_tpu.encoder.ctb32_ref import Ctb32RefEncoder
+            from hevc_tpu.encoder.rowscan_v1 import dsf_pair
+            qp_b = min(cfg.qp + Ctb32RefEncoder.B_QP_OFFSET, 51)
+            rs = RowScanEncoderV1(qp_b, cfg.bit_depth)
+            out = _gop32_step_b_jit(
+                flat, *pads, *pads, jnp.asarray(dsf_pair(1, 0, 2)),
+                jnp.asarray(qp_b), rs.lam_bits, a32(1), a32(1),
+                tnh32, tnw32, tr, tc, cfg.bit_depth, self.subpel,
+                cfg.sdh, cfg.rdoq)
+            jax.block_until_ready(out[0])
+
+        jobs = [lambda: ip(True), lambda: ip(False)]
+        if cfg.bframes:
+            jobs.append(bee)
+        with ThreadPoolExecutor(len(jobs), "gop32-warmup") as pool:
+            futs = [pool.submit(j) for j in jobs]
+            for f in futs:
+                f.result()
 
     def encode_next_async(self, y, cb, cr, idr: bool = False,
                           qp: int | None = None, poc: int | None = None,
@@ -743,11 +808,12 @@ class Ctb32GopEncoder:
         spec = Ctb32PackSpec(tnh32, tnw32, T, sao=cfg.sao,
                              sao_grid=(tr * tnh32, tc * tnw32))
         cap = min(self._cap_hint, spec.coef_elems // 2)
-        wire, vbuf, py, pcb, pcr = _gop32_step_jit(
+        pre, vbuf, py, pcb, pcr = _gop32_step_jit(
             flat, *self._pads, jnp.asarray(qp), rs.lam_bits, lam16, sl16,
             tnh32, tnw32, tr, tc, cfg.bit_depth, is_idr, self.subpel,
-            cfg.deblock, cfg.sdh, cfg.rdoq, cfg.sao, cap,
+            cfg.deblock, cfg.sdh, cfg.rdoq, cfg.sao,
             weightp=cfg.weightp, wp=wp_v, hc=cfg.height, wc=cfg.width)
+        wire = _wire32_jit(pre, vbuf, cap)
         self._pads_prev = None if is_idr else self._pads
         self._pads = (py, pcb, pcr)
         try:
@@ -831,11 +897,12 @@ class Ctb32GopEncoder:
                                * 16), jnp.int32)
         spec = Ctb32PackSpec(tnh32, tnw32, T, b=True)
         cap = min(self._cap_hint, spec.coef_elems // 2)
-        wire, vbuf = _gop32_step_b_jit(
+        pre, vbuf = _gop32_step_b_jit(
             flat, *self._pads_prev, *self._pads,
             jnp.asarray(dsf_pair(*pocs)), jnp.asarray(qp_b), rs.lam_bits,
             lam16, sl16, tnh32, tnw32, tr, tc, cfg.bit_depth, self.subpel,
-            cfg.sdh, cfg.rdoq, cap)
+            cfg.sdh, cfg.rdoq)
+        wire = _wire32_jit(pre, vbuf, cap)
         try:
             wire.copy_to_host_async()
         except Exception:
@@ -969,7 +1036,9 @@ class Ctb32GopEncoder:
                 fut = self.encode_next_async(*fr, idr=kind == 0, poc=poc,
                                              rps_idx=rps)
             pending.append(fut)
-            while len(pending) > 3:
+            # deep enough to hide the ~100 ms tunnel RPC latency of a
+            # fetch behind several in-flight dispatches
+            while len(pending) > 6:
                 out += b"\x00\x00\x00\x01" + pending.popleft().result()
         while pending:
             out += b"\x00\x00\x00\x01" + pending.popleft().result()
