@@ -600,6 +600,24 @@ def _wire32_jit(pre, vbuf, cap):
     return jnp.concatenate([pre, _u8(vbuf[:cap])])
 
 
+@partial(jax.jit, static_argnames=("caps",))
+def _wire32_group_jit(pres, vbufs, caps):
+    """Pack a whole mini-GOP group's wires into ONE fetch buffer.
+
+    A device->host fetch over the axon tunnel costs ~250 ms of fixed RPC
+    latency regardless of size (round-5 profile: device_get 353 ms/frame
+    vs 25 ms CABAC — the per-frame fetch WAS the pipeline ceiling), so
+    the production loop concatenates the P+b+b group's (pre, values)
+    pairs on device and pays that latency once per group.  caps are
+    static; a cap-bucket change only recompiles this trivial concat."""
+    from hevc_tpu.encoder.pack import _u8
+    parts = []
+    for p, v, c in zip(pres, vbufs, caps):
+        parts.append(p)
+        parts.append(_u8(v[:c]))
+    return jnp.concatenate(parts)
+
+
 @partial(jax.jit, static_argnames=("tnh32", "tnw32", "tr", "tc_",
                                    "bit_depth", "subpel", "sdh", "rdoq"))
 def _gop32_step_b_jit(flat, pad0_y, pad0_cb, pad0_cr, pad1_y, pad1_cb,
@@ -763,10 +781,34 @@ class Ctb32GopEncoder:
             for f in futs:
                 f.result()
 
+    def _ensure_pool(self):
+        if self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(1, "gop32-entropy")
+        return self._pool
+
     def encode_next_async(self, y, cb, cr, idr: bool = False,
                           qp: int | None = None, poc: int | None = None,
                           rps_idx: int = 0):
-        """Dispatch one I/P frame now; returns a Future of the slice NAL.
+        """Dispatch one I/P frame now; returns a Future of the slice NAL."""
+        pre, vbuf, cap, host_fn = self._dispatch_ip(y, cb, cr, idr=idr,
+                                                    qp=qp, poc=poc,
+                                                    rps_idx=rps_idx)
+        wire = _wire32_jit(pre, vbuf, cap)
+        try:
+            wire.copy_to_host_async()
+        except Exception:
+            pass
+        return self._ensure_pool().submit(
+            lambda: host_fn(np.asarray(jax.device_get(wire))))
+
+    def _dispatch_ip(self, y, cb, cr, idr: bool = False,
+                     qp: int | None = None, poc: int | None = None,
+                     rps_idx: int = 0):
+        """Dispatch one I/P frame's device step NOW; return
+        (pre, vbuf, cap, host_fn) — host_fn(wire_bytes) runs the host
+        stage (unpack + C++ CABAC) on an already-fetched wire buffer, so
+        callers can batch several frames' wires into one tunnel fetch.
 
         poc overrides the auto decode-order counter (needed for IbPbP
         schedules where P pictures sit at even display offsets)."""
@@ -813,25 +855,16 @@ class Ctb32GopEncoder:
             tnh32, tnw32, tr, tc, cfg.bit_depth, is_idr, self.subpel,
             cfg.deblock, cfg.sdh, cfg.rdoq, cfg.sao,
             weightp=cfg.weightp, wp=wp_v, hc=cfg.height, wc=cfg.width)
-        wire = _wire32_jit(pre, vbuf, cap)
         self._pads_prev = None if is_idr else self._pads
         self._pads = (py, pcb, pcr)
-        try:
-            wire.copy_to_host_async()
-        except Exception:
-            pass
         self._poc = 0 if is_idr else self._poc + 1
         if poc is None:
             poc = None if is_idr else self._poc
         if is_idr:
             poc = None
-        if self._pool is None:
-            from concurrent.futures import ThreadPoolExecutor
-            self._pool = ThreadPoolExecutor(1, "gop32-entropy")
 
-        def host_stage():
+        def host_stage(f1):
             from hevc_tpu.encoder.pack import split_coef_bitmap
-            f1 = np.asarray(jax.device_get(wire))
             hn = f1[:spec.head_bytes]
             fields, nnz = spec.unpack_head(hn)
             nbits = spec.coef_elems // 8
@@ -864,12 +897,26 @@ class Ctb32GopEncoder:
                                               rps_idx=rps_idx,
                                               sao=sao_lists, wp=wp)
 
-        return self._pool.submit(host_stage)
+        return pre, vbuf, cap, host_stage
 
     def encode_b_async(self, y, cb, cr, pocs, qp: int | None = None,
                        rps_idx: int = 1):
+        """Dispatch one non-reference B picture; Future of the NAL."""
+        pre, vbuf, cap, host_fn = self._dispatch_b(y, cb, cr, pocs, qp=qp,
+                                                   rps_idx=rps_idx)
+        wire = _wire32_jit(pre, vbuf, cap)
+        try:
+            wire.copy_to_host_async()
+        except Exception:
+            pass
+        return self._ensure_pool().submit(
+            lambda: host_fn(np.asarray(jax.device_get(wire))))
+
+    def _dispatch_b(self, y, cb, cr, pocs, qp: int | None = None,
+                    rps_idx: int = 1):
         """Dispatch one non-reference B picture (refs: the last two
-        reference pictures still resident in the device DPB).  pocs =
+        reference pictures still resident in the device DPB); return
+        (pre, vbuf, cap, host_fn) for batched-fetch callers.  pocs =
         (cur, poc0, poc1) display offsets within the GOP segment; the
         slice codes at qp + B_QP_OFFSET.  rps_idx selects the B RPS set
         matching the (past, future) anchor distances (headers.rps_sets)."""
@@ -902,19 +949,10 @@ class Ctb32GopEncoder:
             jnp.asarray(dsf_pair(*pocs)), jnp.asarray(qp_b), rs.lam_bits,
             lam16, sl16, tnh32, tnw32, tr, tc, cfg.bit_depth, self.subpel,
             cfg.sdh, cfg.rdoq)
-        wire = _wire32_jit(pre, vbuf, cap)
-        try:
-            wire.copy_to_host_async()
-        except Exception:
-            pass
-        if self._pool is None:
-            from concurrent.futures import ThreadPoolExecutor
-            self._pool = ThreadPoolExecutor(1, "gop32-entropy")
         poc = pocs[0]
 
-        def host_stage():
+        def host_stage(f1):
             from hevc_tpu.encoder.pack import split_coef_bitmap
-            f1 = np.asarray(jax.device_get(wire))
             hn = f1[:spec.head_bytes]
             fields, nnz = spec.unpack_head(hn)
             nbits = spec.coef_elems // 8
@@ -939,7 +977,7 @@ class Ctb32GopEncoder:
                                               b_slice=True,
                                               rps_idx=rps_idx)
 
-        return self._pool.submit(host_stage)
+        return pre, vbuf, cap, host_stage
 
     def _unstep(self, a, tnh, tnw, tr, tc, to=None):
         """(S, T, ...) tile-lane stacks -> global (nh, nw, ...) grid."""
@@ -1015,31 +1053,71 @@ class Ctb32GopEncoder:
     def encode_video(self, frames, gop: int = 0):
         """Pipelined IPPP (or mini-GOP B when cfg.bframes, nb =
         cfg.bframes_n) encode in decode order -> annexb bytes (no recons
-        returned; byte-identical to Ctb32RefEncoder.encode_video)."""
+        returned; byte-identical to Ctb32RefEncoder.encode_video).
+
+        Wire buffers are fetched ONE TUNNEL ROUND-TRIP PER MINI-GOP
+        GROUP (reference frame + its b's): the fixed ~250 ms RPC latency
+        of a device->host fetch was the pipeline ceiling when paid per
+        frame (round-5 profile), so the group's wires are concatenated
+        on device and split host-side."""
         from collections import deque
         from hevc_tpu.encoder.gop import b_schedule
         from hevc_tpu.entropy.headers import rps_sets
         sets = rps_sets(self.cfg)
         self.reset()
+        pool = self._ensure_pool()
         out = annexb(self.parameter_sets())
         pending: deque = deque()
+        cur: list = []
+
+        def flush():
+            if not cur:
+                return
+            if len(cur) == 1:
+                pre, vbuf, cap, fn = cur[0]
+                packed = _wire32_jit(pre, vbuf, cap)
+            else:
+                packed = _wire32_group_jit(
+                    tuple(e[0] for e in cur), tuple(e[1] for e in cur),
+                    tuple(e[2] for e in cur))
+            try:
+                packed.copy_to_host_async()
+            except Exception:
+                pass
+            sizes = [e[0].shape[0] + 2 * e[2] for e in cur]
+            fns = [e[3] for e in cur]
+
+            def run(packed=packed, fns=fns, sizes=sizes):
+                buf = np.asarray(jax.device_get(packed))
+                outs = []
+                off = 0
+                for fn, sz in zip(fns, sizes):
+                    outs.append(fn(buf[off:off + sz]))
+                    off += sz
+                return outs
+            pending.append(pool.submit(run))
+            cur.clear()
+
         for disp, kind, poc, rps in b_schedule(len(frames), gop,
                                                self.cfg.bframes,
                                                self.cfg.bframes_n):
             fr = frames[disp]
             if kind == 2:
                 neg, pos = sets[rps]
-                fut = self.encode_b_async(*fr, pocs=(poc, poc - neg[0],
-                                                     poc + pos[0]),
-                                          rps_idx=rps)
+                cur.append(self._dispatch_b(*fr, pocs=(poc, poc - neg[0],
+                                                       poc + pos[0]),
+                                            rps_idx=rps))
             else:
-                fut = self.encode_next_async(*fr, idr=kind == 0, poc=poc,
-                                             rps_idx=rps)
-            pending.append(fut)
-            # deep enough to hide the ~100 ms tunnel RPC latency of a
-            # fetch behind several in-flight dispatches
-            while len(pending) > 6:
-                out += b"\x00\x00\x00\x01" + pending.popleft().result()
+                flush()      # close the previous reference's group
+                cur.append(self._dispatch_ip(*fr, idr=kind == 0, poc=poc,
+                                             rps_idx=rps))
+            # two groups in flight ≈ 6 frames: deep enough to hide the
+            # tunnel RPC latency behind in-flight device compute
+            while len(pending) > 2:
+                for nal in pending.popleft().result():
+                    out += b"\x00\x00\x00\x01" + nal
+        flush()
         while pending:
-            out += b"\x00\x00\x00\x01" + pending.popleft().result()
+            for nal in pending.popleft().result():
+                out += b"\x00\x00\x00\x01" + nal
         return out
