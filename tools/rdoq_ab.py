@@ -46,16 +46,7 @@ def run(cfg_base, frames, rdoq, qps):
     return pts
 
 
-def bd_rate(ref, test):
-    r1 = np.log([p[0] for p in ref])
-    p1 = [p[1] for p in ref]
-    r2 = np.log([p[0] for p in test])
-    p2 = [p[1] for p in test]
-    lo, hi = max(min(p1), min(p2)), min(max(p1), max(p2))
-    xs = np.linspace(lo, hi, 50)
-    i1 = np.interp(xs, p1[::-1], r1[::-1])
-    i2 = np.interp(xs, p2[::-1], r2[::-1])
-    return float(np.exp(np.mean(i2 - i1)) - 1) * 100
+from bd import bd_rate  # shared PCHIP Bjontegaard fit (tools/bd.py)
 
 
 def main():

@@ -60,7 +60,12 @@ def make_corpus(n_blocks: int, seed: int = 7):
 
 def measure(blocks, qp: int, quantizer, bit_depth: int = 8,
             log2n: int = 4):
-    """(total real CABAC bits, total pixel SSE) for one quantizer fn."""
+    """(total real CABAC bits, total pixel SSE) for one quantizer fn.
+
+    Bits are per-block cabac.bitcount deltas: renormalization carry and
+    the final flush/termination bits are excluded, undercounting each
+    variant by a near-constant few bits per run (ADVICE r4 item 5) —
+    negligible for the A/B deltas this tool reports."""
     from hevc_tpu.entropy.syntax import SliceSyntaxEncoder
     from hevc_tpu.entropy import tables as T
     from hevc_tpu.ops import reference as R
@@ -97,13 +102,17 @@ def main():
 
     blocks = make_corpus(args.n)
     if args.size != 16:
+        # tile every 16x16 residual into ALL native-size sub-blocks so
+        # small-TU stats aren't biased to the low-frequency top-left
+        # crop (ADVICE r4 item 3)
         s = args.size
-        blocks = [b[:s, :s] for b in blocks]
+        blocks = [b[r:r + s, c:c + s] for b in blocks
+                  for r in range(0, 16, s) for c in range(0, 16, s)]
     qps = [int(q) for q in args.qps.split(",")]
 
 
     variants = {
-        "deadzone": lambda c, q: R.quantize(c, q + 6 * 0, 8, intra=False),
+        "deadzone": lambda c, q: R.quantize(c, q, 8, intra=False),
         "rdoq": lambda c, q: R.quantize_rdoq(c, q, 8, intra=False),
     }
     # optional variants registered by the sweep below
@@ -125,18 +134,7 @@ def main():
                   f"psnr {psnr:6.3f}  nz_blocks {nzb}")
         curves[name] = pts
 
-    # BD-rate (piecewise-linear log-rate over the shared PSNR range)
-    def bd_rate(ref, test):
-        r1 = np.log([p[0] for p in ref])
-        p1 = [p[1] for p in ref]
-        r2 = np.log([p[0] for p in test])
-        p2 = [p[1] for p in test]
-        lo = max(min(p1), min(p2))
-        hi = min(max(p1), max(p2))
-        xs = np.linspace(lo, hi, 50)
-        i1 = np.interp(xs, p1[::-1], r1[::-1])
-        i2 = np.interp(xs, p2[::-1], r2[::-1])
-        return float(np.exp(np.mean(i2 - i1)) - 1) * 100
+    from bd import bd_rate  # shared PCHIP Bjontegaard fit (tools/bd.py)
 
     base = curves["deadzone"]
     for name, pts in curves.items():
