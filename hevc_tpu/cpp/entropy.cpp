@@ -801,7 +801,11 @@ extern "C" long hevc_entropy_encode_tile_ctb32(
     const int16_t *mvd32_1, const uint8_t *mvp32_1, const uint8_t *rqt32,
     const int32_t *mode32, const uint8_t *cbf32_cb, const uint8_t *cbf32_cr,
     const int8_t *sao,   // 18 x int8 per CTB32 (or null; see binding)
-    int sdh, uint8_t *out, long cap) {
+    int sdh,
+    // merge_idx support (MaxNumMergeCand > 1): per-cell / per-CTB32
+    // selected candidate index; null pointers mean all-zero
+    const uint8_t *midx, const uint8_t *midx32, int max_merge,
+    uint8_t *out, long cap) {
   Cabac c(qp, p_slice ? (b_slice ? 2 : 1) : 0);
   int nh = 2 * th32, nw = 2 * tw32;
   std::vector<int> modes16((size_t)nh * nw, -1);
@@ -815,6 +819,14 @@ extern "C" long hevc_entropy_encode_tile_ctb32(
     Scans::flat_scan(s, 4, sb16[s]);
     Scans::flat_scan(s, 2, sb8[s]);
   }
+
+  auto code_midx = [&](int mi) {
+    // TR binarization cMax = max_merge-1: first bin ctx, rest bypass
+    if (max_merge <= 1) return;
+    c.bin(CTX_MERGE_IDX, mi > 0 ? 1 : 0);
+    int lim = mi + 1 < max_merge - 1 ? mi + 1 : max_merge - 1;
+    for (int k = 1; k < lim; k++) c.bypass(mi == k ? 0 : 1);
+  };
 
   auto code_mvd = [&](int mx, int my) {
     int ax = mx < 0 ? -mx : mx, ay = my < 0 ? -my : my;
@@ -830,8 +842,9 @@ extern "C" long hevc_entropy_encode_tile_ctb32(
 
   // returns rqt flag
   auto inter_pu = [&](int mrg, int dr, int mx0, int my0, int mp0,
-                      int mx1, int my1, int mp1, int rq, int depth) -> int {
-    if (mrg) { c.bin(CTX_MERGE_FLAG, 1); return 1; }
+                      int mx1, int my1, int mp1, int rq, int depth,
+                      int mi) -> int {
+    if (mrg) { c.bin(CTX_MERGE_FLAG, 1); code_midx(mi); return 1; }
     c.bin(CTX_MERGE_FLAG, 0);
     if (b_slice) {
       c.bin(CTX_INTER_PRED + depth, dr == 2 ? 1 : 0);
@@ -898,7 +911,7 @@ extern "C" long hevc_entropy_encode_tile_ctb32(
             int a = ry > 0 ? skip16[(size_t)(ry - 1) * nw + rx] : 0;
             c.bin(CTX_CU_SKIP + l + a, sk);
             skip16[idx] = (uint8_t)sk;
-            if (sk) continue;
+            if (sk) { code_midx(midx ? midx[idx] : 0); continue; }
             if (inter[idx]) {
               c.bin(CTX_PRED_MODE, 0);
               c.bin(CTX_PART_MODE, 1);
@@ -908,7 +921,7 @@ extern "C" long hevc_entropy_encode_tile_ctb32(
                                 b_slice ? mvd1[idx * 2] : 0,
                                 b_slice ? mvd1[idx * 2 + 1] : 0,
                                 b_slice ? mvp1[idx] : 0,
-                                rqt[idx], 1);
+                                rqt[idx], 1, midx ? midx[idx] : 0);
               if (rq) {
                 int fy = cbf_yi[idx], fcb = cbf_cbi[idx], fcr = cbf_cri[idx];
                 c.bin(CTX_CBF_CHROMA + 0, fcb);
@@ -956,7 +969,7 @@ extern "C" long hevc_entropy_encode_tile_ctb32(
           c.bin(CTX_CU_SKIP + l + a, sk);
           skip16[idx0] = skip16[idx0 + 1] = skip16[idx0 + nw] =
               skip16[idx0 + nw + 1] = (uint8_t)sk;
-          if (sk) goto ctb_done;
+          if (sk) { code_midx(midx32 ? midx32[i32] : 0); goto ctb_done; }
           if (inter32[i32]) {
             is_intra32 = 0;
             c.bin(CTX_PRED_MODE, 0);
@@ -968,7 +981,8 @@ extern "C" long hevc_entropy_encode_tile_ctb32(
                               b_slice ? mvd32_1[i32 * 2] : 0,
                               b_slice ? mvd32_1[i32 * 2 + 1] : 0,
                               b_slice ? mvp32_1[i32] : 0,
-                              rqt32[i32], 0);
+                              rqt32[i32], 0,
+                              midx32 ? midx32[i32] : 0);
             if (!rq) goto ctb_done;
           } else {
             c.bin(CTX_PRED_MODE, 1);

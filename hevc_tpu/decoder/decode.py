@@ -123,7 +123,8 @@ class IntraDecoder:
                      expect_end: bool = True, ref: dict | None = None,
                      off: tuple[int, int] = (0, 0),
                      ref1: dict | None = None,
-                     pocs: tuple | None = None) -> dict:
+                     pocs: tuple | None = None,
+                     colctx: dict | None = None) -> dict:
         qp_bd = 6 * (self.sps.bit_depth - 8)   # Qp' = Qp + QpBdOffset (8.6.3)
         self._qp_bd = qp_bd
         self._set_qg_qp(hdr.qp)
@@ -157,6 +158,10 @@ class IntraDecoder:
         self.pocs = pocs or (0, 0, None)   # (cur, poc_l0, poc_l1)
         self.rec_map = [[None] * nw16 for _ in range(nh16)]
         self.off = off              # this tile's (x, y) offset in the picture
+        # TMVP context: GLOBAL col-picture motion field + per-list
+        # distScaleFactors (None when slice_temporal_mvp off or col is I)
+        self.colctx = colctx
+        self.max_merge = hdr.max_merge_cand
         assert not self.p_slice or ref is not None, "P slice needs a ref pic"
         assert not self.b_slice or ref1 is not None, "B slice needs L1 ref"
         self.syn = SliceSyntaxDecoder(payload, hdr.qp, hdr.init_type,
@@ -319,23 +324,49 @@ class IntraDecoder:
         nh, nw = self.inter_map.shape
         nbrs = M.neighbor_records_sized(self.rec_map, cy, cx, ns, nh, nw)
         cur_poc, poc0, poc1 = self.pocs
+        # temporal (collocated) MV: global-cell walk, spec 8.5.3.2.8
+        tm = None
+        col_rec = None
+        if self.colctx is not None:
+            ox_, oy_ = self.off
+            gcy, gcx = (oy_ + y0) >> 4, (ox_ + x0) >> 4
+            ca, cm = self.colctx["avail"], self.colctx["mv"]
+            tm = M.tmvp_col_mv(ca, cm, gcy, gcx, ns, ca.shape[0],
+                               ca.shape[1], ctb_cells=self.ctb >> 4)
+            if tm is not None:
+                dsf0, dsf1 = self.colctx["dsf"]
+                if self.b_slice:
+                    col_rec = (1, 1, M._scale_col(tm, dsf0),
+                               M._scale_col(tm, dsf1))
+                else:
+                    col_rec = (1, 0, M._scale_col(tm, dsf0), (0, 0))
         if merge:
-            rec_m = M.merge_cand0_b(nbrs, self.b_slice)
+            midx = syn.decode_merge_idx(self.max_merge)
+            cands = M.merge_list_b(nbrs, self.b_slice,
+                                   max_cands=self.max_merge, col=col_rec)
+            rec_m = cands[midx]
             rqt = 1 if residual else 0
         else:
             direction = syn.decode_inter_pred_idc(
                 self.sps.log2_ctb - (size.bit_length() - 1)) \
                 if self.b_slice else 0
             mv0 = mv1 = (0, 0)
+            cmvp0 = cmvp1 = None
+            if tm is not None:
+                dsf0, dsf1 = self.colctx["dsf"]
+                cmvp0 = M._scale_col(tm, dsf0)
+                cmvp1 = M._scale_col(tm, dsf1) if self.b_slice else None
             if direction in (0, 2):
                 mvd = syn.decode_mvd()
                 mvp_idx = syn.decode_mvp_flag()
-                cands = M.amvp_list_b(nbrs, 0, cur_poc, (poc0, poc1))
+                cands = M.amvp_list_b(nbrs, 0, cur_poc, (poc0, poc1),
+                                      col_mvp=cmvp0)
                 mv0 = (cands[mvp_idx][0] + mvd[0], cands[mvp_idx][1] + mvd[1])
             if direction in (1, 2):
                 mvd = syn.decode_mvd()
                 mvp_idx = syn.decode_mvp_flag()
-                cands = M.amvp_list_b(nbrs, 1, cur_poc, (poc0, poc1))
+                cands = M.amvp_list_b(nbrs, 1, cur_poc, (poc0, poc1),
+                                      col_mvp=cmvp1)
                 mv1 = (cands[mvp_idx][0] + mvd[0], cands[mvp_idx][1] + mvd[1])
             rec_m = (1 if direction in (0, 2) else 0,
                      1 if direction in (1, 2) else 0, mv0, mv1)
@@ -572,7 +603,8 @@ def split_substreams(payload: bytes, ebsp_sizes: list[int]) -> list[bytes]:
 
 def _decode_tiled_slice(payload: bytes, hdr, sps: Sps, pps: Pps,
                         ref: dict | None = None, ref1: dict | None = None,
-                        pocs: tuple | None = None) -> dict:
+                        pocs: tuple | None = None,
+                        colctx: dict | None = None) -> dict:
     from dataclasses import replace
     ctb = 1 << sps.log2_ctb
     nw = (sps.pic_width + ctb - 1) // ctb
@@ -611,7 +643,8 @@ def _decode_tiled_slice(payload: bytes, hdr, sps: Sps, pps: Pps,
             # sub-decoder's local coords addressing the right region
             f = dec.decode_slice(subs[k], hdr,
                                  expect_end=(k == t * r - 1), ref=ref,
-                                 off=(xs, ys), ref1=ref1, pocs=pocs)
+                                 off=(xs, ys), ref1=ref1, pocs=pocs,
+                                 colctx=colctx)
             out_y[ys:ys + th * ctb, xs:xs + tw * ctb] = f["y"]
             out_cb[ys // 2:(ys + th * ctb) // 2,
                    xs // 2:(xs + tw * ctb) // 2] = f["cb"]
@@ -661,6 +694,7 @@ def decode_annexb(data: bytes, cfg=None) -> list[dict]:
                 epoch += 1
             r0 = r1 = None
             pocs = None
+            colctx = None
             if hdr.slice_type in (0, 1):
                 neg, pos = hdr.rps
                 poc0 = hdr.poc - neg[0]
@@ -670,21 +704,47 @@ def decode_annexb(data: bytes, cfg=None) -> list[dict]:
                     poc1 = hdr.poc + pos[0]
                     r1 = dpb[poc1]
                 pocs = (hdr.poc, poc0, poc1)
+                if hdr.temporal_mvp:
+                    # col pic: L0[0] for P / collocated_from_l0 choice for B
+                    col_poc = poc0 if (hdr.slice_type == 1
+                                       or hdr.collocated_from_l0) else poc1
+                    ce = dpb[col_poc]
+                    if ce.get("ref_delta") is not None:
+                        from hevc_tpu.ops.inter import dist_scale
+                        td = ce["ref_delta"]
+                        dsf0 = dist_scale(hdr.poc - poc0, td)
+                        dsf1 = dist_scale(hdr.poc - poc1, td) \
+                            if poc1 is not None else None
+                        colctx = {"avail": ce["col_avail"],
+                                  "mv": ce["col_mv"],
+                                  "dsf": (dsf0, dsf1)}
             if pps.tiles_enabled:
                 frame = _decode_tiled_slice(payload, hdr, sps, pps, ref=r0,
-                                            ref1=r1, pocs=pocs)
+                                            ref1=r1, pocs=pocs,
+                                            colctx=colctx)
             else:
                 dec = IntraDecoder(sps, pps)
                 frame = dec.decode_slice(payload, hdr, ref=r0, ref1=r1,
-                                         pocs=pocs)
+                                         pocs=pocs, colctx=colctx)
             if not hdr.deblocking_disabled:
                 _apply_deblock(frame, hdr, sps, pps)
             if sps.sao_enabled and (hdr.sao_luma or hdr.sao_chroma):
                 _apply_sao(frame, hdr, sps, pps)
             out.append((epoch, hdr.poc, frame))
             if nal_type != 0:   # TRAIL_N pictures are not references
-                dpb[hdr.poc] = {"y": frame["y"], "cb": frame["cb"],
-                                "cr": frame["cr"]}
+                maps = frame.get("cu_maps")
+                entry = {"y": frame["y"], "cb": frame["cb"],
+                         "cr": frame["cr"], "ref_delta": None}
+                if maps is not None and hdr.slice_type == 1:
+                    # retain the 16x16-compressed motion field for TMVP:
+                    # P anchors carry L0 motion; ref_delta = POC gap to
+                    # their single L0 reference (td of 8.5.3.2.8)
+                    pf = maps["pf"]
+                    entry["col_avail"] = ~maps["intra"] & \
+                        ((pf[:, :, 0] > 0) | (pf[:, :, 1] > 0))
+                    entry["col_mv"] = maps["mv"]
+                    entry["ref_delta"] = hdr.rps[0][0] if hdr.rps[0] else None
+                dpb[hdr.poc] = entry
                 if len(dpb) > 3:
                     del dpb[min(dpb)]
     out.sort(key=lambda t: (t[0], t[1]))

@@ -213,6 +213,8 @@ class SliceHeader:
     poc: int = 0
     init_type: int = 0                  # CABAC initType (9.3.2.2)
     max_merge_cand: int = 1
+    temporal_mvp: bool = False          # slice_temporal_mvp_enabled_flag
+    collocated_from_l0: bool = True     # B: col pic list (P infers L0)
     mvd_l1_zero: bool = False
     rps: tuple = ([], [])               # (neg POC deltas, pos POC deltas)
     qp: int = 26
@@ -279,7 +281,7 @@ def parse_slice_header(rbsp: bytes, nal_type: int, sps: Sps, pps: Pps) -> SliceH
             idx = r.u(nbits)
         h.rps = sps.rps[idx] if sps.rps else ([], [])
         if sps.temporal_mvp:
-            r.u(1)                      # slice_temporal_mvp_enabled_flag
+            h.temporal_mvp = bool(r.u(1))   # slice_temporal_mvp_enabled_flag
     if sps.sao_enabled:
         h.sao_luma = bool(r.u(1))
         h.sao_chroma = bool(r.u(1))
@@ -297,11 +299,13 @@ def parse_slice_header(rbsp: bytes, nal_type: int, sps: Sps, pps: Pps) -> SliceH
                 else (2 if cabac_init else 1)
         else:
             h.init_type = 2 if h.slice_type == 0 else 1
+        if h.temporal_mvp and h.slice_type == 0:
+            h.collocated_from_l0 = bool(r.u(1))
         if pps.weighted_pred and h.slice_type == 1:
             h.wp = _parse_pred_weight_table(r)
         h.max_merge_cand = 5 - r.ue()   # five_minus_max_num_merge_cand
-        assert h.max_merge_cand == 1, \
-            "merge_idx signaling unsupported (single-candidate profile)"
+        assert h.max_merge_cand <= 2, \
+            "merge candidate lists beyond 2 unsupported"
     h.qp = pps.init_qp + r.se()
     if pps.slice_chroma_qp_offsets_present:
         r.se(), r.se()

@@ -66,6 +66,17 @@ class SliceSyntaxDecoder:
     def decode_merge_flag(self) -> bool:
         return self.cabac.decode_bin(T.CTX_OFF["merge_flag"]) == 1
 
+    def decode_merge_idx(self, max_cands: int) -> int:
+        """merge_idx: TR cMax = max_cands-1, first bin ctx, rest bypass."""
+        if max_cands <= 1:
+            return 0
+        if self.cabac.decode_bin(T.CTX_OFF["merge_idx"]) == 0:
+            return 0
+        idx = 1
+        while idx < max_cands - 1 and self.cabac.decode_bypass():
+            idx += 1
+        return idx
+
     def decode_mvd(self) -> tuple[int, int]:
         c = self.cabac
         g0x = c.decode_bin(T.CTX_OFF["mvd"])

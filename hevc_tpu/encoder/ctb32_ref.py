@@ -229,6 +229,7 @@ class Ctb32RefEncoder:
             "mvd": z((nh16, nw16, 2), np.int32),
             "mvp": z((nh16, nw16), np.int32),
             "rqt": z((nh16, nw16), np.int32),
+            "midx": z((nh16, nw16), np.int32),
             "dir": z((nh16, nw16), np.int32),
             "mvd1": z((nh16, nw16, 2), np.int32),
             "mvp1": z((nh16, nw16), np.int32),
@@ -244,6 +245,7 @@ class Ctb32RefEncoder:
             "mvd32_1": z((nh32, nw32, 2), np.int32),
             "mvp32_1": z((nh32, nw32), np.int32),
             "rqt32": z((nh32, nw32), np.int32),
+            "midx32": z((nh32, nw32), np.int32),
             "mode32": z((nh32, nw32), np.int32),
             "cbf32_cb": z((nh32, nw32), bool),
             "cbf32_cr": z((nh32, nw32), bool),
@@ -402,13 +404,16 @@ class Ctb32RefEncoder:
 
     def encode_frame_p(self, y, cb, cr, ref: dict, ref1: dict | None = None,
                        pocs: tuple | None = None, qp_ovr: int | None = None,
-                       wp=None):
+                       wp=None, colctx: dict | None = None):
         """P (or B when ref1 is given) frame -> (dec arrays, recon, cu_maps).
 
         ref/ref1: deblocked full reference planes; pocs=(cur, poc0, poc1)
         for B cross-list scaling.  wp: explicit P weights (wy, oy, wcb,
         ocb, wcr, ocr) applied to every inter prediction and inside the
         motion search (spec 8.5.3.2.9.3); B slices ignore it.
+        colctx (cfg.tmvp): the collocated picture's GLOBAL-cell motion
+        field {"avail", "mv", "dsf": (dsf0, dsf1|None)} for the temporal
+        merge/AMVP candidate (spec 8.5.3.2.8); None disables it.
         """
         cfg = self.cfg
         bd = cfg.bit_depth
@@ -439,14 +444,14 @@ class Ctb32RefEncoder:
                 self._encode_tile_p(ys, cbs, crs, rec_y, rec_cb, rec_cr,
                                     ref, ref1, pocs, tx0, ty0, tw, th,
                                     qp, qpc, sqrt_lam, lam16, dec, cu_maps,
-                                    bd, wp=wp)
+                                    bd, wp=wp, colctx=colctx)
                 tx0 += tw
             ty0 += th
         return dec, {"y": rec_y, "cb": rec_cb, "cr": rec_cr}, cu_maps
 
     def _encode_tile_p(self, ys, cbs, crs, rec_y, rec_cb, rec_cr, ref, ref1,
                        pocs, tx0, ty0, tw, th, qp, qpc, sqrt_lam, lam16,
-                       dec, cu_maps, bd, wp=None):
+                       dec, cu_maps, bd, wp=None, colctx=None):
         b_slice = ref1 is not None
         if b_slice:
             wp = None          # weightp is a P-slice tool here (v1 policy)
@@ -462,6 +467,26 @@ class Ctb32RefEncoder:
         rec_map = [[None] * nw for _ in range(nh)]
         modes16 = np.full((nh, nw), -1, np.int32)
         cur_poc, poc0, poc1 = pocs if pocs else (0, 0, None)
+        mcand = self.cfg.merge_cands
+
+        def tmvp(cy, cx, ns):
+            """(col merge record, (col_mvp_l0, col_mvp_l1)) for a CU of
+            ns cells at TILE-local cell (cy, cx) — the col walk runs on
+            the frame-global grid (tiles don't bound TMVP)."""
+            if colctx is None:
+                return None, (None, None)
+            gcy, gcx = ty0 * 2 + cy, tx0 * 2 + cx
+            ca = colctx["avail"]
+            tm = M.tmvp_col_mv(ca, colctx["mv"], gcy, gcx, ns,
+                               ca.shape[0], ca.shape[1], ctb_cells=2)
+            if tm is None:
+                return None, (None, None)
+            dsf0, dsf1 = colctx["dsf"]
+            m0 = M._scale_col(tm, dsf0)
+            if b_slice:
+                m1 = M._scale_col(tm, dsf1)
+                return (1, 1, m0, m1), (m0, m1)
+            return (1, 0, m0, (0, 0)), (m0, None)
 
         def mc3(refp, x1, y1, n, rec):
             """(y, cb, cr) prediction for an n-CU at tile-local (x1, y1)
@@ -474,12 +499,14 @@ class Ctb32RefEncoder:
             rp = refp[0] if pf0 else refp[1]
             return M.mc_block_w(rp, gx, gy, n, mv0 if pf0 else mv1, wp, bd)
 
-        def explicit_eval(src3, x1, y1, n, nbrs):
-            """Best explicit candidate(s): [(j, rec_m, te, rqt, extra)]."""
+        def explicit_eval(src3, x1, y1, n, nbrs, cmvp=(None, None)):
+            """Best explicit candidate(s): [(j, rec_m, te, rqt, extra)].
+            cmvp: per-list temporal MVP fallbacks (spec 8.5.3.2.6)."""
             gx, gy = tx0 * 32 + x1, ty0 * 32 + y1
             outs = []
             if not b_slice:
-                amvp = M.amvp_list_b(nbrs, 0, 1, (0, None))
+                amvp = M.amvp_list_b(nbrs, 0, 1, (0, None),
+                                     col_mvp=cmvp[0])
                 _, mv_e, mvp_e, mbits = self._mv_search(
                     src3[0], ref["y"], gx, gy, amvp, sl16, bd, n,
                     wp_l=wp_l)
@@ -494,8 +521,10 @@ class Ctb32RefEncoder:
                                               mv_e[1] - amvp[mvp_e][1]),
                                   mvp=mvp_e)))
                 return outs
-            amvp0 = M.amvp_list_b(nbrs, 0, cur_poc, (poc0, poc1))
-            amvp1 = M.amvp_list_b(nbrs, 1, cur_poc, (poc0, poc1))
+            amvp0 = M.amvp_list_b(nbrs, 0, cur_poc, (poc0, poc1),
+                                  col_mvp=cmvp[0])
+            amvp1 = M.amvp_list_b(nbrs, 1, cur_poc, (poc0, poc1),
+                                  col_mvp=cmvp[1])
             b0 = self._mv_search(src3[0], ref["y"], gx, gy, amvp0, sl16,
                                  bd, n)
             b1 = self._mv_search(src3[0], ref1["y"], gx, gy, amvp1, sl16,
@@ -546,7 +575,8 @@ class Ctb32RefEncoder:
                                      pocs, x0 + 16 * qx, y0 + 16 * qy,
                                      cyc + qy, cxc + qx, rec_map, modes16,
                                      qp, qpc, sqrt_lam, sl16, lam16, bd,
-                                     tx0, ty0, nh, nw, explicit_eval, mc3)
+                                     tx0, ty0, nh, nw, explicit_eval, mc3,
+                                     tmvp, mcand)
                     j16 += r["j"]
                     q16.append(r)
                 rec16 = (ry[y0:y0 + 32, x0:x0 + 32].copy(),
@@ -561,21 +591,32 @@ class Ctb32RefEncoder:
                 src3 = (vy[y0:y0 + 32, x0:x0 + 32],
                         vcb[y0 // 2:y0 // 2 + 16, x0 // 2:x0 // 2 + 16],
                         vcr[y0 // 2:y0 // 2 + 16, x0 // 2:x0 // 2 + 16])
-                mg = M.merge_cand0_b(nbrs32, b_slice)
+                tm32, cmvp32 = tmvp(cyc, cxc, 2)
+                mglist32 = M.merge_list_b(nbrs32, b_slice, max_cands=mcand,
+                                          col=tm32)
+                idx_bits = 1 if mcand > 1 else 0
                 refs = (ref, ref1) if b_slice else (ref, None)
-                pm3 = mc3(refs, x0, y0, 32, mg)
-                sse_skip = sum(_sse(s, p) for s, p in zip(src3, pm3))
-                j32 = sse_skip + ((lam16 * 2) >> 4)
-                pick = ("skip32", j32, mg, None, None)
-                lvl3m, cbfm, rec3m = self._tu32(src3, pm3, qp, qpc, bd)
-                if any(cbfm[0]) or any(cbfm[1]) or any(cbfm[2]):
-                    sse_m = sum(_sse(s, r) for s, r in zip(src3, rec3m))
-                    bits = min(12 + level_bits_estimate(lvl3m), 8192)
-                    j = sse_m + ((lam16 * bits) >> 4)
-                    if j < pick[1]:
-                        pick = ("merge32", j, mg, (lvl3m, cbfm, rec3m), None)
+                pick = None
+                midx32 = 0
+                for k, mg in enumerate(mglist32):
+                    pm3k = mc3(refs, x0, y0, 32, mg)
+                    sse_skip = sum(_sse(s, p) for s, p in zip(src3, pm3k))
+                    j = sse_skip + ((lam16 * (2 + idx_bits)) >> 4)
+                    if pick is None or j < pick[1]:
+                        pick = ("skip32", j, mg, None, None)
+                        midx32, pm3 = k, pm3k
+                    lvl3m, cbfm, rec3m = self._tu32(src3, pm3k, qp, qpc, bd)
+                    if any(cbfm[0]) or any(cbfm[1]) or any(cbfm[2]):
+                        sse_m = sum(_sse(s, r) for s, r in zip(src3, rec3m))
+                        bits = min(12 + idx_bits
+                                   + level_bits_estimate(lvl3m), 8192)
+                        j = sse_m + ((lam16 * bits) >> 4)
+                        if j < pick[1]:
+                            pick = ("merge32", j, mg,
+                                    (lvl3m, cbfm, rec3m), None)
+                            midx32, pm3 = k, pm3k
                 for (j, rec_m, t32, rqt, extra) in self._explicit32(
-                        src3, x0, y0, nbrs32, explicit_eval):
+                        src3, x0, y0, nbrs32, explicit_eval, cmvp32):
                     if j < pick[1]:
                         pick = ("explicit32", j, rec_m, t32, extra)
 
@@ -606,11 +647,13 @@ class Ctb32RefEncoder:
                         cu_maps["mv1"][gy, gx] = mv1
                 if kind == "skip32":
                     dec["skip32"][g32y, g32x] = True
+                    dec["midx32"][g32y, g32x] = midx32
                     rec3 = pm3
                 else:
                     dec["inter32"][g32y, g32x] = True
                     if kind == "merge32":
                         dec["merge32"][g32y, g32x] = True
+                        dec["midx32"][g32y, g32x] = midx32
                         lvl3, cbfs, rec3 = t32
                         self._store_cu32(dec, g32y, g32x, None, lvl3, cbfs)
                         for q in range(4):
@@ -662,17 +705,19 @@ class Ctb32RefEncoder:
             rec3 = pred3
         return (lvl3, cbfs, rec3, rqt), rqt, sse, lv
 
-    def _explicit32(self, src3, x0, y0, nbrs32, explicit_eval):
+    def _explicit32(self, src3, x0, y0, nbrs32, explicit_eval,
+                    cmvp=(None, None)):
         """Explicit 32-CU candidates via the shared evaluator."""
         outs = []
         for (j, rec_m, t32, rqt, extra) in explicit_eval(
-                src3, x0, y0, 32, nbrs32):
+                src3, x0, y0, 32, nbrs32, cmvp):
             outs.append((j, rec_m, t32, rqt, extra))
         return outs
 
     def _cu16_p(self, vy, vcb, vcr, ry, rcb, rcr, ref, ref1, pocs,
                 x1, y1, cy, cx, rec_map, modes16, qp, qpc, sqrt_lam, sl16,
-                lam16, bd, tx0, ty0, nh, nw, explicit_eval, mc3):
+                lam16, bd, tx0, ty0, nh, nw, explicit_eval, mc3,
+                tmvp=None, mcand=1):
         """Full-RD CU16 inside a CTB32 quadrant.  Writes recon + motion
         state; returns the decision record with its j-cost."""
         b_slice = ref1 is not None
@@ -680,20 +725,32 @@ class Ctb32RefEncoder:
         slc = np.s_[y1 // 2:y1 // 2 + 8, x1 // 2:x1 // 2 + 8]
         src3 = (vy[sl], vcb[slc], vcr[slc])
         nbrs = M.neighbor_records_sized(rec_map, cy, cx, 1, nh, nw)
-        mg = M.merge_cand0_b(nbrs, b_slice)
+        tm_rec, cmvp = tmvp(cy, cx, 1) if tmvp is not None \
+            else (None, (None, None))
+        mglist = M.merge_list_b(nbrs, b_slice, max_cands=mcand, col=tm_rec)
+        idx_bits = 1 if mcand > 1 else 0
         refs = (ref, ref1) if b_slice else (ref, None)
-        pm3 = mc3(refs, x1, y1, 16, mg)
-        sse_skip = sum(_sse(s, p) for s, p in zip(src3, pm3))
-        pick = ("skip", sse_skip + ((lam16 * 2) >> 4), mg, None, None)
-        tm = self._tu3(src3, pm3, qp, qpc, bd)
-        if any(t[1] for t in tm):
-            sse_m = sum(_sse(s, t[2]) for s, t in zip(src3, tm))
-            bits = min(12 + level_bits_estimate([t[0] for t in tm]), 2048)
-            j = sse_m + ((lam16 * bits) >> 4)
-            if j < pick[1]:
-                pick = ("merge", j, mg, tm, None)
+        pick = None
+        midx = 0
+        pm3 = None
+        for k, mg in enumerate(mglist):
+            pm3k = mc3(refs, x1, y1, 16, mg)
+            sse_skip = sum(_sse(s, p) for s, p in zip(src3, pm3k))
+            j = sse_skip + ((lam16 * (2 + idx_bits)) >> 4)
+            if pick is None or j < pick[1]:
+                pick = ("skip", j, mg, None, None)
+                midx, pm3 = k, pm3k
+            tm = self._tu3(src3, pm3k, qp, qpc, bd)
+            if any(t[1] for t in tm):
+                sse_m = sum(_sse(s, t[2]) for s, t in zip(src3, tm))
+                bits = min(12 + idx_bits
+                           + level_bits_estimate([t[0] for t in tm]), 2048)
+                j = sse_m + ((lam16 * bits) >> 4)
+                if j < pick[1]:
+                    pick = ("merge", j, mg, tm, None)
+                    midx, pm3 = k, pm3k
         for (j, rec_m, te, rqt, extra) in explicit_eval(src3, x1, y1, 16,
-                                                        nbrs):
+                                                        nbrs, cmvp):
             if j < pick[1]:
                 pick = ("explicit", j, rec_m, (te, rqt), extra)
 
@@ -734,6 +791,7 @@ class Ctb32RefEncoder:
         modes16[cy, cx] = -1
         rec_map[cy][cx] = rec_m
         out["rec_m"] = rec_m
+        out["midx"] = midx
         if kind == "skip":
             rec3 = pm3
         elif kind == "merge":
@@ -769,11 +827,13 @@ class Ctb32RefEncoder:
         cu_maps["mv1"][gy, gx] = mv1
         if kind == "skip":
             dec["skip"][gy, gx] = True
+            dec["midx"][gy, gx] = r.get("midx", 0)
             return
         dec["inter"][gy, gx] = True
         if kind == "merge":
             tm = r["tm"]
             dec["merge"][gy, gx] = True
+            dec["midx"][gy, gx] = r.get("midx", 0)
             dec["cbf_yi"][gy, gx] = bool(tm[0][1])
             dec["cbf_cbi"][gy, gx] = bool(tm[1][1])
             dec["cbf_cri"][gy, gx] = bool(tm[2][1])
@@ -837,6 +897,26 @@ class Ctb32RefEncoder:
             sao_params = (p_y, p_c)
         return {"y": dy, "cb": dcb, "cr": dcr}, sao_params
 
+    def _col_entry(self, maps, ref_delta):
+        """DPB-side motion retention for TMVP: 16x16-compressed col field
+        of a just-encoded REFERENCE picture (None for I pictures)."""
+        if not self.cfg.tmvp or maps is None:
+            return None
+        pf = maps["pf"]
+        avail = ~maps["intra"] & ((pf[:, :, 0] > 0) | (pf[:, :, 1] > 0))
+        return {"avail": avail, "mv": maps["mv"], "ref_delta": ref_delta}
+
+    def _colctx(self, entry, tb0, tb1=None):
+        """Per-slice TMVP context from a DPB col entry (None when the col
+        picture carries no motion, e.g. an I anchor)."""
+        if entry is None:
+            return None
+        td = entry["ref_delta"]
+        dsf0 = M.dist_scale(tb0, td)
+        dsf1 = M.dist_scale(tb1, td) if tb1 is not None else None
+        return {"avail": entry["avail"], "mv": entry["mv"],
+                "dsf": (dsf0, dsf1)}
+
     def _wp_for(self, cur3, ref3):
         """Per-P-frame weightp analysis (host, source domain) — same
         estimator and 8-bit-unit convention as the v1 path
@@ -865,6 +945,7 @@ class Ctb32RefEncoder:
         ref = None
         recons = []
         poc = 0
+        col_prev = None               # col entry of the previous picture
         for i, f in enumerate(frames):
             idr = ref is None or (gop and i % gop == 0)
             wp = None
@@ -872,10 +953,13 @@ class Ctb32RefEncoder:
                 dec, recon = self.encode_frame_i(*f)
                 maps = None
                 poc = 0
+                col_prev = None
             else:
                 poc += 1
                 wp = self._wp_for(f, frames[i - 1])
-                dec, recon, maps = self.encode_frame_p(*f, ref, wp=wp)
+                dec, recon, maps = self.encode_frame_p(
+                    *f, ref, wp=wp, colctx=self._colctx(col_prev, 1))
+                col_prev = self._col_entry(maps, 1)
             disp, sao_p = self._finish(recon, maps, src=f)
             out += b"\x00\x00\x00\x01" + entropy_encode_frame_ctb32(
                 cfg, dec, poc=None if idr else poc, sao=sao_p, wp=wp)
@@ -901,19 +985,25 @@ class Ctb32RefEncoder:
         prev_ref_disp = None
         qp_b = min(cfg.qp + self.B_QP_OFFSET, 51)
         cfg_b = dataclasses.replace(cfg, qp=qp_b)
+        cols = {}                     # display idx -> col entry (refs only)
         for (disp, kind, poc, rps) in b_schedule(n, gop, True,
                                                  cfg.bframes_n):
             if kind == 0:
                 refs.clear()
+                cols.clear()
                 seg0 = disp
                 dec, recon = self.encode_frame_i(*frames[disp])
                 dispf, sao_p = self._finish(recon, None, src=frames[disp])
                 nal = entropy_encode_frame_ctb32(cfg, dec, sao=sao_p)
                 prev_ref_disp = disp
+                cols[disp] = None
             elif kind == 1:
                 wp = self._wp_for(frames[disp], frames[prev_ref_disp])
+                d = disp - prev_ref_disp
                 dec, recon, maps = self.encode_frame_p(
-                    *frames[disp], refs[prev_ref_disp], wp=wp)
+                    *frames[disp], refs[prev_ref_disp], wp=wp,
+                    colctx=self._colctx(cols.get(prev_ref_disp), d))
+                cols[disp] = self._col_entry(maps, d)
                 dispf, sao_p = self._finish(recon, maps, src=frames[disp])
                 nal = entropy_encode_frame_ctb32(cfg, dec, poc=poc,
                                                  rps_idx=rps, sao=sao_p,
@@ -922,9 +1012,11 @@ class Ctb32RefEncoder:
             else:
                 neg, pos = sets[rps]
                 l0, l1 = disp - neg[0], disp + pos[0]
+                # collocated_from_l0_flag=0: col = L1[0] (future anchor)
                 dec, recon, maps = self.encode_frame_p(
                     *frames[disp], refs[l0], ref1=refs[l1],
-                    pocs=(poc, l0 - seg0, l1 - seg0), qp_ovr=qp_b)
+                    pocs=(poc, l0 - seg0, l1 - seg0), qp_ovr=qp_b,
+                    colctx=self._colctx(cols.get(l1), disp - l0, disp - l1))
                 dispf, _ = self._finish(recon, maps, qp=qp_b,
                                         do_sao=False)
                 nal = entropy_encode_frame_ctb32(cfg_b, dec, poc=poc,

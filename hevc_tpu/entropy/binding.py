@@ -56,7 +56,8 @@ def _load():
         lib.hevc_entropy_encode_tile_ctb32.restype = ctypes.c_long
         lib.hevc_entropy_encode_tile_ctb32.argtypes = (
             [ctypes.c_int] * 7 + [ctypes.c_void_p] * 33
-            + [ctypes.c_int, ctypes.c_void_p, ctypes.c_long])
+            + [ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+               ctypes.c_int, ctypes.c_void_p, ctypes.c_long])
     except AttributeError:
         pass                      # stale .so without the ctb32 entry point
     _lib = lib
@@ -127,11 +128,15 @@ def encode_tile_payload_v1(qp: int, dec: dict, y0: int, x0: int,
     return bytes(bytearray(out[:n]))
 
 
+CTB32_HAS_MERGE_IDX = True     # fast path codes merge_idx (max_merge > 1)
+
+
 def encode_tile_payload_ctb32(qp: int, dec: dict, y320: int, x320: int,
                               th32: int, tw32: int, last_tile: bool,
                               p_slice: bool = False, bit_depth: int = 8,
                               b_slice: bool = False,
-                              sdh: bool = False, sao=None) -> bytes | None:
+                              sdh: bool = False, sao=None,
+                              max_merge: int = 1) -> bytes | None:
     """ctb32 tile substream from the entropy/ctb32.py array format."""
     lib = _load()
     if not lib or not hasattr(lib, "hevc_entropy_encode_tile_ctb32"):
@@ -172,9 +177,17 @@ def encode_tile_payload_ctb32(qp: int, dec: dict, y320: int, x320: int,
         keep.append(s)
         sao_ptr = s.ctypes.data
     args.append(sao_ptr)
+    args.append(1 if sdh else 0)
+    if max_merge > 1 and "midx" in dec:
+        args.append(ptr("midx", np.uint8, s16))
+        args.append(ptr("midx32", np.uint8, s32))
+    else:
+        args.append(0)
+        args.append(0)
+    args.append(max_merge)
     cap = max(1 << 16, int(np.asarray(dec["lvl_y"][s16]).nbytes * 2))
     out = (ctypes.c_ubyte * cap)()
-    n = lib.hevc_entropy_encode_tile_ctb32(*args, 1 if sdh else 0, out, cap)
+    n = lib.hevc_entropy_encode_tile_ctb32(*args, out, cap)
     if n < 0:
         raise RuntimeError(f"entropy ctb32 fast path error {n}")
     return bytes(bytearray(out[:n]))

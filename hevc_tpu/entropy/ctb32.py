@@ -117,10 +117,13 @@ def encode_tile_payload_ctb32(cfg: StreamConfig, dec: dict,
         above = int(skip16[cy - 1, cx]) if cy > 0 else 0
         return left, above
 
+    mcand = cfg.merge_cands
+
     def encode_inter_pu(merge, direction, mvd0, mvp0, mvd1, mvp1, rqt,
-                        depth):
+                        depth, midx=0):
         if merge:
             syn.encode_merge_flag(True)
+            syn.encode_merge_idx(midx, mcand)
             return 1
         syn.encode_merge_flag(False)
         if b_slice:
@@ -144,6 +147,7 @@ def encode_tile_payload_ctb32(cfg: StreamConfig, dec: dict,
             syn.encode_cu_skip(int(skip), l, a)
             if skip:
                 skip16[cy, cx] = 1
+                syn.encode_merge_idx(int(dec["midx"][gy, gx]), mcand)
                 return
             skip16[cy, cx] = 0
             if dec["inter"][gy, gx]:
@@ -155,7 +159,8 @@ def encode_tile_payload_ctb32(cfg: StreamConfig, dec: dict,
                     dec["mvd"][gy, gx], dec["mvp"][gy, gx],
                     dec["mvd1"][gy, gx] if b_slice else (0, 0),
                     dec["mvp1"][gy, gx] if b_slice else 0,
-                    int(dec["rqt"][gy, gx]), 1)
+                    int(dec["rqt"][gy, gx]), 1,
+                    midx=int(dec["midx"][gy, gx]))
                 if rqt:
                     cbf_y = bool(dec["cbf_yi"][gy, gx])
                     cbf_cb = bool(dec["cbf_cbi"][gy, gx])
@@ -193,6 +198,7 @@ def encode_tile_payload_ctb32(cfg: StreamConfig, dec: dict,
             syn.encode_cu_skip(int(skip), l, a)
             skip16[cy:cy + 2, cx:cx + 2] = int(skip)
             if skip:
+                syn.encode_merge_idx(int(dec["midx32"][g32y, g32x]), mcand)
                 return
             if dec["inter32"][g32y, g32x]:
                 syn.encode_pred_mode(False)
@@ -203,7 +209,8 @@ def encode_tile_payload_ctb32(cfg: StreamConfig, dec: dict,
                     dec["mvd32"][g32y, g32x], dec["mvp32"][g32y, g32x],
                     dec["mvd32_1"][g32y, g32x] if b_slice else (0, 0),
                     dec["mvp32_1"][g32y, g32x] if b_slice else 0,
-                    int(dec["rqt32"][g32y, g32x]), 0)
+                    int(dec["rqt32"][g32y, g32x]), 0,
+                    midx=int(dec["midx32"][g32y, g32x]))
                 if rqt:
                     _tu_tree32(g32y, g32x, None)
                 return
@@ -266,8 +273,17 @@ def entropy_encode_frame_ctb32(cfg: StreamConfig, dec: dict,
     assert cfg.log2_ctb == 5 and cfg.log2_min_cb == 4
     p_slice = poc is not None
     nh32, nw32 = dec["split32"].shape
+    if "midx" not in dec:
+        # merge_idx defaults to 0 (producers without a candidate list,
+        # e.g. the device path until its tmvp mirror lands); the syntax
+        # is only coded when cfg.merge_cands > 1
+        dec = {**dec, "midx": np.zeros((2 * nh32, 2 * nw32), np.int32),
+               "midx32": np.zeros((nh32, nw32), np.int32)}
 
     cpp = None
+    if use_cpp and cfg.merge_cands > 1:
+        from hevc_tpu.entropy import binding
+        use_cpp = bool(getattr(binding, "CTB32_HAS_MERGE_IDX", False))
     if use_cpp:
         from hevc_tpu.entropy import binding
         if getattr(binding, "encode_tile_payload_ctb32", None) and \
@@ -280,7 +296,7 @@ def entropy_encode_frame_ctb32(cfg: StreamConfig, dec: dict,
                 return binding.encode_tile_payload_ctb32(
                     cfg.qp, dec, y0, x0, th, tw, last, p_slice=p_slice,
                     bit_depth=cfg.bit_depth, b_slice=b_slice, sdh=cfg.sdh,
-                    sao=sao_arr)
+                    sao=sao_arr, max_merge=cfg.merge_cands)
 
     def payload(y0, x0, th, tw, last):
         if cpp is not None:

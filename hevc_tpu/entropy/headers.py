@@ -109,6 +109,15 @@ class StreamConfig:
     cu_qp_delta: bool = False      # per-CTB QP (PPS cu_qp_delta_enabled,
                                    # QG = CTB); carrier for adaptive QP
                                    # (x265-medium AQ mode 2)
+    tmvp: bool = False             # temporal MV predictor (SPS
+                                   # sps_temporal_mvp_enabled_flag;
+                                   # x265-medium `tmvp`): collocated
+                                   # candidate in merge + AMVP, col pic
+                                   # = L0[0] (P) / L1[0] (B)
+    merge_cands: int = 1           # MaxNumMergeCand (slice
+                                   # five_minus_max_num_merge_cand);
+                                   # >1 codes merge_idx on skip/merge
+                                   # CUs (x265-medium runs merge 3)
     aq_strength: float = 0.0       # variance AQ: per-CTB QP offset =
                                    # clip(round(s*(log2 var - mean)), +-6)
     extra: dict = field(default_factory=dict)
@@ -253,7 +262,7 @@ def write_sps(cfg: StreamConfig) -> bytes:
             w.ue(d - 1)             # delta_poc_s1_minus1
             w.u(1, 1)               # used_by_curr_pic_s1_flag
     w.u(0, 1)                       # long_term_ref_pics_present_flag
-    w.u(0, 1)                       # sps_temporal_mvp_enabled_flag
+    w.u(1 if cfg.tmvp else 0, 1)    # sps_temporal_mvp_enabled_flag
     w.u(0, 1)                       # strong_intra_smoothing_enabled_flag
     w.u(1, 1)                       # vui_parameters_present_flag
     _write_vui(w, cfg)
@@ -433,15 +442,18 @@ def write_slice_header_p(cfg: StreamConfig, poc_lsb: int,
     w.u(1, 1)                       # short_term_ref_pic_set_sps_flag
     if cfg.bframes:
         w.u(rps_idx, cfg.rps_nbits())   # short_term_ref_pic_set_idx
+    if cfg.tmvp:
+        w.u(1, 1)                   # slice_temporal_mvp_enabled_flag
     if cfg.sao:
         s = 1 if (sao_on or sao_on is None) else 0
         w.u(s, 1)                   # slice_sao_luma_flag
         w.u(s, 1)                   # slice_sao_chroma_flag
     w.u(0, 1)                       # num_ref_idx_active_override_flag
+    # P: collocated_from_l0 inferred 1; collocated_ref_idx absent (1 ref)
     if cfg.weightp:
         write_pred_weight_table(w, wp or (64, 0, 64, 0, 64, 0),
                                 cfg.bit_depth)
-    w.ue(4)                         # five_minus_max_num_merge_cand -> 1 cand
+    w.ue(5 - cfg.merge_cands)       # five_minus_max_num_merge_cand
     w.se(cfg.qp - 26)               # slice_qp_delta
     if cfg.deblock:
         w.u(1, 1)                   # slice_loop_filter_across_slices_enabled
@@ -476,13 +488,17 @@ def write_slice_header_b(cfg: StreamConfig, poc_lsb: int,
     w.u(poc_lsb & 0xFF, 8)          # slice_pic_order_cnt_lsb
     w.u(1, 1)                       # short_term_ref_pic_set_sps_flag
     w.u(rps_idx, cfg.rps_nbits())   # short_term_ref_pic_set_idx
+    if cfg.tmvp:
+        w.u(1, 1)                   # slice_temporal_mvp_enabled_flag
     if cfg.sao:
         s = 1 if (sao_on or sao_on is None) else 0
         w.u(s, 1)                   # slice_sao_luma_flag
         w.u(s, 1)                   # slice_sao_chroma_flag
     w.u(0, 1)                       # num_ref_idx_active_override_flag
     w.u(0, 1)                       # mvd_l1_zero_flag
-    w.ue(4)                         # five_minus_max_num_merge_cand -> 1 cand
+    if cfg.tmvp:
+        w.u(0, 1)                   # collocated_from_l0_flag -> col=L1[0]
+    w.ue(5 - cfg.merge_cands)       # five_minus_max_num_merge_cand
     w.se(cfg.qp - 26)               # slice_qp_delta
     if cfg.deblock:
         w.u(1, 1)                   # slice_loop_filter_across_slices_enabled

@@ -95,6 +95,15 @@ class SliceSyntaxEncoder:
     def encode_merge_flag(self, merge: bool) -> None:
         self.cabac.encode_bin(T.CTX_OFF["merge_flag"], 1 if merge else 0)
 
+    def encode_merge_idx(self, idx: int, max_cands: int) -> None:
+        """merge_idx (spec 9.3.3.x): TR binarization cMax = max_cands-1;
+        first bin ctx-coded, remaining bins bypass."""
+        if max_cands <= 1:
+            return
+        self.cabac.encode_bin(T.CTX_OFF["merge_idx"], 1 if idx > 0 else 0)
+        for k in range(1, min(idx + 1, max_cands - 1)):
+            self.cabac.encode_bypass(0 if idx == k else 1)
+
     def encode_mvd(self, mvdx: int, mvdy: int) -> None:
         """mvd_coding (spec 7.3.8.9): greater0/1 flags, EG1 remainder, sign."""
         c = self.cabac

@@ -305,8 +305,99 @@ def merge_cand0_b(nbrs, b_slice: bool):
     return (1, 1, (0, 0), (0, 0)) if b_slice else (1, 0, (0, 0), (0, 0))
 
 
-def amvp_list_b(nbrs, lx: int, cur_poc: int, poc_l: tuple):
+def tmvp_col_mv(col_avail, col_mv, cy: int, cx: int, ns: int,
+                nh: int, nw: int, ctb_cells: int = 2):
+    """Collocated MV for TMVP (spec 8.5.3.2.8, the col-PB walk only).
+
+    col_avail/col_mv: the collocated reference picture's 16x16-compressed
+    motion field — (nh, nw) bool inter mask and (nh, nw, 2) L0 MVs (our
+    collocated pictures are I/P anchors, so only L0 motion exists; B
+    pictures are non-reference).  (cy, cx) is the PU's top-left 16-cell,
+    ns its size in cells, nh/nw the FRAME cell grid (no tile clipping —
+    the spec imposes only picture bounds and the CTB-row constraint).
+    Returns (mvx, mvy) or None.
+    """
+    br_y, br_x = cy + ns, cx + ns
+    if (br_y < nh and br_x < nw
+            and br_y // ctb_cells == cy // ctb_cells
+            and col_avail[br_y, br_x]):
+        return int(col_mv[br_y, br_x, 0]), int(col_mv[br_y, br_x, 1])
+    ct_y, ct_x = cy + ns // 2, cx + ns // 2
+    if col_avail[ct_y, ct_x]:
+        return int(col_mv[ct_y, ct_x, 0]), int(col_mv[ct_y, ct_x, 1])
+    return None
+
+
+def _scale_col(mv, dsf):
+    """Apply a precomputed distScaleFactor to a col MV (8.5.3.2.8)."""
+    if dsf == 4096:
+        return (int(mv[0]), int(mv[1]))
+
+    def s(v):
+        x = dsf * int(v)
+        return max(-32768, min(32767, (abs(x) + 127 >> 8) * (1 if x >= 0
+                                                             else -1)))
+    return s(mv[0]), s(mv[1])
+
+
+def dist_scale(tb: int, td: int) -> int:
+    """distScaleFactor (spec 8.5.3.2.8): clip3(-4096, 4095,
+    (tb*tx+32)>>6) with tx = (16384 + |td|/2) / td (truncating division,
+    same arithmetic as scale_mv above)."""
+    tb = max(-128, min(127, tb))
+    td = max(-128, min(127, td))
+    tx = ((16384 + (abs(td) >> 1)) // abs(td)) * (1 if td > 0 else -1)
+    return max(-4096, min(4095, (tb * tx + 32) >> 6))
+
+
+def merge_list_b(nbrs, b_slice: bool, max_cands: int = 1, col=None):
+    """Spec 8.5.3.2.2 merge candidate list, first max_cands entries.
+
+    Spatial candidates A1, B1, B0, A0, B2 with the spec's PAIRWISE
+    pruning (B1~A1, B0~B1, A0~A1, B2~A1&B1; B2 only when fewer than 4),
+    then the temporal candidate, then zero candidates.  Combined
+    bi-predictive candidates can never materialize for max_cands <= 2
+    (the list is already full whenever two originals exist).
+
+    col: None, or (rec,) the ready temporal record (pf0, pf1, mv0, mv1)
+    — built by the caller from tmvp_col_mv + per-list dist_scale.
+    Returns a list of exactly max_cands records.
+    """
+    a1, b1, b0 = nbrs.get("a1"), nbrs.get("b1"), nbrs.get("b0")
+    a0, b2 = nbrs.get("a0"), nbrs.get("b2")
+
+    def eq(x, y):
+        return x is not None and y is not None and \
+            x[0] == y[0] and x[1] == y[1] and \
+            tuple(x[2]) == tuple(y[2]) and tuple(x[3]) == tuple(y[3])
+
+    cands = []
+    if a1 is not None:
+        cands.append(a1)
+    if b1 is not None and not eq(b1, a1):
+        cands.append(b1)
+    if b0 is not None and not eq(b0, b1):
+        cands.append(b0)
+    if a0 is not None and not eq(a0, a1):
+        cands.append(a0)
+    if len(cands) < 4 and b2 is not None and not eq(b2, a1) \
+            and not eq(b2, b1):
+        cands.append(b2)
+    if col is not None:
+        cands.append(col)
+    zero = (1, 1, (0, 0), (0, 0)) if b_slice else (1, 0, (0, 0), (0, 0))
+    while len(cands) < max_cands:
+        cands.append(zero)
+    return cands[:max_cands]
+
+
+def amvp_list_b(nbrs, lx: int, cur_poc: int, poc_l: tuple, col_mvp=None):
     """Two AMVP candidates for list lx (spec 8.5.3.2.6 with 1 ref/list).
+
+    col_mvp: the temporal MVP for this list ((mvx, mvy) already
+    dist-scaled, or None) — appended after the deduped spatial pair when
+    fewer than two candidates exist (the spec adds the temporal without
+    pruning against the spatial entries).
 
     poc_l = (poc of L0 ref, poc of L1 ref or None).  Spatial A = A1 (A0 is
     undecoded); B = first of B0, B1, B2.  Cross-list candidates use POC
@@ -373,6 +464,8 @@ def amvp_list_b(nbrs, lx: int, cur_poc: int, poc_l: tuple):
         cands.append(cand_a)
     if cand_b is not None and (not cands or cand_b != cands[0]):
         cands.append(cand_b)
+    if len(cands) < 2 and col_mvp is not None:
+        cands.append((int(col_mvp[0]), int(col_mvp[1])))
     while len(cands) < 2:
         cands.append((0, 0))
     return cands
