@@ -687,6 +687,105 @@ def _gop32_step_b_jit(flat, pad0_y, pad0_cb, pad0_cr, pad1_y, pad1_cb,
     return pre, vbuf
 
 
+@partial(jax.jit, static_argnames=("tnh32", "tnw32", "tr", "tc_",
+                                   "bit_depth", "subpel", "sdh", "rdoq",
+                                   "kb"))
+def _gop32_step_b2_jit(flat, pad0_y, pad0_cb, pad0_cr, pad1_y, pad1_cb,
+                       pad1_cr, dsf2, qp, lam_bits, lam16, sl16,
+                       tnh32, tnw32, tr, tc_, bit_depth, subpel, sdh,
+                       rdoq, kb):
+    """All kb non-reference B pictures of one mini-GOP in ONE fused
+    dispatch: the pictures stack as frame-major lane groups over the
+    SHARED anchor pads (every b of an IbbP group references the same two
+    anchors), so a whole group costs one sequential scan chain instead
+    of kb — the 1080p scan is latency-bound on its per-CTB step chain,
+    so doubling lanes is ~free while halving chains (round-5 profile:
+    B step 392 ms vs P 225 ms was the pipeline ceiling).
+
+    dsf2: (kb, 2) per-picture cross-list MV scale factors (the scan
+    reads them per-lane).  Returns kb (pre, vbuf) pairs with the exact
+    per-frame wire layout of _gop32_step_b_jit."""
+    from hevc_tpu.encoder.pack import coef_stream
+    T = tr * tc_
+    H = tr * tnh32 * 32
+    W = tc_ * tnw32 * 32
+    fsz = H * W + 2 * (H // 2) * (W // 2)
+    yas, cbas, cras = [], [], []
+    for k in range(kb):
+        yp = jax.lax.dynamic_slice(flat, (k * fsz,),
+                                   (H * W,)).reshape(H, W)
+        off = k * fsz + H * W
+        cbp = jax.lax.dynamic_slice(flat, (off,), (H * W // 4,)).reshape(
+            H // 2, W // 2)
+        off += H * W // 4
+        crp = jax.lax.dynamic_slice(flat, (off,), (H * W // 4,)).reshape(
+            H // 2, W // 2)
+        yas.append(_split32_j(yp.astype(jnp.int32), tr, tc_, tnh32,
+                              tnw32, 32))
+        cbas.append(_split32_j(cbp.astype(jnp.int32), tr, tc_, tnh32,
+                               tnw32, 16))
+        cras.append(_split32_j(crp.astype(jnp.int32), tr, tc_, tnh32,
+                               tnw32, 16))
+    ya = jnp.concatenate(yas)
+    cba = jnp.concatenate(cbas)
+    cra = jnp.concatenate(cras)
+    pads0 = tuple(jnp.concatenate([p] * kb)
+                  for p in (pad0_y, pad0_cb, pad0_cr))
+    pads1 = tuple(jnp.concatenate([p] * kb)
+                  for p in (pad1_y, pad1_cb, pad1_cr))
+    dsf_l = jnp.repeat(dsf2, T, axis=0)
+    cells, o32 = _rowscan32_scan(
+        ya, cba, cra, qp, lam_bits, tnh32, tnw32, bit_depth,
+        lam16=lam16, sl16=sl16, ref_pads=pads0, ref_pads1=pads1,
+        dsf=dsf_l, subpel=subpel, sdh=sdh, rdoq=rdoq)
+
+    def zr(a):
+        return zr_j(a, tnh32, tnw32)
+
+    spec = Ctb32PackSpec(tnh32, tnw32, T, b=True)
+    z32 = jnp.zeros((spec.s32, kb * T), jnp.int8)
+    c16 = {"mode": zr(cells["mode"]),
+           "cbf_y": zr(cells["cbf_y"]), "cbf_cb": zr(cells["cbf_cb"]),
+           "cbf_cr": zr(cells["cbf_cr"]),
+           "mvp": zr(cells["mvp"]).astype(jnp.int8),
+           "rqt": zr(cells["rqt"]).astype(jnp.int8),
+           "mvd": zr(cells["mvd"]), "mv": zr(cells["mv"]),
+           "skip": zr(cells["skip"]), "inter": zr(cells["inter"]),
+           "merge": zr(cells["merge"]), "cbf_yi": zr(cells["cbf_yi"]),
+           "cbf_cbi": zr(cells["cbf_cbi"]),
+           "cbf_cri": zr(cells["cbf_cri"]),
+           "intra_cell": zr(cells["intra_cell"]),
+           "dir": zr(cells["dir"]).astype(jnp.int8),
+           "mvp1": zr(cells["mvp1"]).astype(jnp.int8),
+           "mvd1": zr(cells["mvd1"])}
+    g32 = {"mode32": z32, "mvp32": o32["mvp32"].astype(jnp.int8),
+           "rqt32": o32["rqt32"].astype(jnp.int8),
+           "mvd32": o32["mvd32"], "split32": o32["split32"],
+           "skip32": o32["skip32"], "inter32": o32["inter32"],
+           "merge32": o32["merge32"],
+           "cbf32_cb": o32["cbf32_cb"], "cbf32_cr": o32["cbf32_cr"],
+           "dir32": o32["dir32"].astype(jnp.int8),
+           "mvp32_1": o32["mvp32_1"].astype(jnp.int8),
+           "mvd32_1": o32["mvd32_1"]}
+    lvl_y = zr(cells["lvl_y"])
+    lvl_cb = zr(cells["lvl_cb"])
+    lvl_cr = zr(cells["lvl_cr"])
+    outs = []
+    for k in range(kb):
+        sl = slice(k * T, (k + 1) * T)
+        c16k = {n: a[:, sl] for n, a in c16.items()}
+        g32k = {n: a[:, sl] for n, a in g32.items()}
+        fc = jnp.concatenate([lvl_y[:, sl].astype(jnp.int16).reshape(-1),
+                              lvl_cb[:, sl].astype(jnp.int16).reshape(-1),
+                              lvl_cr[:, sl].astype(jnp.int16).reshape(-1)])
+        nnz = (fc != 0).sum(dtype=jnp.int32)
+        head = spec.pack_head(c16k, g32k, nnz)
+        bits, vbuf, _ = coef_stream(fc[None])
+        outs.append(jnp.concatenate([head, bits]))
+        outs.append(vbuf)
+    return tuple(outs)
+
+
 class Ctb32GopEncoder:
     """Production ctb32 driver: tile lanes, fused per-frame dispatches,
     device-resident DPB, dispatch + entropy worker threads (GopEncoder's
@@ -706,6 +805,7 @@ class Ctb32GopEncoder:
         self._poc = 0
         self._pool = None
         self._cap_hint = 65536
+        self._qp_consts: dict = {}   # qp -> device-resident scan constants
         # source planes of the last REFERENCE picture (weightp analysis
         # runs in the source domain, current vs reference source)
         self._prev_ref_src = None
@@ -766,11 +866,15 @@ class Ctb32GopEncoder:
             from hevc_tpu.encoder.rowscan_v1 import dsf_pair
             qp_b = min(cfg.qp + Ctb32RefEncoder.B_QP_OFFSET, 51)
             rs = RowScanEncoderV1(qp_b, cfg.bit_depth)
-            out = _gop32_step_b_jit(
-                flat, *pads, *pads, jnp.asarray(dsf_pair(1, 0, 2)),
+            kb = cfg.bframes_n
+            flat_b = jnp.zeros(kb * flat.shape[0], flat.dtype)
+            dsf2 = np.stack([dsf_pair(k + 1, 0, kb + 1)
+                             for k in range(kb)])
+            out = _gop32_step_b2_jit(
+                flat_b, *pads, *pads, jnp.asarray(dsf2),
                 jnp.asarray(qp_b), rs.lam_bits, a32(1), a32(1),
                 tnh32, tnw32, tr, tc, cfg.bit_depth, self.subpel,
-                cfg.sdh, cfg.rdoq)
+                cfg.sdh, cfg.rdoq, kb)
             jax.block_until_ready(out[0])
 
         jobs = [lambda: ip(True), lambda: ip(False)]
@@ -786,6 +890,24 @@ class Ctb32GopEncoder:
             from concurrent.futures import ThreadPoolExecutor
             self._pool = ThreadPoolExecutor(1, "gop32-entropy")
         return self._pool
+
+    def _consts(self, qp: int):
+        """Device-resident per-QP scan constants (lam_bits, lam16, sl16,
+        qp) — uploaded once per QP, not once per frame (every jnp.asarray
+        is a tunnel RPC)."""
+        c = self._qp_consts.get(qp)
+        if c is None:
+            cfg = self.cfg
+            qp_eff = qp + 6 * (cfg.bit_depth - 8)
+            rs = RowScanEncoderV1(qp, cfg.bit_depth)
+            c = (rs.lam_bits,
+                 jnp.asarray(skip_lambda16(qp_eff), jnp.int32),
+                 jnp.asarray(int(np.sqrt(0.85 * 2.0 **
+                                         ((qp_eff - 12) / 3.0)) * 16),
+                             jnp.int32),
+                 jnp.asarray(qp))
+            self._qp_consts[qp] = c
+        return c
 
     def encode_next_async(self, y, cb, cr, idr: bool = False,
                           qp: int | None = None, poc: int | None = None,
@@ -833,11 +955,7 @@ class Ctb32GopEncoder:
                            tw // 2 + 2 * MARGIN_C), jnp.int32),
                 jnp.zeros((T, th // 2 + 2 * MARGIN_C,
                            tw // 2 + 2 * MARGIN_C), jnp.int32))
-        qp_eff = qp + 6 * (cfg.bit_depth - 8)
-        rs = RowScanEncoderV1(qp, cfg.bit_depth)
-        lam16 = jnp.asarray(skip_lambda16(qp_eff), jnp.int32)
-        sl16 = jnp.asarray(int(np.sqrt(0.85 * 2.0 ** ((qp_eff - 12) / 3.0))
-                               * 16), jnp.int32)
+        lam_bits, lam16, sl16, qpj = self._consts(qp)
         wp = None
         if cfg.weightp and not is_idr and self._prev_ref_src is not None:
             from hevc_tpu.encoder.ctb32_ref import Ctb32RefEncoder
@@ -845,13 +963,18 @@ class Ctb32GopEncoder:
                                          self._prev_ref_src)
         self._prev_ref_src = (np.asarray(y), np.asarray(cb),
                               np.asarray(cr))
-        wp_v = jnp.asarray(wp if wp is not None
-                           else (64, 0, 64, 0, 64, 0), jnp.int32)
+        if wp is not None:
+            wp_v = jnp.asarray(wp, jnp.int32)
+        else:
+            if getattr(self, "_wp_def", None) is None:
+                self._wp_def = jnp.asarray((64, 0, 64, 0, 64, 0),
+                                           jnp.int32)
+            wp_v = self._wp_def
         spec = Ctb32PackSpec(tnh32, tnw32, T, sao=cfg.sao,
                              sao_grid=(tr * tnh32, tc * tnw32))
         cap = min(self._cap_hint, spec.coef_elems // 2)
         pre, vbuf, py, pcb, pcr = _gop32_step_jit(
-            flat, *self._pads, jnp.asarray(qp), rs.lam_bits, lam16, sl16,
+            flat, *self._pads, qpj, lam_bits, lam16, sl16,
             tnh32, tnw32, tr, tc, cfg.bit_depth, is_idr, self.subpel,
             cfg.deblock, cfg.sdh, cfg.rdoq, cfg.sao,
             weightp=cfg.weightp, wp=wp_v, hc=cfg.height, wc=cfg.width)
@@ -937,19 +1060,22 @@ class Ctb32GopEncoder:
         crs = pad_to_ctb(np.asarray(cr), 16).astype(sdt)
         flat = jnp.asarray(np.concatenate([ys.ravel(), cbs.ravel(),
                                            crs.ravel()]))
-        qp_eff = qp_b + 6 * (cfg.bit_depth - 8)
-        rs = RowScanEncoderV1(qp_b, cfg.bit_depth)
-        lam16 = jnp.asarray(skip_lambda16(qp_eff), jnp.int32)
-        sl16 = jnp.asarray(int(np.sqrt(0.85 * 2.0 ** ((qp_eff - 12) / 3.0))
-                               * 16), jnp.int32)
+        lam_bits, lam16, sl16, qpbj = self._consts(qp_b)
         spec = Ctb32PackSpec(tnh32, tnw32, T, b=True)
         cap = min(self._cap_hint, spec.coef_elems // 2)
         pre, vbuf = _gop32_step_b_jit(
             flat, *self._pads_prev, *self._pads,
-            jnp.asarray(dsf_pair(*pocs)), jnp.asarray(qp_b), rs.lam_bits,
+            jnp.asarray(dsf_pair(*pocs)), qpbj, lam_bits,
             lam16, sl16, tnh32, tnw32, tr, tc, cfg.bit_depth, self.subpel,
             cfg.sdh, cfg.rdoq)
-        poc = pocs[0]
+        host_stage = self._b_host_fn(spec, cap, vbuf, cfg_b, pocs[0],
+                                     rps_idx, tnh32, tnw32, tr, tc)
+        return pre, vbuf, cap, host_stage
+
+    def _b_host_fn(self, spec, cap, vbuf, cfg_b, poc, rps_idx,
+                   tnh32, tnw32, tr, tc):
+        """Host stage (unpack + C++ CABAC) for one B picture's wire —
+        shared by the per-frame and the b2-batched group dispatches."""
 
         def host_stage(f1):
             from hevc_tpu.encoder.pack import split_coef_bitmap
@@ -977,7 +1103,52 @@ class Ctb32GopEncoder:
                                               b_slice=True,
                                               rps_idx=rps_idx)
 
-        return pre, vbuf, cap, host_stage
+        return host_stage
+
+    def _dispatch_b_group(self, items, qp: int | None = None):
+        """Dispatch a whole mini-GOP's non-reference B pictures as ONE
+        fused device step (_gop32_step_b2_jit).  items: list of
+        (y, cb, cr, pocs, rps_idx), at most cfg.bframes_n long; short
+        tail groups are padded with a repeat of the last picture (same
+        compiled graph; the pad lanes' outputs are discarded).  Returns
+        one (pre, vbuf, cap, host_fn) per REAL picture, in order."""
+        import dataclasses
+        from hevc_tpu.encoder.ctb32_ref import Ctb32RefEncoder
+        from hevc_tpu.encoder.rowscan_v1 import dsf_pair
+        cfg = self.cfg
+        kb = cfg.bframes_n
+        assert self._pads_prev is not None and self._pads is not None, \
+            "B dispatch needs two reference pictures in the DPB"
+        assert 1 <= len(items) <= kb
+        qp_b = min((cfg.qp if qp is None else qp)
+                   + Ctb32RefEncoder.B_QP_OFFSET, 51)
+        cfg_b = dataclasses.replace(cfg, qp=qp_b)
+        H, W, tr, tc, tnh32, tnw32 = self._geometry()
+        T = tr * tc
+        sdt = np.uint8 if cfg.bit_depth == 8 else np.uint16
+        padded = list(items) + [items[-1]] * (kb - len(items))
+        flats, dsfs = [], []
+        for (y, cb, cr, pocs, _ri) in padded:
+            flats += [pad_to_ctb(np.asarray(y), 32).astype(sdt).ravel(),
+                      pad_to_ctb(np.asarray(cb), 16).astype(sdt).ravel(),
+                      pad_to_ctb(np.asarray(cr), 16).astype(sdt).ravel()]
+            dsfs.append(dsf_pair(*pocs))
+        flat = jnp.asarray(np.concatenate(flats))
+        lam_bits, lam16, sl16, qpbj = self._consts(qp_b)
+        spec = Ctb32PackSpec(tnh32, tnw32, T, b=True)
+        cap = min(self._cap_hint, spec.coef_elems // 2)
+        outs = _gop32_step_b2_jit(
+            flat, *self._pads_prev, *self._pads,
+            jnp.asarray(np.stack(dsfs)), qpbj, lam_bits,
+            lam16, sl16, tnh32, tnw32, tr, tc, cfg.bit_depth, self.subpel,
+            cfg.sdh, cfg.rdoq, kb)
+        res = []
+        for i, (_y, _cb, _cr, pocs, rps_idx) in enumerate(items):
+            pre, vbuf = outs[2 * i], outs[2 * i + 1]
+            host_fn = self._b_host_fn(spec, cap, vbuf, cfg_b, pocs[0],
+                                      rps_idx, tnh32, tnw32, tr, tc)
+            res.append((pre, vbuf, cap, host_fn))
+        return res
 
     def _unstep(self, a, tnh, tnw, tr, tc, to=None):
         """(S, T, ...) tile-lane stacks -> global (nh, nw, ...) grid."""
@@ -1098,16 +1269,25 @@ class Ctb32GopEncoder:
             pending.append(pool.submit(run))
             cur.clear()
 
+        bq: list = []     # pending b's of the current mini-GOP
+
+        def drain_b():
+            if bq:
+                cur.extend(self._dispatch_b_group(bq))
+                bq.clear()
+
         for disp, kind, poc, rps in b_schedule(len(frames), gop,
                                                self.cfg.bframes,
                                                self.cfg.bframes_n):
             fr = frames[disp]
             if kind == 2:
                 neg, pos = sets[rps]
-                cur.append(self._dispatch_b(*fr, pocs=(poc, poc - neg[0],
-                                                       poc + pos[0]),
-                                            rps_idx=rps))
+                bq.append((*fr, (poc, poc - neg[0], poc + pos[0]), rps))
+                # a full mini-GOP's worth of b's -> ONE fused dispatch
+                if len(bq) == self.cfg.bframes_n:
+                    drain_b()
             else:
+                drain_b()    # tail b's belong to the previous group
                 flush()      # close the previous reference's group
                 cur.append(self._dispatch_ip(*fr, idr=kind == 0, poc=poc,
                                              rps_idx=rps))
@@ -1116,6 +1296,7 @@ class Ctb32GopEncoder:
             while len(pending) > 2:
                 for nal in pending.popleft().result():
                     out += b"\x00\x00\x00\x01" + nal
+        drain_b()
         flush()
         while pending:
             for nal in pending.popleft().result():

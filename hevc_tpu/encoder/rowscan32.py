@@ -179,6 +179,17 @@ def _rowscan32_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh32, tnw32,
         pad_py, pad_pcb, pad_pcr = ref_pads
     if b_mode:
         pad1_py, pad1_pcb, pad1_pcr = ref_pads1
+        # Stacked reference pads, hoisted out of the scan: L0 lanes then
+        # L1 lanes (2B) for luma, [cb0, cb1, cr0, cr1] (4B) for chroma.
+        # One batched search / MC gather then serves BOTH lists (and both
+        # chroma planes), cutting the per-step kernel count ~2-4x — the
+        # 1080p scan is latency-bound on many small kernels, not FLOPs.
+        pad2_py = jnp.concatenate([pad_py, pad1_py])
+        pad4_c = jnp.concatenate([pad_pcb, pad1_pcb, pad_pcr, pad1_pcr])
+    elif p_mode:
+        # [cb, cr, cb, cr]: merge-MV and explicit-MV chroma gathers for
+        # both planes ride one batched call
+        pad4_c = jnp.concatenate([pad_pcb, pad_pcr, pad_pcb, pad_pcr])
 
     def step(state, d):
         r32 = d // tnw32
@@ -242,6 +253,82 @@ def _rowscan32_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh32, tnw32,
         q_mv2 = []           # (B, 2, 2) b_mode: per-list MVs
         q_fields = []
         q_j = []
+
+        def vs(a, v):
+            """Variant slice v of a lane-stacked (V*B, ...) array."""
+            return a[v * B:(v + 1) * B]
+
+        def uni_bi(v4, pf=None):
+            """[cb0, cb1, cr0, cr1] stacked chroma MC vals (4B) -> per
+            plane: (uni-L0, uni-L1, bi) triple, or the pf-combined merge
+            prediction when pf is given (spec 8.5.4.2.4 selection)."""
+            out = []
+            for pi in range(2):
+                v0 = v4[2 * pi * B:(2 * pi + 1) * B]
+                v1 = v4[(2 * pi + 1) * B:(2 * pi + 2) * B]
+                if pf is None:
+                    out.append((_weight_uni_j(v0, bit_depth),
+                                _weight_uni_j(v1, bit_depth),
+                                _weight_bi_j(v0, v1, bit_depth)))
+                else:
+                    vu = jnp.where(pf[:, 0][:, None, None], v0, v1)
+                    out.append(jnp.where(
+                        (pf[:, 0] & pf[:, 1])[:, None, None],
+                        _weight_bi_j(v0, v1, bit_depth),
+                        _weight_uni_j(vu, bit_depth)))
+            return out
+
+        def tu32_v(preds_y, preds_cb, preds_cr):
+            """Forced-split TU16 chain of V whole-32 CU candidates in ONE
+            batched _tu call per plane group: the 4 quadrants and the V
+            candidate kinds all become batch lanes ((q, v, b) order), so
+            the V*12 unrolled transform/quant instances of the previous
+            per-variant tu32 collapse to 2.  Returns the per-variant
+            (rec_y, rec_cb, rec_cr, lvls[4], cbfs[4], bits, any_cbf)
+            tuples of the original tu32 contract, bit-identically."""
+            V = len(preds_y)
+            VB = V * B
+
+            def quads(a, h):
+                x = a.reshape(VB, 2, h, 2, h).transpose(1, 3, 0, 2, 4)
+                return x.reshape(4 * VB, h, h)
+
+            def unquads(a, h):
+                x = a.reshape(2, 2, VB, h, h).transpose(2, 0, 3, 1, 4)
+                return x.reshape(VB, 2 * h, 2 * h)
+
+            py = quads(jnp.concatenate(preds_y), 16)
+            sy = quads(jnp.concatenate([s32] * V), 16)
+            ly_, cy_, ry_ = _tu(sy, py, qp_eff, 16, bit_depth, maxv,
+                                sdh_scan=shs0)
+            pc = jnp.concatenate([quads(jnp.concatenate(preds_cb), 8),
+                                  quads(jnp.concatenate(preds_cr), 8)])
+            sc = jnp.concatenate([quads(jnp.concatenate([s32cb] * V), 8),
+                                  quads(jnp.concatenate([s32cr] * V), 8)])
+            lc_, cc_, rc_ = _tu(sc, pc, qpc, 8, bit_depth, maxv,
+                                sdh_scan=shs0)
+            lcb_, lcr_ = lc_[:4 * VB], lc_[4 * VB:]
+            ccb_, ccr_ = cc_[:4 * VB], cc_[4 * VB:]
+            ry = unquads(ry_, 16)
+            rcb = unquads(rc_[:4 * VB], 8)
+            rcr = unquads(rc_[4 * VB:], 8)
+            lb = _level_bits(ly_) + _level_bits(lcb_) + _level_bits(lcr_)
+            bits = lb.reshape(4, VB).sum(0)
+            anyc = jnp.any((cy_ | ccb_ | ccr_).reshape(4, VB), 0)
+            res = []
+            for v in range(V):
+                sl = slice(v * B, (v + 1) * B)
+
+                def qv(a, q, v=v):
+                    return a[(q * V + v) * B:(q * V + v + 1) * B]
+
+                lvls = [(qv(ly_, q), qv(lcb_, q), qv(lcr_, q))
+                        for q in range(4)]
+                cbfs = [(qv(cy_, q), qv(ccb_, q), qv(ccr_, q))
+                        for q in range(4)]
+                res.append((ry[sl], rcb[sl], rcr[sl], lvls, cbfs,
+                            bits[sl], anyc[sl]))
+            return res
 
         def intra_segs(q, buf_y, buf_cb, buf_cr):
             """Reference segments + avail flags for quadrant q."""
@@ -357,9 +444,12 @@ def _rowscan32_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh32, tnw32,
 
         def amvp_b(lx, nb):
             """Device mirror of ops.inter.amvp_list_b with the A0 slot
-            (reachable inside the z-order) and cross-list POC scaling."""
+            (reachable inside the z-order) and cross-list POC scaling.
+            dsf: (2,) batch-uniform or (B, 2) per-lane factors (the
+            b2-batched dispatch stacks pictures with different POC
+            geometry as lane groups)."""
             ly = 1 - lx
-            d_ = dsf[lx]
+            d_ = dsf[lx] if dsf.ndim == 1 else dsf[:, lx][:, None]
 
             def uns(e):
                 av_, pf_, mv_ = e
@@ -463,6 +553,9 @@ def _rowscan32_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh32, tnw32,
                 continue
 
             # ---- B candidates: skip / merge / L0 / L1 / BI / intra ----
+            # (L0 + L1 work rides the stacked pads as 2B/4B lanes: one
+            # search, one merge fetch, one chroma gather per MV set, and
+            # the four candidate kinds' TUs in one batched call)
             if b_mode:
                 nb = mot_nbrs_b(q)
                 mg_pf, mg_mv2 = merge0_b(nb)
@@ -470,94 +563,82 @@ def _rowscan32_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh32, tnw32,
                 c0mv1, c1mv1 = amvp_b(1, nb)
                 r16 = 2 * r32 + qy
                 c16 = 2 * c32 + qx
-                mv_e0, mb00, mb01, val_e0 = _search_explicit_ref(
-                    src, pad_py, r16, c16, c0mv0, c1mv0, sl16, bit_depth,
+                mv_e2, mba, mbb, val_e2 = _search_explicit_ref(
+                    jnp.concatenate([src, src]), pad2_py, r16, c16,
+                    jnp.concatenate([c0mv0, c0mv1]),
+                    jnp.concatenate([c1mv0, c1mv1]), sl16, bit_depth,
                     subpel, maxv)
-                mv_e1, mb10, mb11, val_e1 = _search_explicit_ref(
-                    src, pad1_py, r16, c16, c0mv1, c1mv1, sl16, bit_depth,
-                    subpel, maxv)
-                mvp_e0 = (mb00 > mb01).astype(I32)
-                mbits0 = jnp.minimum(mb00, mb01)
-                mvp_e1 = (mb10 > mb11).astype(I32)
-                mbits1 = jnp.minimum(mb10, mb11)
+                mv_e0, mv_e1 = vs(mv_e2, 0), vs(mv_e2, 1)
+                val_e0, val_e1 = vs(val_e2, 0), vs(val_e2, 1)
+                mvp_e0 = (vs(mba, 0) > vs(mbb, 0)).astype(I32)
+                mbits0 = jnp.minimum(vs(mba, 0), vs(mbb, 0))
+                mvp_e1 = (vs(mba, 1) > vs(mbb, 1)).astype(I32)
+                mbits1 = jnp.minimum(vs(mba, 1), vs(mbb, 1))
                 pred_l0 = _weight_uni_j(val_e0, bit_depth)
                 pred_l1 = _weight_uni_j(val_e1, bit_depth)
                 pred_bi = _weight_bi_j(val_e0, val_e1, bit_depth)
 
-                valm0 = _merge_luma_val_ref(pad_py, r16, c16, mg_mv2[:, 0],
-                                            bit_depth, subpel)
-                valm1 = _merge_luma_val_ref(pad1_py, r16, c16,
-                                            mg_mv2[:, 1], bit_depth, subpel)
+                valm2 = _merge_luma_val_ref(
+                    pad2_py, r16, c16,
+                    jnp.concatenate([mg_mv2[:, 0], mg_mv2[:, 1]]),
+                    bit_depth, subpel)
+                valm0, valm1 = vs(valm2, 0), vs(valm2, 1)
                 both_m = mg_pf[:, 0] & mg_pf[:, 1]
                 valm_u = jnp.where(mg_pf[:, 0][:, None, None], valm0, valm1)
                 pred_m = jnp.where(both_m[:, None, None],
                                    _weight_bi_j(valm0, valm1, bit_depth),
                                    _weight_uni_j(valm_u, bit_depth))
 
-                def comb_c(pc0, pc1, rr, cc, mv0_, mv1_, nc, pf=None):
-                    v0 = _chroma_val_ref(pc0, rr, cc, mv0_, bit_depth,
-                                         nc=nc)
-                    v1 = _chroma_val_ref(pc1, rr, cc, mv1_, bit_depth,
-                                         nc=nc)
-                    if pf is None:
-                        return _weight_bi_j(v0, v1, bit_depth)
-                    vu = jnp.where(pf[:, 0][:, None, None], v0, v1)
-                    return jnp.where((pf[:, 0] & pf[:, 1])[:, None, None],
-                                     _weight_bi_j(v0, v1, bit_depth),
-                                     _weight_uni_j(vu, bit_depth))
+                vm4 = _chroma_val_ref(
+                    pad4_c, r16, c16,
+                    jnp.concatenate([mg_mv2[:, 0], mg_mv2[:, 1]] * 2),
+                    bit_depth)
+                pm_cb, pm_cr = uni_bi(vm4, mg_pf)
+                ve4 = _chroma_val_ref(
+                    pad4_c, r16, c16,
+                    jnp.concatenate([mv_e0, mv_e1] * 2), bit_depth)
+                (pl0_cb, pl1_cb, pbi_cb), (pl0_cr, pl1_cr, pbi_cr) = \
+                    uni_bi(ve4)
 
-                pm_cb = comb_c(pad_pcb, pad1_pcb, r16, c16, mg_mv2[:, 0],
-                               mg_mv2[:, 1], 8, mg_pf)
-                pm_cr = comb_c(pad_pcr, pad1_pcr, r16, c16, mg_mv2[:, 0],
-                               mg_mv2[:, 1], 8, mg_pf)
-                pl0_cb = _weight_uni_j(_chroma_val_ref(
-                    pad_pcb, r16, c16, mv_e0, bit_depth), bit_depth)
-                pl0_cr = _weight_uni_j(_chroma_val_ref(
-                    pad_pcr, r16, c16, mv_e0, bit_depth), bit_depth)
-                pl1_cb = _weight_uni_j(_chroma_val_ref(
-                    pad1_pcb, r16, c16, mv_e1, bit_depth), bit_depth)
-                pl1_cr = _weight_uni_j(_chroma_val_ref(
-                    pad1_pcr, r16, c16, mv_e1, bit_depth), bit_depth)
-                pbi_cb = comb_c(pad_pcb, pad1_pcb, r16, c16, mv_e0, mv_e1,
-                                8)
-                pbi_cr = comb_c(pad_pcr, pad1_pcr, r16, c16, mv_e0, mv_e1,
-                                8)
+                la, ca, ra = _tu(
+                    jnp.concatenate([src] * 4),
+                    jnp.concatenate([pred_m, pred_l0, pred_l1, pred_bi]),
+                    qp_eff, 16, bit_depth, maxv, sdh_scan=shs0)
+                lc, cc, rc = _tu(
+                    jnp.concatenate([scb] * 4 + [scr] * 4),
+                    jnp.concatenate([pm_cb, pl0_cb, pl1_cb, pbi_cb,
+                                     pm_cr, pl0_cr, pl1_cr, pbi_cr]),
+                    qpc, 8, bit_depth, maxv, sdh_scan=shs0)
 
-                def tu3(py_, pcb_, pcr_):
-                    a = _tu(src, py_, qp_eff, 16, bit_depth, maxv,
-                            sdh_scan=shs0)
-                    b_ = _tu(scb, pcb_, qpc, 8, bit_depth, maxv,
-                             sdh_scan=shs0)
-                    c_ = _tu(scr, pcr_, qpc, 8, bit_depth, maxv,
-                             sdh_scan=shs0)
-                    return ((a[0], b_[0], c_[0]), (a[1], b_[1], c_[1]),
-                            (a[2], b_[2], c_[2]))
+                def tri(v):
+                    return ((vs(la, v), vs(lc, v), vs(lc, v + 4)),
+                            (vs(ca, v), vs(cc, v), vs(cc, v + 4)),
+                            (vs(ra, v), vs(rc, v), vs(rc, v + 4)))
 
-                lv_m, cb_m, rc_m = tu3(pred_m, pm_cb, pm_cr)
-                lv_0, cb_0, rc_0 = tu3(pred_l0, pl0_cb, pl0_cr)
-                lv_1, cb_1, rc_1 = tu3(pred_l1, pl1_cb, pl1_cr)
-                lv_b, cb_b, rc_b = tu3(pred_bi, pbi_cb, pbi_cr)
+                lv_m, cb_m, rc_m = tri(0)
+                lv_0, cb_0, rc_0 = tri(1)
+                lv_1, cb_1, rc_1 = tri(2)
+                lv_b, cb_b, rc_b = tri(3)
 
-                def sse3(p3):
-                    return _sse_j(src, p3[0]) + _sse_j(scb, p3[1]) \
-                        + _sse_j(scr, p3[2])
+                sse_c = _sse_j(jnp.concatenate([scb] * 4 + [scr] * 4), rc)
+                sse_r = _sse_j(jnp.concatenate([src] * 4), ra) \
+                    + sse_c[:4 * B] + sse_c[4 * B:]
+                lb_c = _level_bits(lc)
+                lvb = _level_bits(la) + lb_c[:4 * B] + lb_c[4 * B:]
 
-                def lvbits(lv):
-                    return _level_bits(lv[0]) + _level_bits(lv[1]) \
-                        + _level_bits(lv[2])
-
-                j_skip = sse3((pred_m, pm_cb, pm_cr)) + ((lam16 * 2) >> 4)
+                j_skip = _sse_j(src, pred_m) + _sse_j(scb, pm_cb) \
+                    + _sse_j(scr, pm_cr) + ((lam16 * 2) >> 4)
                 any_m = cb_m[0] | cb_m[1] | cb_m[2]
                 j_m = jnp.where(
                     any_m,
-                    sse3(rc_m) + ((lam16 * jnp.minimum(
-                        12 + lvbits(lv_m), 2048)) >> 4), INF32)
-                j_0 = sse3(rc_0) + ((lam16 * jnp.minimum(
-                    16 + mbits0 + lvbits(lv_0), 2048)) >> 4)
-                j_1 = sse3(rc_1) + ((lam16 * jnp.minimum(
-                    16 + mbits1 + lvbits(lv_1), 2048)) >> 4)
-                j_bi2 = sse3(rc_b) + ((lam16 * jnp.minimum(
-                    24 + mbits0 + mbits1 + lvbits(lv_b), 2048)) >> 4)
+                    vs(sse_r, 0) + ((lam16 * jnp.minimum(
+                        12 + vs(lvb, 0), 2048)) >> 4), INF32)
+                j_0 = vs(sse_r, 1) + ((lam16 * jnp.minimum(
+                    16 + mbits0 + vs(lvb, 1), 2048)) >> 4)
+                j_1 = vs(sse_r, 2) + ((lam16 * jnp.minimum(
+                    16 + mbits1 + vs(lvb, 2), 2048)) >> 4)
+                j_bi2 = vs(sse_r, 3) + ((lam16 * jnp.minimum(
+                    24 + mbits0 + mbits1 + vs(lvb, 3), 2048)) >> 4)
 
                 kind = jnp.argmin(jnp.stack(
                     [j_skip, j_m, j_0, j_1, j_bi2, j_i], 1),
@@ -665,27 +746,32 @@ def _rowscan32_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh32, tnw32,
             valm = _merge_luma_val_ref(pad_py, r16, c16, mg_mv, bit_depth,
                                        subpel)
             pred_m = _wu_y(valm)
-            pm_cb = _wu_cb(_chroma_val_ref(pad_pcb, r16, c16, mg_mv,
-                                           bit_depth))
-            pm_cr = _wu_cr(_chroma_val_ref(pad_pcr, r16, c16, mg_mv,
-                                           bit_depth))
-            pe_cb = _wu_cb(_chroma_val_ref(pad_pcb, r16, c16, mv_e,
-                                           bit_depth))
-            pe_cr = _wu_cr(_chroma_val_ref(pad_pcr, r16, c16, mv_e,
-                                           bit_depth))
+            # merge-MV and explicit-MV chroma for both planes: ONE
+            # batched gather on the [cb, cr, cb, cr] stacked pads
+            vc4 = _chroma_val_ref(
+                pad4_c, r16, c16,
+                jnp.concatenate([mg_mv, mg_mv, mv_e, mv_e]), bit_depth)
+            pm_cb = _wu_cb(vs(vc4, 0))
+            pm_cr = _wu_cr(vs(vc4, 1))
+            pe_cb = _wu_cb(vs(vc4, 2))
+            pe_cr = _wu_cr(vs(vc4, 3))
 
-            lvlm_y, cbfm_y, recm_y = _tu(src, pred_m, qp_eff, 16,
-                                         bit_depth, maxv, sdh_scan=shs0)
-            lvlm_cb, cbfm_cb, recm_cb = _tu(scb, pm_cb, qpc, 8,
-                                            bit_depth, maxv, sdh_scan=shs0)
-            lvlm_cr, cbfm_cr, recm_cr = _tu(scr, pm_cr, qpc, 8,
-                                            bit_depth, maxv, sdh_scan=shs0)
-            lvle_y, cbfe_y, rece_y = _tu(src, pred_e, qp_eff, 16,
-                                         bit_depth, maxv, sdh_scan=shs0)
-            lvle_cb, cbfe_cb, rece_cb = _tu(scb, pe_cb, qpc, 8,
-                                            bit_depth, maxv, sdh_scan=shs0)
-            lvle_cr, cbfe_cr, rece_cr = _tu(scr, pe_cr, qpc, 8,
-                                            bit_depth, maxv, sdh_scan=shs0)
+            # merge + explicit TUs batched (V=2 luma; chroma planes fold)
+            la, ca, ra = _tu(jnp.concatenate([src, src]),
+                             jnp.concatenate([pred_m, pred_e]),
+                             qp_eff, 16, bit_depth, maxv, sdh_scan=shs0)
+            lc, cc, rc = _tu(jnp.concatenate([scb, scb, scr, scr]),
+                             jnp.concatenate([pm_cb, pe_cb, pm_cr, pe_cr]),
+                             qpc, 8, bit_depth, maxv, sdh_scan=shs0)
+            lvlm_y, lvle_y = vs(la, 0), vs(la, 1)
+            cbfm_y, cbfe_y = vs(ca, 0), vs(ca, 1)
+            recm_y, rece_y = vs(ra, 0), vs(ra, 1)
+            lvlm_cb, lvle_cb = vs(lc, 0), vs(lc, 1)
+            lvlm_cr, lvle_cr = vs(lc, 2), vs(lc, 3)
+            cbfm_cb, cbfe_cb = vs(cc, 0), vs(cc, 1)
+            cbfm_cr, cbfe_cr = vs(cc, 2), vs(cc, 3)
+            recm_cb, rece_cb = vs(rc, 0), vs(rc, 1)
+            recm_cr, rece_cr = vs(rc, 2), vs(rc, 3)
 
             j_skip = _sse_j(src, pred_m) + _sse_j(scb, pm_cb) \
                 + _sse_j(scr, pm_cr) + ((lam16 * 2) >> 4)
@@ -836,25 +922,27 @@ def _rowscan32_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh32, tnw32,
             mg32_pf, mg32_mv2 = merge0_b(nb32)
             c0mv0_3, c1mv0_3 = amvp_b(0, nb32)
             c0mv1_3, c1mv1_3 = amvp_b(1, nb32)
-            mv_e320, m320a, m320b, val_e320 = _search_explicit_ref(
-                s32, pad_py, r32, c32, c0mv0_3, c1mv0_3, sl16, bit_depth,
+            # one batched 32-CU search / merge fetch / chroma gather for
+            # both lists (same stacked-pad scheme as the quadrant body)
+            mv32v, m32a, m32b, val32v = _search_explicit_ref(
+                jnp.concatenate([s32, s32]), pad2_py, r32, c32,
+                jnp.concatenate([c0mv0_3, c0mv1_3]),
+                jnp.concatenate([c1mv0_3, c1mv1_3]), sl16, bit_depth,
                 subpel, maxv, n=32)
-            mv_e321, m321a, m321b, val_e321 = _search_explicit_ref(
-                s32, pad1_py, r32, c32, c0mv1_3, c1mv1_3, sl16, bit_depth,
-                subpel, maxv, n=32)
-            mvp32_e0 = (m320a > m320b).astype(I32)
-            mbits32_0 = jnp.minimum(m320a, m320b)
-            mvp32_e1 = (m321a > m321b).astype(I32)
-            mbits32_1 = jnp.minimum(m321a, m321b)
+            mv_e320, mv_e321 = vs(mv32v, 0), vs(mv32v, 1)
+            val_e320, val_e321 = vs(val32v, 0), vs(val32v, 1)
+            mvp32_e0 = (vs(m32a, 0) > vs(m32b, 0)).astype(I32)
+            mbits32_0 = jnp.minimum(vs(m32a, 0), vs(m32b, 0))
+            mvp32_e1 = (vs(m32a, 1) > vs(m32b, 1)).astype(I32)
+            mbits32_1 = jnp.minimum(vs(m32a, 1), vs(m32b, 1))
             pred32_l0 = _weight_uni_j(val_e320, bit_depth)
             pred32_l1 = _weight_uni_j(val_e321, bit_depth)
             pred32_bi = _weight_bi_j(val_e320, val_e321, bit_depth)
-            valm32_0 = _merge_luma_val_ref(pad_py, r32, c32,
-                                           mg32_mv2[:, 0], bit_depth,
-                                           subpel, n=32)
-            valm32_1 = _merge_luma_val_ref(pad1_py, r32, c32,
-                                           mg32_mv2[:, 1], bit_depth,
-                                           subpel, n=32)
+            valm32v = _merge_luma_val_ref(
+                pad2_py, r32, c32,
+                jnp.concatenate([mg32_mv2[:, 0], mg32_mv2[:, 1]]),
+                bit_depth, subpel, n=32)
+            valm32_0, valm32_1 = vs(valm32v, 0), vs(valm32v, 1)
             both32 = mg32_pf[:, 0] & mg32_pf[:, 1]
             valm32_u = jnp.where(mg32_pf[:, 0][:, None, None], valm32_0,
                                  valm32_1)
@@ -863,75 +951,27 @@ def _rowscan32_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh32, tnw32,
                                               bit_depth),
                                  _weight_uni_j(valm32_u, bit_depth))
 
-            def comb32_c(pc0, pc1, mv0_, mv1_, pf=None):
-                v0 = _chroma_val_ref(pc0, r32, c32, mv0_, bit_depth, nc=16)
-                v1 = _chroma_val_ref(pc1, r32, c32, mv1_, bit_depth, nc=16)
-                if pf is None:
-                    return _weight_bi_j(v0, v1, bit_depth)
-                vu = jnp.where(pf[:, 0][:, None, None], v0, v1)
-                return jnp.where((pf[:, 0] & pf[:, 1])[:, None, None],
-                                 _weight_bi_j(v0, v1, bit_depth),
-                                 _weight_uni_j(vu, bit_depth))
+            vm32 = _chroma_val_ref(
+                pad4_c, r32, c32,
+                jnp.concatenate([mg32_mv2[:, 0], mg32_mv2[:, 1]] * 2),
+                bit_depth, nc=16)
+            pm32_cb, pm32_cr = uni_bi(vm32, mg32_pf)
+            ve32 = _chroma_val_ref(
+                pad4_c, r32, c32,
+                jnp.concatenate([mv_e320, mv_e321] * 2), bit_depth, nc=16)
+            (p0_32cb, p1_32cb, pbi_32cb), (p0_32cr, p1_32cr, pbi_32cr) = \
+                uni_bi(ve32)
 
-            pm32_cb = comb32_c(pad_pcb, pad1_pcb, mg32_mv2[:, 0],
-                               mg32_mv2[:, 1], mg32_pf)
-            pm32_cr = comb32_c(pad_pcr, pad1_pcr, mg32_mv2[:, 0],
-                               mg32_mv2[:, 1], mg32_pf)
-            p0_32cb = _weight_uni_j(_chroma_val_ref(
-                pad_pcb, r32, c32, mv_e320, bit_depth, nc=16), bit_depth)
-            p0_32cr = _weight_uni_j(_chroma_val_ref(
-                pad_pcr, r32, c32, mv_e320, bit_depth, nc=16), bit_depth)
-            p1_32cb = _weight_uni_j(_chroma_val_ref(
-                pad1_pcb, r32, c32, mv_e321, bit_depth, nc=16), bit_depth)
-            p1_32cr = _weight_uni_j(_chroma_val_ref(
-                pad1_pcr, r32, c32, mv_e321, bit_depth, nc=16), bit_depth)
-            pbi_32cb = comb32_c(pad_pcb, pad1_pcb, mv_e320, mv_e321)
-            pbi_32cr = comb32_c(pad_pcr, pad1_pcr, mv_e320, mv_e321)
-
-            def tu32(py, pcb_, pcr_):
-                """Forced-split TU16 residual of a 32 CU (per-quadrant)."""
-                ry = jnp.zeros((B, 32, 32), I32)
-                rcb = jnp.zeros((B, 16, 16), I32)
-                rcr = jnp.zeros((B, 16, 16), I32)
-                lvls, cbfs = [], []
-                for q in range(4):
-                    qx, qy = q & 1, q >> 1
-                    ly, cy_, r_ = _tu(
-                        s32[:, 16 * qy:16 * qy + 16, 16 * qx:16 * qx + 16],
-                        py[:, 16 * qy:16 * qy + 16, 16 * qx:16 * qx + 16],
-                        qp_eff, 16, bit_depth, maxv, sdh_scan=shs0)
-                    lcb, ccb, rcb_ = _tu(
-                        s32cb[:, 8 * qy:8 * qy + 8, 8 * qx:8 * qx + 8],
-                        pcb_[:, 8 * qy:8 * qy + 8, 8 * qx:8 * qx + 8],
-                        qpc, 8, bit_depth, maxv, sdh_scan=shs0)
-                    lcr, ccr, rcr_ = _tu(
-                        s32cr[:, 8 * qy:8 * qy + 8, 8 * qx:8 * qx + 8],
-                        pcr_[:, 8 * qy:8 * qy + 8, 8 * qx:8 * qx + 8],
-                        qpc, 8, bit_depth, maxv, sdh_scan=shs0)
-                    ry = ry.at[:, 16 * qy:16 * qy + 16,
-                               16 * qx:16 * qx + 16].set(r_)
-                    rcb = rcb.at[:, 8 * qy:8 * qy + 8,
-                                 8 * qx:8 * qx + 8].set(rcb_)
-                    rcr = rcr.at[:, 8 * qy:8 * qy + 8,
-                                 8 * qx:8 * qx + 8].set(rcr_)
-                    lvls.append((ly, lcb, lcr))
-                    cbfs.append((cy_, ccb, ccr))
-                bits = 0
-                any_cbf = jnp.zeros((B,), bool)
-                for (ly, lcb, lcr), (cy_, ccb, ccr) in zip(lvls, cbfs):
-                    bits = bits + _level_bits(ly) + _level_bits(lcb) \
-                        + _level_bits(lcr)
-                    any_cbf = any_cbf | cy_ | ccb | ccr
-                return ry, rcb, rcr, lvls, cbfs, bits, any_cbf
-
-            m_ry, m_rcb, m_rcr, m_lvls, m_cbfs, m_bits, m_any = \
-                tu32(pred_m32, pm32_cb, pm32_cr)
-            e0_ry, e0_rcb, e0_rcr, e0_lvls, e0_cbfs, e0_bits, e0_any = \
-                tu32(pred32_l0, p0_32cb, p0_32cr)
-            e1_ry, e1_rcb, e1_rcr, e1_lvls, e1_cbfs, e1_bits, e1_any = \
-                tu32(pred32_l1, p1_32cb, p1_32cr)
-            bi_ry, bi_rcb, bi_rcr, bi_lvls, bi_cbfs, bi_bits, bi_any = \
-                tu32(pred32_bi, pbi_32cb, pbi_32cr)
+            (m_ry, m_rcb, m_rcr, m_lvls, m_cbfs, m_bits, m_any), \
+                (e0_ry, e0_rcb, e0_rcr, e0_lvls, e0_cbfs, e0_bits,
+                 e0_any), \
+                (e1_ry, e1_rcb, e1_rcr, e1_lvls, e1_cbfs, e1_bits,
+                 e1_any), \
+                (bi_ry, bi_rcb, bi_rcr, bi_lvls, bi_cbfs, bi_bits,
+                 bi_any) = tu32_v(
+                    [pred_m32, pred32_l0, pred32_l1, pred32_bi],
+                    [pm32_cb, p0_32cb, p1_32cb, pbi_32cb],
+                    [pm32_cr, p0_32cr, p1_32cr, pbi_32cr])
 
             j_skip32 = _sse_j(s32, pred_m32) + _sse_j(s32cb, pm32_cb) \
                 + _sse_j(s32cr, pm32_cr) + ((lam16 * 2) >> 4)
@@ -1020,55 +1060,19 @@ def _rowscan32_scan(src_y, src_cb, src_cr, qp, lam_bits, tnh32, tnw32,
             valm32 = _merge_luma_val_ref(pad_py, r32, c32, mg32, bit_depth,
                                          subpel, n=32)
             pred_m32 = _wu_y(valm32)
-            pm32_cb = _wu_cb(_chroma_val_ref(
-                pad_pcb, r32, c32, mg32, bit_depth, nc=16))
-            pm32_cr = _wu_cr(_chroma_val_ref(
-                pad_pcr, r32, c32, mg32, bit_depth, nc=16))
-            pe32_cb = _wu_cb(_chroma_val_ref(
-                pad_pcb, r32, c32, mv_e32, bit_depth, nc=16))
-            pe32_cr = _wu_cr(_chroma_val_ref(
-                pad_pcr, r32, c32, mv_e32, bit_depth, nc=16))
+            vc32 = _chroma_val_ref(
+                pad4_c, r32, c32,
+                jnp.concatenate([mg32, mg32, mv_e32, mv_e32]), bit_depth,
+                nc=16)
+            pm32_cb = _wu_cb(vs(vc32, 0))
+            pm32_cr = _wu_cr(vs(vc32, 1))
+            pe32_cb = _wu_cb(vs(vc32, 2))
+            pe32_cr = _wu_cr(vs(vc32, 3))
 
-            def tu32(py, pcb_, pcr_):
-                """Forced-split TU16 residual of a 32 CU (per-quadrant)."""
-                ry = jnp.zeros((B, 32, 32), I32)
-                rcb = jnp.zeros((B, 16, 16), I32)
-                rcr = jnp.zeros((B, 16, 16), I32)
-                lvls, cbfs = [], []
-                for q in range(4):
-                    qx, qy = q & 1, q >> 1
-                    ly, cy_, r_ = _tu(
-                        s32[:, 16 * qy:16 * qy + 16, 16 * qx:16 * qx + 16],
-                        py[:, 16 * qy:16 * qy + 16, 16 * qx:16 * qx + 16],
-                        qp_eff, 16, bit_depth, maxv, sdh_scan=shs0)
-                    lcb, ccb, rcb_ = _tu(
-                        s32cb[:, 8 * qy:8 * qy + 8, 8 * qx:8 * qx + 8],
-                        pcb_[:, 8 * qy:8 * qy + 8, 8 * qx:8 * qx + 8],
-                        qpc, 8, bit_depth, maxv, sdh_scan=shs0)
-                    lcr, ccr, rcr_ = _tu(
-                        s32cr[:, 8 * qy:8 * qy + 8, 8 * qx:8 * qx + 8],
-                        pcr_[:, 8 * qy:8 * qy + 8, 8 * qx:8 * qx + 8],
-                        qpc, 8, bit_depth, maxv, sdh_scan=shs0)
-                    ry = ry.at[:, 16 * qy:16 * qy + 16,
-                               16 * qx:16 * qx + 16].set(r_)
-                    rcb = rcb.at[:, 8 * qy:8 * qy + 8,
-                                 8 * qx:8 * qx + 8].set(rcb_)
-                    rcr = rcr.at[:, 8 * qy:8 * qy + 8,
-                                 8 * qx:8 * qx + 8].set(rcr_)
-                    lvls.append((ly, lcb, lcr))
-                    cbfs.append((cy_, ccb, ccr))
-                bits = 0
-                any_cbf = jnp.zeros((B,), bool)
-                for (ly, lcb, lcr), (cy_, ccb, ccr) in zip(lvls, cbfs):
-                    bits = bits + _level_bits(ly) + _level_bits(lcb) \
-                        + _level_bits(lcr)
-                    any_cbf = any_cbf | cy_ | ccb | ccr
-                return ry, rcb, rcr, lvls, cbfs, bits, any_cbf
-
-            m_ry, m_rcb, m_rcr, m_lvls, m_cbfs, m_bits, m_any = \
-                tu32(pred_m32, pm32_cb, pm32_cr)
-            e_ry, e_rcb, e_rcr, e_lvls, e_cbfs, e_bits, e_any = \
-                tu32(pred_e32, pe32_cb, pe32_cr)
+            (m_ry, m_rcb, m_rcr, m_lvls, m_cbfs, m_bits, m_any), \
+                (e_ry, e_rcb, e_rcr, e_lvls, e_cbfs, e_bits, e_any) = \
+                tu32_v([pred_m32, pred_e32], [pm32_cb, pe32_cb],
+                       [pm32_cr, pe32_cr])
 
             j_skip32 = _sse_j(s32, pred_m32) + _sse_j(s32cb, pm32_cb) \
                 + _sse_j(s32cr, pm32_cr) + ((lam16 * 2) >> 4)
