@@ -257,6 +257,22 @@ def _scale_mv_j(mv, dsf):
     return jnp.clip(jnp.where(s >= 0, mag, -mag), -32768, 32767)
 
 
+def _win_at(p, y, x, h, w):
+    """Per-lane (h, w) windows from (B, H, W) planes at (y, x) offsets.
+
+    NOT vmap(dynamic_slice): that lowers to a B-iteration serialized
+    per-lane while loop on TPU (round-5 device trace: ~45 such sites
+    were ~60% of the whole ctb32 scan step).  Two take_along_axis
+    gathers vectorize over lanes instead.  Every call site keeps its
+    window in-bounds by construction (MARGIN covers the full MV reach
+    plus filter taps), so dynamic_slice's clamp-the-start semantics
+    never applied anyway."""
+    rows = y[:, None] + jnp.arange(h, dtype=jnp.int32)
+    t = jnp.take_along_axis(p, rows[:, :, None], axis=1)
+    cols = x[:, None] + jnp.arange(w, dtype=jnp.int32)
+    return jnp.take_along_axis(t, cols[:, None, :], axis=2)
+
+
 def _luma_superwin(pad_y, r, c, n: int = 16):
     """(B, n+96, n+96) window at pad position (r*n-48, c*n-48): covers the
     full coarse+fine+subpel motion reach (+-40 px + taps) of one n-CU."""
@@ -297,9 +313,7 @@ def _search_explicit_ref(src, pad_y, r, c, c0mv, c1mv, sl16, bit_depth,
     dec2 = WINs[:, ::2, ::2]                            # (B, (n+96)/2, ..)
     src2 = src[:, ::2, ::2]                             # (B, n/2, n/2)
     n2 = n // 2
-    w2 = jax.vmap(lambda p, yy, xx: jax.lax.dynamic_slice(
-        p, (yy, xx), (n2 + 6, n2 + 6)))(dec2, (ccy >> 1) + 21,
-                                        (ccx >> 1) + 21)
+    w2 = _win_at(dec2, (ccy >> 1) + 21, (ccx >> 1) + 21, n2 + 6, n2 + 6)
     rows2 = jnp.stack([w2[:, k:k + n2, :] for k in range(7)], 1)
     cnd2 = jnp.stack([rows2[..., k:k + n2] for k in range(7)], 2)
     sad2 = jnp.sum(jnp.abs(src2[:, None, None] - cnd2), axis=(3, 4))
@@ -312,8 +326,7 @@ def _search_explicit_ref(src, pad_y, r, c, c0mv, c1mv, sl16, bit_depth,
     # center), then the refined one; flat argmin keeps the earlier
     # candidate on ties (the numpy scan order)
     def fine_cands(cy0, cx0):
-        w = jax.vmap(lambda p, yy, xx: jax.lax.dynamic_slice(
-            p, (yy, xx), (n + 8, n + 8)))(WINs, cy0 + 44, cx0 + 44)
+        w = _win_at(WINs, cy0 + 44, cx0 + 44, n + 8, n + 8)
         rows_s = jnp.stack([w[:, k:k + n, :] for k in range(9)], 1)
         cnd = jnp.stack([rows_s[..., k:k + n] for k in range(9)], 2)
         return cnd.reshape(B, 81, n, n)
@@ -349,8 +362,7 @@ def _search_explicit_ref(src, pad_y, r, c, c0mv, c1mv, sl16, bit_depth,
         shift1 = bit_depth - 8
         by = (mv_e[:, 1] >> 2) + 44
         bx = (mv_e[:, 0] >> 2) + 44
-        w24 = jax.vmap(lambda p, yy, xx: jax.lax.dynamic_slice(
-            p, (yy, xx), (n + 8, n + 8)))(WIN, by, bx)
+        w24 = _win_at(WIN, by, bx, n + 8, n + 8)
 
         def hpass(xf):
             return sum(int(_FL_NP[xf][k]) * w24[:, :, k:k + n + 1]
@@ -430,9 +442,8 @@ def _search_explicit_ref(src, pad_y, r, c, c0mv, c1mv, sl16, bit_depth,
         else:
             # cand holds WEIGHTED pixels (search domain); the prediction
             # intermediate must be unweighted -- refetch from WIN
-            w = jax.vmap(lambda p_, yy, xx: jax.lax.dynamic_slice(
-                p_, (yy, xx), (n, n)))(WIN, (mv_e[:, 1] >> 2) + 48,
-                                       (mv_e[:, 0] >> 2) + 48)
+            w = _win_at(WIN, (mv_e[:, 1] >> 2) + 48,
+                        (mv_e[:, 0] >> 2) + 48, n, n)
             val_e = w << (14 - bit_depth)
     mb0b, mb1b = mvd_pair(mv_e)
     return mv_e, mb0b, mb1b, val_e
@@ -449,8 +460,7 @@ def _merge_luma_val_ref(pad_y, r, c, mg_mv, bit_depth, subpel, n: int = 16):
         shift1 = bit_depth - 8
         bym = (mg_mv[:, 1] >> 2) + 45
         bxm = (mg_mv[:, 0] >> 2) + 45
-        w23 = jax.vmap(lambda p, yy, xx: jax.lax.dynamic_slice(
-            p, (yy, xx), (n + 7, n + 7)))(WIN, bym, bxm)
+        w23 = _win_at(WIN, bym, bxm, n + 7, n + 7)
         xfm = mg_mv[:, 0] & 3
         yfm = mg_mv[:, 1] & 3
         cxm = _sel_coeffs(_FL_NP, xfm, 8)
@@ -468,9 +478,8 @@ def _merge_luma_val_ref(pad_y, r, c, mg_mv, bit_depth, subpel, n: int = 16):
         yzm = (yfm == 0)[:, None, None]
         return jnp.where(xzm & yzm, p00m,
                          jnp.where(yzm, phm, jnp.where(xzm, pvm, phvm)))
-    w16 = jax.vmap(lambda p, yy, xx: jax.lax.dynamic_slice(
-        p, (yy, xx), (n, n)))(WIN, (mg_mv[:, 1] >> 2) + 48,
-                              (mg_mv[:, 0] >> 2) + 48)
+    w16 = _win_at(WIN, (mg_mv[:, 1] >> 2) + 48,
+                  (mg_mv[:, 0] >> 2) + 48, n, n)
     return w16 << (14 - bit_depth)
 
 
@@ -507,9 +516,8 @@ def _chroma_val_ref(pad_c, r, c, mv, bit_depth, nc: int = 8):
     CWIN = jax.lax.dynamic_slice(
         pad_c, (0, r * nc + MARGIN_C - 24, c * nc + MARGIN_C - 24),
         (B, nc + 48, nc + 48))
-    wins = jax.vmap(lambda p, yy, xx: jax.lax.dynamic_slice(
-        p, (yy, xx), (nc + 3, nc + 3)))(CWIN, (mv[:, 1] >> 3) + 23,
-                                        (mv[:, 0] >> 3) + 23)
+    wins = _win_at(CWIN, (mv[:, 1] >> 3) + 23, (mv[:, 0] >> 3) + 23,
+                   nc + 3, nc + 3)
     return _chroma_mc_val_n(wins, mv[:, 0], mv[:, 1], bit_depth, nc)
 
 
